@@ -1,0 +1,24 @@
+"""ray-dq-filter: a from-scratch Ray-Data-native data-quality engine.
+
+Re-expresses the query / data-processing capabilities of the reference
+(`xiyanz907-lgtm/DataQuality_Box`, an Airflow + Polars data-quality platform;
+see SURVEY.md) as a code-corpus quality filter over Parquet tables
+``(repo, path, commit, lang, content)``:
+
+- fused vectorized heuristic-rule pass (reference ``GenericRuleOperator``
+  filter rules, `plugins/operators/rule_engine.py:291-310`)
+- stateful actor-pool language-ID + char-n-gram perplexity scorers
+  (reference ``InfluxClient``/``MapClient`` enrich pattern,
+  `plugins/dq_lib/ground_truth_utils.py:17-190`)
+- bucketed groupby reconciliation over ``repo+path+commit`` keys
+  (reference two-tier match + three-way cross-check,
+  `plugins/dq_lib/reconciliation.py`, `plugins/services/data_quality_runner.py`)
+- sha256-preserving regex PII/toxicity scrubber
+- keep/drop decision with severity-graded drop reasons
+  (reference P0/P1/P2 aggregator, `plugins/operators/aggregator.py`)
+- per-partition lineage records + checkpoint manifest for resume
+
+Everything is built on public Ray Data / Apache Arrow APIs only.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,55 @@
+"""Decision thresholds and pipeline constants.
+
+These are the engine's equivalent of the reference's YAML rule literals
+(e.g. max thresholds in `plugins/configs/rules/p0_R03*.yaml`, enum sets in
+`p0_R10_at_status_enum.yaml:15-17`, tolerance literals in
+`plugins/dq_lib/reconciliation.py:244,288`). They are module constants so the
+single-process oracle (oracle.py) and the distributed pipeline share one truth
+table (SURVEY.md §7.4 item 2: decision-equivalence, not code-port).
+"""
+
+from __future__ import annotations
+
+# --- heuristic rules (P0 = drop) -------------------------------------------
+MAX_LINE_LEN = 1000          # R_line_len: any line longer than this → drop
+MIN_ALNUM_RATIO = 0.25       # R_alnum_ratio: alnum chars / total chars below → drop
+MIN_CONTENT_CHARS = 1        # R_null_empty: stripped length below → drop
+PPL_THRESHOLD = 110.0        # R_ppl: conditional char-trigram perplexity above
+                             # → drop (clean corpus p99 ≈ 37, max ≈ 95;
+                             # uniform-letter gibberish ≥ ~124)
+
+# --- language rules ---------------------------------------------------------
+LANG_ENUM = frozenset({"en", "zh", "de", "fr", "unknown"})   # R_lang_enum (P2)
+LANGID_MIN_SCORE = 0.60      # below this the model abstains → "unknown"
+
+# --- reconciliation ---------------------------------------------------------
+# matched_status semantics, modelled on the reference's reconciliation labels
+# (`plugins/dq_lib/reconciliation.py:249,348,383`):
+#   1 = STRICT    : unique (repo,path) key, single commit (tier-1 clean match)
+#   4 = LOOSE     : newest commit of a multi-commit (repo,path) group (tier-2 best match)
+#   3 = SUPERSEDED: older commit of a multi-commit group (orphan; dropped as stale)
+#   2 = DUPLICATE : exact-content duplicate of another kept row (target-only analogue)
+STATUS_STRICT = 1
+STATUS_DUPLICATE = 2
+STATUS_SUPERSEDED = 3
+STATUS_LOOSE = 4
+
+# Newest commit = lexicographically greatest commit id (documented deterministic
+# tie-break standing in for the reference's sort-by-time keep-first,
+# `plugins/dq_lib/reconciliation.py:345`).
+
+# --- severity → decision (reference aggregator semantics,
+#     `plugins/operators/aggregator.py:178-435`: P0 alert/drop, P1 asset/flag,
+#     P2 report only) --------------------------------------------------------
+P0_RULES = ("R_null_empty", "R_line_len", "R_alnum_ratio", "R_ppl",
+            "R_stale_commit", "R_exact_dup")
+P1_RULES = ("R_lang_mismatch", "R_pii")          # flagged, kept
+P2_RULES = ("R_lang_enum",)                      # reported, kept
+
+# --- physical execution -----------------------------------------------------
+DEFAULT_BATCH_SIZE = 4096          # rows per map_batches batch (content ~1-4 KB/row)
+SCORER_BATCH_SIZE = 2048           # stateful scorer batches (model inference)
+RECONCILE_BUCKETS = 64             # hash buckets for the groupby shuffle; at
+                                   # cluster scale set ≈ 4 × total cores
+MAX_BROADCAST_LABELS = 5_000_000   # above this, reconcile labels join back via
+                                   # a shuffle join instead of ray.put broadcast

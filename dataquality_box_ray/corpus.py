@@ -1,0 +1,321 @@
+"""Deterministic synthetic code-corpus generator (FIXTURES.md §F1).
+
+Produces the input table shape from BASELINE.json's input_hint:
+``(repo: string, path: string, commit: string, lang: string, content: string)``
+with planted anomalies mirroring the reference's rule classes (empty content,
+over-long lines, low-alnum noise, wrong lang tags, gibberish, PII, exact
+duplicates, multi-commit conflicts) and a mega-repo skew fixture.
+
+Everything is a pure function of ``(n_rows, seed)`` — the Ray pipeline and the
+single-process oracle consume the identical table. Generated tables are cached
+as Parquet under /tmp so repeated test/bench runs re-read instead of rebuild.
+
+No external data; word pools and code templates are embedded.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# ---------------------------------------------------------------------------
+# Embedded language material (public-domain-style filler, hand-written here).
+# The langid / perplexity models train on text generated from these same pools
+# with a *fixed* internal seed, so model behaviour is deterministic.
+# ---------------------------------------------------------------------------
+
+WORDS = {
+    "en": ("the quick brown fox jumps over lazy dog while system process "
+           "reads data from the queue and writes result records into the "
+           "table every worker thread checks status before commit because "
+           "order matters for consistency when batches arrive late").split(),
+    "de": ("der schnelle braune fuchs springt über den faulen hund während "
+           "das system daten aus der warteschlange liest und ergebnisse in "
+           "die tabelle schreibt jeder arbeiter prüft den status vor dem "
+           "commit weil die reihenfolge für konsistenz wichtig ist").split(),
+    "fr": ("le renard brun rapide saute par dessus le chien paresseux pendant "
+           "que le système lit les données de la file et écrit les résultats "
+           "dans la table chaque travailleur vérifie le statut avant la "
+           "validation parce que l'ordre est important pour la cohérence").split(),
+    "zh": list("系统从队列读取数据并将结果写入表中每个工作线程在提交之前检查状态"
+               "因为顺序对一致性很重要当批次延迟到达时快速处理保证质量检测规则"),
+}
+
+LANGS = ("en", "de", "fr", "zh")
+
+_CODE_TEMPLATES = {
+    "py": ("# {c0} {c1} {c2}\n"
+           "def {ident}(batch, limit={n0}):\n"
+           "    \"\"\"{c3} {c4} {c5} {c6}\"\"\"\n"
+           "    total = 0\n"
+           "    for row in batch:\n"
+           "        if row.value > limit:\n"
+           "            total += row.value * {n1}\n"
+           "    # {c7} {c8} {c9}\n"
+           "    return total\n"),
+    "js": ("// {c0} {c1} {c2}\n"
+           "function {ident}(batch, limit = {n0}) {{\n"
+           "  /* {c3} {c4} {c5} {c6} */\n"
+           "  let total = 0;\n"
+           "  for (const row of batch) {{\n"
+           "    if (row.value > limit) total += row.value * {n1};\n"
+           "  }}\n"
+           "  // {c7} {c8} {c9}\n"
+           "  return total;\n"
+           "}}\n"),
+    "go": ("// {c0} {c1} {c2}\n"
+           "func {ident}(batch []Row, limit int) int {{\n"
+           "\t// {c3} {c4} {c5} {c6}\n"
+           "\ttotal := 0\n"
+           "\tfor _, row := range batch {{\n"
+           "\t\tif row.Value > limit {{\n"
+           "\t\t\ttotal += row.Value * {n1}\n"
+           "\t\t}}\n"
+           "\t}}\n"
+           "\t// {c7} {c8} {c9}\n"
+           "\treturn total\n"
+           "}}\n"),
+    "md": ("# {c0} {c1}\n\n{c2} {c3} {c4} {c5} {c6}.\n\n"
+           "- item {n0}: {c7}\n- item {n1}: {c8} {c9}\n"),
+    "txt": ("{c0} {c1} {c2} {c3} {c4}.\n{c5} {c6} {c7} {c8} {c9}.\n"),
+}
+
+EXTS = tuple(_CODE_TEMPLATES)
+
+# PII templates planted into ~5% of rows (exercises the regex scrubber).
+_PII_SNIPPETS = (
+    "contact: {name}.dev{n}@example-mail.com for details",
+    "support line +1-555-{n3}-{n4} available",
+    "aws_key = \"AKIA{hex16}\"",
+    "token = \"ghp_{hex36}\"",
+    "call 555-{n3}-{n4} or mail {name}{n}@corp-test.org",
+)
+
+# Row classes (disjoint; probabilities from FIXTURES.md §F1).
+CLASS_NORMAL, CLASS_EMPTY, CLASS_LONGLINE, CLASS_NOISE, CLASS_GIBBERISH, \
+    CLASS_PII, CLASS_DUP = range(7)
+_CLASS_P = np.array([0.80, 0.02, 0.03, 0.03, 0.04, 0.05, 0.03])
+
+_NOISE_CHARS = np.array(list("!@#$%^&*()[]{}<>~`|\\/?.,;:'\"-_=+ \n"))
+_GIB_CHARS = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+
+
+def _sentence(rng: np.random.Generator, lang: str, n: int) -> str:
+    pool = WORDS[lang]
+    idx = rng.integers(0, len(pool), size=n)
+    sep = "" if lang == "zh" else " "
+    return sep.join(pool[i] for i in idx)
+
+
+def _make_content(rng: np.random.Generator, lang: str, ext: str, row_tag: int) -> str:
+    """One normal-looking source file: code template + comments in `lang`."""
+    tpl = _CODE_TEMPLATES[ext]
+    pool = WORDS[lang]
+    words = [pool[i] for i in rng.integers(0, len(pool), size=10)]
+    body = tpl.format(
+        ident=f"process_v{row_tag}",
+        n0=int(rng.integers(1, 100)), n1=int(rng.integers(2, 9)),
+        **{f"c{i}": words[i] for i in range(10)},
+    )
+    # a trailing comment paragraph so natural-language signal dominates langid
+    tail = _sentence(rng, lang, 14)
+    return body + ("# " if ext == "py" else "// " if ext in ("js", "go") else "") + tail + "\n"
+
+
+def training_text(chars: int = 60_000, seed: int = 1234) -> str:
+    """Deterministic clean-corpus sample used to train the perplexity model.
+
+    Built from the same templates/pools as normal rows so 'normal' content
+    scores low-perplexity and uniform-random gibberish scores high.
+    """
+    rng = np.random.default_rng(seed)
+    parts: list[str] = []
+    total = 0
+    i = 0
+    while total < chars:
+        lang = LANGS[i % len(LANGS)]
+        ext = EXTS[i % len(EXTS)]
+        s = _make_content(rng, lang, ext, i)
+        parts.append(s)
+        total += len(s)
+        i += 1
+    return "".join(parts)
+
+
+def lang_content_text(lang: str, chars: int = 40_000, seed: int = 77) -> str:
+    """Deterministic content-shaped sample (code templates + comments) in one
+    language — langid profile training material. The code skeleton is shared
+    across languages, so per-language discrimination comes from the embedded
+    natural-language comments, matching the corpus distribution."""
+    rng = np.random.default_rng(seed + LANGS.index(lang))
+    out: list[str] = []
+    total = 0
+    i = 0
+    while total < chars:
+        s = _make_content(rng, lang, EXTS[i % len(EXTS)], i)
+        out.append(s)
+        total += len(s)
+        i += 1
+    return "".join(out)
+
+
+def lang_seed_text(lang: str, chars: int = 20_000, seed: int = 99) -> str:
+    """Deterministic per-language sample used to build langid n-gram profiles."""
+    rng = np.random.default_rng(seed + hash(lang) % 1000)
+    out: list[str] = []
+    total = 0
+    while total < chars:
+        s = _sentence(rng, lang, 20) + ("。" if lang == "zh" else ". ")
+        out.append(s)
+        total += len(s)
+    return "".join(out)
+
+
+def generate_corpus(n_rows: int, seed: int = 42) -> pa.Table:
+    """Build the synthetic corpus table (FIXTURES.md §F1), deterministically.
+
+    Structure: ~n_rows/1.15 unique (repo,path) keys; 10% of keys carry 2-3
+    commits (duplicate-reconciliation fixture); one mega-repo (org0/repo0)
+    holds ~30% of keys (skew fixture); disjoint anomaly classes per row with
+    a 5% wrong-lang-tag overlay and 2% empty/invalid declared-lang overlay.
+    """
+    rng = np.random.default_rng(seed)
+    n_keys = max(1, int(n_rows / 1.15))
+
+    # --- keys -------------------------------------------------------------
+    mega = rng.random(n_keys) < 0.30
+    org = rng.integers(1, 7, size=n_keys)
+    rep = rng.integers(0, 23, size=n_keys)
+    repos = np.where(mega, "org0/repo0",
+                     np.char.add(np.char.add("org", org.astype(str)),
+                                 np.char.add("/repo", rep.astype(str))))
+    exts = np.array(EXTS)[rng.integers(0, len(EXTS), size=n_keys)]
+    dirs = rng.integers(0, 97, size=n_keys)
+    key_ids = np.arange(n_keys)
+    paths = np.array([f"src/dir{d}/file{k}.{e}" for d, k, e in zip(dirs, key_ids, exts)])
+
+    # commits per key: 10% of keys get 2-3
+    multi = rng.random(n_keys) < 0.10
+    n_commits = np.where(multi, rng.integers(2, 4, size=n_keys), 1)
+
+    # --- expand keys → rows ----------------------------------------------
+    row_key = np.repeat(key_ids, n_commits)
+    n = len(row_key)
+    commit_hex = rng.integers(0, 2**32, size=n)
+    commits = np.array([f"{c:08x}" for c in commit_hex])
+
+    declared = np.array(LANGS)[rng.integers(0, len(LANGS), size=n)]
+    content_lang = declared.copy()
+    # 5% wrong tag: content language differs from declared
+    wrong = rng.random(n) < 0.05
+    shift = rng.integers(1, len(LANGS), size=n)
+    lang_pos = np.array([LANGS.index(l) for l in content_lang])
+    content_lang = np.where(wrong, np.array(LANGS)[(lang_pos + shift) % len(LANGS)], content_lang)
+    # 2% invalid declared tag (null-ish / empty / junk) + some 'unknown'
+    inval = rng.random(n)
+    declared = declared.astype(object)
+    declared[inval < 0.01] = ""
+    declared[(inval >= 0.01) & (inval < 0.02)] = "xx"
+    declared[(inval >= 0.02) & (inval < 0.05)] = "unknown"
+
+    cls = rng.choice(len(_CLASS_P), size=n, p=_CLASS_P)
+
+    # --- content ----------------------------------------------------------
+    contents: list[str] = [""] * n
+    ext_per_row = exts[row_key]
+    normal_rows: list[int] = []
+    for i in range(n):
+        c = cls[i]
+        if c == CLASS_EMPTY:
+            contents[i] = "" if rng.random() < 0.5 else "   \n \t  \n"
+        elif c == CLASS_LONGLINE:
+            base = _make_content(rng, content_lang[i], ext_per_row[i], i)
+            blob = "var a=" + ";x=".join(
+                f"{v}" for v in rng.integers(0, 9999, size=420)) + ";"
+            contents[i] = base + blob + "\n"      # one line > 1000 chars
+        elif c == CLASS_NOISE:
+            m = int(rng.integers(300, 900))
+            chars = _NOISE_CHARS[rng.integers(0, len(_NOISE_CHARS), size=m)]
+            contents[i] = "".join(chars)
+        elif c == CLASS_GIBBERISH:
+            m = int(rng.integers(400, 1200))
+            chars = _GIB_CHARS[rng.integers(0, len(_GIB_CHARS), size=m)]
+            s = "".join(chars)
+            # break into short lines so only perplexity catches it
+            contents[i] = "\n".join(s[j:j + 60] for j in range(0, len(s), 60))
+        elif c == CLASS_PII:
+            base = _make_content(rng, content_lang[i], ext_per_row[i], i)
+            snip = _PII_SNIPPETS[int(rng.integers(0, len(_PII_SNIPPETS)))]
+            hex16 = "".join(np.char.mod("%X", rng.integers(0, 16, size=16)))
+            hex36 = "".join(np.char.mod("%x", rng.integers(0, 16, size=36)))
+            snip = snip.format(name="user", n=int(rng.integers(1, 999)),
+                               n3=f"{int(rng.integers(0,1000)):03d}",
+                               n4=f"{int(rng.integers(0,10000)):04d}",
+                               hex16=hex16, hex36=hex36)
+            contents[i] = base + ("# " if ext_per_row[i] == "py" else "") + snip + "\n"
+        else:  # NORMAL or DUP (dup filled afterwards)
+            contents[i] = _make_content(rng, content_lang[i], ext_per_row[i], i)
+            if c == CLASS_NORMAL:
+                normal_rows.append(i)
+
+    # exact-dup rows copy content from a random normal donor (cross-key dup)
+    dup_rows = np.flatnonzero(cls == CLASS_DUP)
+    if len(normal_rows) and len(dup_rows):
+        donors = rng.choice(np.array(normal_rows), size=len(dup_rows))
+        for i, d in zip(dup_rows, donors):
+            contents[i] = contents[d]
+
+    return pa.table({
+        "repo": pa.array(repos[row_key], type=pa.string()),
+        "path": pa.array(paths[row_key], type=pa.string()),
+        "commit": pa.array(commits, type=pa.string()),
+        "lang": pa.array(list(declared), type=pa.string()),
+        "content": pa.array(contents, type=pa.large_string()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Cache layer: sf_dir → n_rows; Parquet cache under /tmp for re-reads.
+# ---------------------------------------------------------------------------
+
+_SF_ROWS = {"0.001": 2_000, "0.01": 20_000, "0.1": 200_000}
+CACHE_ROOT = "/tmp/dq_corpus_cache"
+
+
+def rows_for_sf_dir(sf_dir: str) -> int:
+    name = pathlib.Path(sf_dir).name           # e.g. "sf0.01"
+    sf = name.removeprefix("sf")
+    return _SF_ROWS.get(sf, 20_000)
+
+
+def corpus_path(sf_dir: str, seed: int = 42, n_files: int = 8) -> str:
+    """Materialize (once) and return the Parquet directory for this scale.
+
+    Written as `n_files` part files so the Ray read parallelizes and the
+    checkpointed pipeline has multiple input fragments to partition over.
+    """
+    n_rows = rows_for_sf_dir(sf_dir)
+    out = pathlib.Path(CACHE_ROOT) / f"n{n_rows}_s{seed}"
+    done = out / "_SUCCESS"
+    if done.exists():
+        return str(out)
+    tmp = pathlib.Path(str(out) + ".tmp")
+    if tmp.exists():
+        import shutil
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True, exist_ok=True)
+    tbl = generate_corpus(n_rows, seed=seed)
+    n = tbl.num_rows
+    step = (n + n_files - 1) // n_files
+    for f in range(n_files):
+        part = tbl.slice(f * step, step)
+        if part.num_rows:
+            pq.write_table(part, tmp / f"part-{f:05d}.parquet", compression="zstd")
+    os.makedirs(out.parent, exist_ok=True)
+    tmp.rename(out)
+    (out / "_SUCCESS").touch()
+    return str(out)

@@ -1,0 +1,58 @@
+"""Single-process oracle: the ground-truth labeler for F1 comparison.
+
+Runs the same decision truth table (config.py) over the whole corpus table in
+one process with plain pandas — no Ray, no bucketing, no broadcast. The pure
+per-row kernels (heuristics / scrub / decide) are shared with the pipeline by
+design (one truth table, SURVEY.md §7.4 item 2); what the oracle implements
+independently — and what the pipeline-vs-oracle tests therefore actually
+verify — is the *global* logic the distributed engine must reproduce across
+blocks and shuffles: commit reconciliation per (repo,path), global exact
+dedup, and the label merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from . import config
+from .stages.decide import decide_kernel
+from .stages.heuristics import heuristics_kernel
+from .stages.langid import LangIdScorer
+from .stages.perplexity import PerplexityScorer
+from .stages.scrubber import scrub_kernel
+
+
+def oracle_result(table: pa.Table) -> pd.DataFrame:
+    """Full expected RESULT table for a corpus table (FIXTURES.md §F2)."""
+    t = heuristics_kernel(table)
+    t = LangIdScorer()(t)
+    t = PerplexityScorer()(t)
+    df = t.to_pandas()
+
+    # --- reconciliation: plain global pandas groupby ----------------------
+    g = df.groupby(["repo", "path"], sort=False)
+    winner = g["commit"].transform("max")
+    size = g["commit"].transform("size")
+    n_sha = g["sha_pre"].transform("nunique")
+    df["matched_status"] = np.where(
+        size == 1, config.STATUS_STRICT,
+        np.where(df["commit"] == winner, config.STATUS_LOOSE,
+                 config.STATUS_SUPERSEDED)).astype(np.int32)
+    df["r_stale_commit"] = (size > 1) & (df["commit"] != winner)
+    df["group_conflict"] = n_sha > 1
+
+    # --- exact dedup: global, keep min (repo,path,commit) -----------------
+    cand = ~df["r_stale_commit"] & ~df["r_null_empty"]
+    key = df["repo"] + "\x00" + df["path"] + "\x00" + df["commit"]
+    canon = key[cand].groupby(df.loc[cand, "sha_pre"]).transform("min")
+    df["r_exact_dup"] = False
+    df.loc[cand, "r_exact_dup"] = (key[cand] != canon)
+    df.loc[df["r_exact_dup"], "matched_status"] = config.STATUS_DUPLICATE
+
+    # --- scrub + decide (shared kernels) ----------------------------------
+    t2 = pa.Table.from_pandas(df, preserve_index=False)
+    t2 = scrub_kernel(t2)
+    t2 = decide_kernel(t2)
+    return t2.to_pandas()

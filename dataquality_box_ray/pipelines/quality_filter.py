@@ -1,0 +1,132 @@
+"""Flagship pipeline: code-corpus quality filter, end to end.
+
+Mirrors the reference's staged lifecycle RAW → ENTITY → RESULT
+(`plugins/domain/context.py:27-31`, SURVEY.md §1.4) as Ray Data passes:
+
+1. **Score pass** (row-local, streaming): read_parquet → fused heuristic
+   rules → langid actor pool → perplexity actor pool → ENTITY-stage Parquet.
+   Everything vectorized Arrow; content is written once, zstd-compressed.
+2. **Label pass** (slim): re-read ONLY (repo, path, commit, sha_pre,
+   r_null_empty) — Parquet column pruning makes this read ~2% of the stage
+   bytes — and run the two bucketed reconciliation/dedup shuffles
+   (stages/reconcile.py). Exception labels are broadcast via ray.put.
+3. **Result pass** (row-local, streaming): re-read the ENTITY stage, merge
+   broadcast labels, regex-scrub, decide keep/drop, write RESULT Parquet
+   partitioned by `keep`.
+
+Staging through Parquet is what makes the job resumable (pipelines/manifest.py
+commits per input partition) and keeps every shuffle slim; the all-to-all
+exchanges never carry `content`.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Any
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .. import config
+from ..stages.decide import decide_kernel
+from ..stages.heuristics import heuristics_kernel
+from ..stages.langid import LangIdScorer
+from ..stages.perplexity import PerplexityScorer
+from ..stages.reconcile import ApplyReconcileLabels, compute_label_tables
+from ..stages.scrubber import scrub_kernel
+
+SLIM_COLUMNS = ["repo", "path", "commit", "sha_pre", "r_null_empty"]
+
+RESULT_COLUMNS = [
+    "repo", "path", "commit", "lang", "content", "content_sha256",
+    "char_len", "alnum_ratio", "heur_lang", "langid_lang", "langid_score",
+    "perplexity", "scrub_hits", "matched_status", "group_conflict",
+    "r_null_empty", "r_line_len", "r_alnum_ratio", "r_lang_enum",
+    "r_lang_mismatch", "r_ppl", "r_stale_commit", "r_exact_dup", "r_pii",
+    "keep", "drop_reasons", "severity",
+]
+
+
+def _scorer_concurrency() -> tuple[int, int]:
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    return (1, max(2, cpus // 2))
+
+
+def scored_dataset(input_path: str | list[str],
+                   batch_size: int = config.DEFAULT_BATCH_SIZE,
+                   scorer_batch_size: int = config.SCORER_BATCH_SIZE,
+                   ) -> "ray.data.Dataset":
+    """Pass 1: row-local scoring (heuristics + actor-pool models)."""
+    ds = ray.data.read_parquet(input_path)
+    ds = ds.map_batches(heuristics_kernel, batch_format="pyarrow",
+                        batch_size=batch_size)
+    conc = _scorer_concurrency()
+    ds = ds.map_batches(LangIdScorer, batch_format="pyarrow",
+                        batch_size=scorer_batch_size, concurrency=conc)
+    ds = ds.map_batches(PerplexityScorer, batch_format="pyarrow",
+                        batch_size=scorer_batch_size, concurrency=conc)
+    return ds
+
+
+def finalize_dataset(stage_path: str,
+                     n_buckets: int = config.RECONCILE_BUCKETS,
+                     extra_losers=None,
+                     ) -> "ray.data.Dataset":
+    """Passes 2+3 given an ENTITY-stage Parquet directory."""
+    slim = ray.data.read_parquet(stage_path, columns=SLIM_COLUMNS)
+    labels_pdf, losers_pdf = compute_label_tables(slim, n_buckets)
+    if extra_losers is not None and len(extra_losers):
+        import pandas as pd
+        losers_pdf = pd.concat([losers_pdf, extra_losers], ignore_index=True)
+    labels_ref = ray.put(labels_pdf)
+    losers_ref = ray.put(losers_pdf)
+
+    ds = ray.data.read_parquet(stage_path)
+    ds = ds.map_batches(ApplyReconcileLabels, batch_format="pandas",
+                        batch_size=config.DEFAULT_BATCH_SIZE,
+                        concurrency=_scorer_concurrency(),
+                        fn_constructor_args=(labels_ref, losers_ref))
+    ds = ds.map_batches(scrub_kernel, batch_format="pyarrow",
+                        batch_size=config.DEFAULT_BATCH_SIZE)
+    ds = ds.map_batches(decide_kernel, batch_format="pyarrow",
+                        batch_size=config.DEFAULT_BATCH_SIZE)
+    return ds.select_columns(RESULT_COLUMNS)
+
+
+def quality_filter_dataset(input_path: str | list[str],
+                           work_dir: str,
+                           n_buckets: int = config.RECONCILE_BUCKETS,
+                           ) -> "ray.data.Dataset":
+    """Full pipeline returning the RESULT dataset (used by tests/queries)."""
+    stage = pathlib.Path(work_dir) / "entity"
+    if stage.exists():
+        import shutil
+        shutil.rmtree(stage)
+    scored_dataset(input_path).write_parquet(str(stage), compression="zstd")
+    return finalize_dataset(str(stage), n_buckets)
+
+
+def scoreboard(result_ds: "ray.data.Dataset") -> dict[str, Any]:
+    """Run-level metrics, the reference's match-quality scoreboard analogue
+    (`plugins/dq_lib/metrics.py:34-160`): rule hit counts, keep rate, status
+    distribution — computed with a Dataset aggregate, no full materialize."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        row = {"rows": [batch.num_rows],
+               "kept": [pc.sum(pc.cast(batch["keep"], pa.int64())).as_py() or 0]}
+        for col in batch.column_names:
+            if col.startswith("r_"):
+                row[col] = [pc.sum(pc.cast(batch[col], pa.int64())).as_py() or 0]
+        for status in (1, 2, 3, 4):
+            row[f"status_{status}"] = [
+                pc.sum(pc.cast(pc.equal(batch["matched_status"], status),
+                               pa.int64())).as_py() or 0]
+        return pa.table(row)
+
+    parts = result_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = parts.sum().to_dict()
+    agg["keep_rate"] = (agg["kept"] / agg["rows"]) if agg.get("rows") else 0.0
+    return {k: (float(v) if k == "keep_rate" else int(v)) for k, v in agg.items()}

@@ -1,0 +1,8 @@
+"""Pipeline stages: pure vectorized kernels + Ray Data stage wrappers.
+
+Every kernel is a pure function ``pyarrow.Table -> pyarrow.Table`` (columns
+appended, never removed) so the distributed pipeline (map_batches) and the
+single-process oracle (oracle.py) share one implementation of the per-row
+semantics; the distributed composition (shuffles, bucketing, dedup ordering)
+is what the oracle-vs-pipeline tests actually exercise.
+"""

@@ -1,0 +1,53 @@
+"""Severity-graded keep/drop decision.
+
+The reference's reduce-stage semantics (`plugins/operators/aggregator.py:
+178-435`): P0 hits alert → here: drop; P1 hits become assets → here: flagged
+but kept; P2 violations are reported → kept. ``drop_reasons`` lists the fired
+P0 rule ids in canonical order (list<string> built with vectorized offset
+arithmetic — no per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import config
+
+_FLAG_OF = {r: f"r_{r[2:].lower()}" for r in
+            config.P0_RULES + config.P1_RULES + config.P2_RULES}
+
+
+def _mask(batch: pa.Table, col: str) -> np.ndarray:
+    if col in batch.column_names:
+        return pc.fill_null(batch[col], False).to_numpy(zero_copy_only=False)
+    return np.zeros(batch.num_rows, dtype=bool)
+
+
+def decide_kernel(batch: pa.Table) -> pa.Table:
+    n = batch.num_rows
+    p0 = np.stack([_mask(batch, _FLAG_OF[r]) for r in config.P0_RULES])  # (k, n)
+    p1 = np.stack([_mask(batch, _FLAG_OF[r]) for r in config.P1_RULES])
+    p2 = np.stack([_mask(batch, _FLAG_OF[r]) for r in config.P2_RULES])
+
+    keep = ~p0.any(axis=0)
+
+    # drop_reasons: list<string> of fired P0 rule ids, canonical order
+    mask_t = p0.T                                   # (n, k)
+    counts = mask_t.sum(axis=1)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    names = np.array(config.P0_RULES, dtype=object)
+    values = np.tile(names, n)[mask_t.ravel()]
+    reasons = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                       pa.array(values, type=pa.string()))
+
+    severity = np.full(n, "", dtype=object)
+    severity[p2.any(axis=0)] = "P2"
+    severity[p1.any(axis=0)] = "P1"
+    severity[~keep] = "P0"
+
+    return (batch
+            .append_column("keep", pa.array(keep))
+            .append_column("drop_reasons", reasons)
+            .append_column("severity", pa.array(severity, type=pa.string())))

@@ -1,0 +1,117 @@
+"""Fused per-row heuristic rule pass.
+
+Re-expresses the reference's predicate rules — 13 of its 17 shipped rules are
+`df.filter(expr)` over one entity (`plugins/operators/rule_engine.py:291-310`;
+null/empty checks `p0_R06_task_type.yaml:17-19`, threshold checks
+`p0_R03`-style, enum check `p0_R10_at_status_enum.yaml:15-17`, ratio check
+`p0_R18_time_diff.yaml:22-24`) — as ONE vectorized Arrow pass that computes
+every rule flag in a single scan (SURVEY.md §4: 17 rule tasks × 17 reads in
+the reference → 1 fused map_batches read here).
+
+All kernels are RE2 / pyarrow.compute — no Python row loops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import config
+
+# (long-line detection is done with split_pattern + maximum.reduceat — a
+# counted-repetition RE2 like "[^\n]{1001}" is ~100× slower on MB strings)
+# unicode letters+digits (so zh text is not "low-alnum")
+_NON_ALNUM_RE = r"[^\p{L}\p{N}]"
+
+# charset / marker-word heuristics for the content-derived language view
+# (third leg of the reference's three-way cross-check,
+#  `plugins/services/data_quality_runner.py:434-742`)
+_HAN_RE = r"\p{Han}"
+_MARKERS = {
+    "en": r"\b(the|and|while|every|because)\b",
+    "de": r"\b(der|die|und|während|jeder|weil)\b",
+    "fr": r"\b(le|la|et|dans|que|chaque|parce)\b",
+}
+
+
+def sha256_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """sha256 hex digest per row (null/empty → sha of b'')."""
+    out = []
+    for chunk in (col.chunks if isinstance(col, pa.ChunkedArray) else [col]):
+        for v in chunk.to_pylist():
+            out.append(hashlib.sha256((v or "").encode("utf-8", "surrogatepass")).hexdigest())
+    return pa.array(out, type=pa.string())
+
+
+def max_line_lengths(content: pa.Array) -> np.ndarray:
+    """Per-row maximum line length in characters, fully vectorized:
+    split on newline (C kernel) → utf8_length of every line → per-row max via
+    np.maximum.reduceat over the list offsets."""
+    lines = pc.split_pattern(content, "\n")
+    flat = pc.list_flatten(lines)
+    lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = lines.offsets.to_numpy(zero_copy_only=False)
+    starts, counts = offsets[:-1], np.diff(offsets)
+    out = np.zeros(len(content), dtype=np.int64)
+    nonempty = counts > 0
+    if nonempty.any():
+        # reduceat needs monotonically valid start indices; run it on the
+        # non-empty rows only
+        red = np.maximum.reduceat(lens, starts[nonempty]) if lens.size else np.array([])
+        out[nonempty] = red
+    return out
+
+
+def heuristics_kernel(batch: pa.Table) -> pa.Table:
+    """Append char_len, alnum_ratio, heur_lang, sha_pre and rule flags.
+
+    Flags: r_null_empty, r_line_len, r_alnum_ratio, r_lang_enum.
+    """
+    content = batch["content"]
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    content = pc.fill_null(content, "")
+
+    char_len = pc.utf8_length(content)
+    stripped_len = pc.utf8_length(pc.utf8_trim_whitespace(content))
+    r_null_empty = pc.less(stripped_len, config.MIN_CONTENT_CHARS)
+
+    max_line = max_line_lengths(content)
+    r_line_len = pc.greater(pa.array(max_line), config.MAX_LINE_LEN)
+
+    alnum_len = pc.utf8_length(pc.replace_substring_regex(content, _NON_ALNUM_RE, ""))
+    denom = pc.max_element_wise(char_len, pa.scalar(1, type=pa.int32()))
+    alnum_ratio = pc.divide(pc.cast(alnum_len, pa.float64()), pc.cast(denom, pa.float64()))
+    r_alnum_ratio = pc.and_(pc.less(alnum_ratio, config.MIN_ALNUM_RATIO),
+                            pc.invert(r_null_empty))
+
+    lang = pc.fill_null(batch["lang"], "")
+    r_lang_enum = pc.invert(pc.is_in(lang, value_set=pa.array(sorted(config.LANG_ENUM))))
+
+    # content-derived language (vectorized marker counting)
+    n = len(content)
+    han = pc.count_substring_regex(content, _HAN_RE).to_numpy(zero_copy_only=False)
+    clen = char_len.to_numpy(zero_copy_only=False).astype(np.float64)
+    marker = np.zeros((len(_MARKERS), n), dtype=np.int64)
+    langs = list(_MARKERS)
+    for i, lg in enumerate(langs):
+        marker[i] = pc.count_substring_regex(content, _MARKERS[lg]).to_numpy(zero_copy_only=False)
+    best = marker.argmax(axis=0)
+    best_cnt = marker.max(axis=0)
+    heur = np.array(langs, dtype=object)[best]
+    heur[best_cnt < 2] = "unknown"
+    heur[han / np.maximum(clen, 1.0) > 0.05] = "zh"
+
+    return (batch
+            .append_column("char_len", pc.cast(char_len, pa.int64()))
+            .append_column("max_line_len", pa.array(max_line))
+            .append_column("alnum_ratio", alnum_ratio)
+            .append_column("heur_lang", pa.array(heur, type=pa.string()))
+            .append_column("sha_pre", sha256_column(content))
+            .append_column("r_null_empty", r_null_empty)
+            .append_column("r_line_len", r_line_len)
+            .append_column("r_alnum_ratio", r_alnum_ratio)
+            .append_column("r_lang_enum", r_lang_enum))

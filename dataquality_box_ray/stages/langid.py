@@ -1,0 +1,83 @@
+"""Language-ID scorer: stateful actor-pool stage.
+
+The fastText-style model of the north star, built as per-language conditional
+char-trigram LMs (public n-gram language-ID technique, Cavnar & Trenkle 1994)
+trained on deterministic content-shaped seed text. Deployed exactly like the
+reference deploys its stateful enrichment clients (`InfluxClient`/`MapClient`,
+`plugins/dq_lib/ground_truth_utils.py:17-190`): model built ONCE per actor in
+``__init__``, batches scored in ``__call__`` via
+``ds.map_batches(LangIdScorer, concurrency=N, batch_size=B)``.
+
+Prediction: argmax of mean conditional log-likelihood; confidence = softmax
+over total log-likelihoods with the trigram count capped (so one long file
+cannot saturate a wrong guess to certainty). Below `config.LANGID_MIN_SCORE`
+the model abstains → "unknown".
+
+Also emits the three-way cross-check flag ``r_lang_mismatch`` (declared tag vs
+content-derived heuristic vs model prediction — the reference's three-view
+field cross-check, `plugins/services/data_quality_runner.py:434-742`): it
+fires only when both content views agree with each other and contradict the
+declared tag (high precision, mirroring the reference's "real mismatch"
+gating at `data_quality_runner.py:922-948`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import config
+from ..corpus import LANGS, lang_content_text
+from . import ngram
+
+MAX_CHARS = 1000   # per-row cost bound: score at most this many chars
+_COUNT_CAP = 200   # softmax sharpness cap
+
+
+class LangIdScorer:
+    def __init__(self) -> None:
+        self.langs = list(LANGS)
+        l3, l2 = [], []
+        for lg in self.langs:
+            lm = ngram.CondTrigramLM(lang_content_text(lg))
+            l3.append(lm.l3)
+            l2.append(lm.l2)
+        self.l3 = np.stack(l3)     # (n_langs, N_BUCKETS)
+        self.l2 = np.stack(l2)
+
+    def predict(self, text: str) -> tuple[str, float]:
+        tri, pre = ngram.tri_and_prefix_codes(text or "", MAX_CHARS)
+        if len(tri) < 8:
+            return "unknown", 0.0
+        means = (np.take(self.l3, tri, axis=1)
+                 - np.take(self.l2, pre, axis=1)).mean(axis=1)   # (n_langs,)
+        k = min(len(tri), _COUNT_CAP)
+        z = means * k
+        z = np.exp(z - z.max())
+        p = z / z.sum()
+        best = int(p.argmax())
+        score = float(p[best])
+        if score < config.LANGID_MIN_SCORE:
+            return "unknown", score
+        return self.langs[best], score
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        content = pc.fill_null(batch["content"], "")
+        preds, scores = [], []
+        for v in content.to_pylist():
+            lg, sc = self.predict(v)
+            preds.append(lg)
+            scores.append(sc)
+        langid = pa.array(preds, type=pa.string())
+        declared = pc.fill_null(batch["lang"], "")
+        heur = batch["heur_lang"]
+        real = pc.is_in(declared, value_set=pa.array(list(LANGS)))
+        agree = pc.and_(pc.equal(langid, heur),
+                        pc.invert(pc.equal(langid, "unknown")))
+        mismatch = pc.and_(pc.and_(real, agree),
+                           pc.invert(pc.equal(declared, langid)))
+        return (batch
+                .append_column("langid_lang", langid)
+                .append_column("langid_score", pa.array(scores, type=pa.float64()))
+                .append_column("r_lang_mismatch", mismatch))

@@ -1,0 +1,50 @@
+"""Hashed character-trigram machinery shared by the langid and perplexity models.
+
+Vectorized: text → UTF-32 code-point array (numpy, zero Python char loops) →
+rolling trigram / prefix-bigram hash codes → `np.take` against precomputed
+log tables over 2^16 hash buckets. The language model is CONDITIONAL —
+``P(c2 | c0 c1) = (count3(c0c1c2)+1) / (count2(c0c1)+ALPHA)`` — so perplexity
+is a per-character quantity (in-domain text ⇒ small, out-of-domain gibberish ⇒
+≈ ALPHA). Hash collisions are harmless because builder and scorer share the
+hash; everything is a pure function of the embedded seed texts, so actors on
+different nodes build identical models.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+N_BUCKETS = 1 << 16
+_MUL = np.uint64(0x9E3779B1)
+ALPHA = 128.0          # Laplace mass ≈ effective alphabet size
+
+
+def tri_and_prefix_codes(text: str, max_chars: int) -> tuple[np.ndarray, np.ndarray]:
+    """(trigram hash codes, prefix-bigram hash codes), aligned, as int64."""
+    empty = np.empty(0, dtype=np.int64)
+    if not text:
+        return empty, empty
+    cp = np.frombuffer(text[:max_chars].encode("utf-32-le"), dtype=np.uint32)
+    if len(cp) < 3:
+        return empty, empty
+    c = cp.astype(np.uint64)
+    pre = c[:-2] * _MUL + c[1:-1]
+    tri = pre * _MUL + c[2:]
+    nb = np.uint64(N_BUCKETS)
+    return (tri % nb).astype(np.int64), (pre % nb).astype(np.int64)
+
+
+class CondTrigramLM:
+    """Log-table form of the conditional trigram model for one training text."""
+
+    def __init__(self, text: str) -> None:
+        tri, pre = tri_and_prefix_codes(text, 1 << 30)
+        c3 = np.bincount(tri, minlength=N_BUCKETS).astype(np.float64)
+        c2 = np.bincount(pre, minlength=N_BUCKETS).astype(np.float64)
+        self.l3 = np.log(c3 + 1.0)
+        self.l2 = np.log(c2 + ALPHA)
+
+    def mean_logprob(self, tri: np.ndarray, pre: np.ndarray) -> float:
+        if len(tri) == 0:
+            return 0.0
+        return float((np.take(self.l3, tri) - np.take(self.l2, pre)).mean())

@@ -1,0 +1,50 @@
+"""Char-n-gram perplexity scorer: stateful actor-pool stage.
+
+The KenLM-style scorer of the north star, as a Laplace-smoothed conditional
+char-trigram LM trained on the deterministic embedded clean-corpus sample
+(`corpus.training_text`). Same actor-pool deployment pattern as the langid
+stage (reference stateful-client pattern, SURVEY.md §2.3): model built once
+per actor in ``__init__``;
+``perplexity = exp(-mean log P(c_i | c_{i-2} c_{i-1}))`` per row — in-domain
+code/comment text scores O(10), uniform-random gibberish approaches the
+smoothing alphabet ALPHA=128.
+
+Rule ``r_ppl`` (P0, drop): perplexity above `config.PPL_THRESHOLD` — the
+high-perplexity gibberish band of FIXTURES.md §F1. Rows with fewer than 3
+chars score 0.0 (they are the null/empty rule's business, not this one's).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import config
+from ..corpus import training_text
+from . import ngram
+
+MAX_CHARS = 4000   # per-row cost bound
+
+
+class PerplexityScorer:
+    def __init__(self) -> None:
+        self.lm = ngram.CondTrigramLM(training_text())
+
+    def score(self, text: str) -> float:
+        tri, pre = ngram.tri_and_prefix_codes(text or "", MAX_CHARS)
+        if len(tri) == 0:
+            return 0.0
+        return float(math.exp(-self.lm.mean_logprob(tri, pre)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        content = pc.fill_null(batch["content"], "")
+        ppl = np.array([self.score(v) for v in content.to_pylist()], dtype=np.float64)
+        ppl_arr = pa.array(ppl, type=pa.float64())
+        r_ppl = pc.and_(pc.greater(ppl_arr, config.PPL_THRESHOLD),
+                        pc.invert(batch["r_null_empty"]))
+        return (batch
+                .append_column("perplexity", ppl_arr)
+                .append_column("r_ppl", r_ppl))

@@ -1,0 +1,184 @@
+"""Groupby reconciliation over (repo, path, commit) keys + exact dedup.
+
+Re-expresses the reference's two-tier record reconciliation and three-way
+cross-check as Ray Data shuffles:
+
+- `plugins/dq_lib/reconciliation.py:234-348` (tier-1 strict asof + tier-2
+  loose match, best match = sort + keep-first) → per-(repo,path) commit
+  reconciliation: single-commit keys are STRICT(1); in multi-commit groups the
+  lexicographically-greatest commit wins LOOSE(4) and older ones are
+  SUPERSEDED(3) (deterministic keep-first, `reconciliation.py:345`).
+- `plugins/services/data_quality_runner.py:434-742` (three-way field
+  cross-check) → ``group_conflict``: distinct content hashes across the
+  commits of one key.
+- `plugins/services/reconciliation_runner.py:586-601` (dedup against sink,
+  anti-join on existing keys) → exact dedup: among reconciliation survivors,
+  group by content sha; the minimum (repo,path,commit) is canonical, the rest
+  are DUPLICATE(2) / ``r_exact_dup``.
+
+Scale design (SURVEY.md §7.3): the decision needs only slim key/hash columns,
+so by default we shuffle a PROJECTED dataset (~50 B/row instead of the 1-4 KB
+content) through ``groupby(bucket).map_groups`` with B hash buckets — each
+bucket processed with fully-vectorized pandas groupby ops, never a Python call
+per key. The non-default labels (multi-commit keys, dup losers — a few % of
+rows) are broadcast once via ``ray.put`` and merged back in a map_batches
+pass. When the label table exceeds ``config.MAX_BROADCAST_LABELS`` the
+broadcast is refused and ``mode='full'`` runs the same kernel over the full
+rows inside the shuffle instead (content moves through the object store
+exactly once — the north star's salted-repartition groupby). Bucketing by
+``hash(repo,path)`` spreads a mega-repo's keys uniformly because the key is
+(repo,path), not repo — repo-level aggregates are where salting applies (see
+rules/engine.py aggregate rules).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from .. import config
+
+SEP = "\x00"
+
+
+def _key_series(df: pd.DataFrame) -> pd.Series:
+    return df["repo"] + SEP + df["path"] + SEP + df["commit"]
+
+
+def bucket_of(series: pd.Series, n_buckets: int) -> np.ndarray:
+    """Deterministic hash bucket per row (pandas siphash with fixed key —
+    stable across processes/nodes, unlike Python's salted hash())."""
+    h = pd.util.hash_array(series.to_numpy(dtype=object), categorize=False)
+    return (h % np.uint64(n_buckets)).astype(np.int32)
+
+
+def reconcile_group_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-bucket kernel: label every row of every (repo,path) key
+    in this bucket. No per-key Python calls."""
+    g = df.groupby(["repo", "path"], sort=False)
+    winner = g["commit"].transform("max")
+    size = g["commit"].transform("size")
+    n_sha = g["sha_pre"].transform("nunique")
+    status = np.where(size == 1, config.STATUS_STRICT,
+                      np.where(df["commit"] == winner,
+                               config.STATUS_LOOSE, config.STATUS_SUPERSEDED))
+    out = df.copy()
+    out["matched_status"] = status.astype(np.int32)
+    out["r_stale_commit"] = (size > 1) & (df["commit"] != winner)
+    out["group_conflict"] = (n_sha > 1)
+    return out
+
+
+def dedup_group_kernel(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized per-bucket kernel: within each content sha, the minimum
+    (repo,path,commit) key is canonical; return ONLY the loser keys."""
+    key = _key_series(df)
+    canon = key.groupby(df["sha_pre"]).transform("min")
+    losers = df.loc[key != canon, ["repo", "path", "commit"]]
+    return losers
+
+
+def _add_bucket(key_fn, n_buckets: int):
+    def add(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", pa.array(bucket_of(key_fn(t), n_buckets)))
+    return add
+
+
+def compute_label_tables(slim: "ray.data.Dataset",
+                         n_buckets: int = config.RECONCILE_BUCKETS,
+                         ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Two chained slim shuffles → (exception labels, dedup loser keys).
+
+    ``slim`` must have columns repo, path, commit, sha_pre, r_null_empty —
+    a ~60 B/row projection, so the shuffles move 20-50× less data than the
+    corpus. Shuffle 1 buckets by hash(repo,path) (reconciliation); shuffle 2
+    buckets the survivors by hash(sha_pre) (exact dedup). The labeled slim
+    dataset is materialized once (small) and feeds both outputs.
+    """
+    s1 = slim.map_batches(
+        _add_bucket(lambda t: pd.Series(t.column("repo").to_pandas()
+                                        + SEP + t.column("path").to_pandas()),
+                    n_buckets),
+        batch_format="pyarrow")
+    labeled = (s1.groupby("bucket").map_groups(reconcile_group_kernel,
+                                               batch_format="pandas")
+               .drop_columns(["bucket"])
+               .materialize())
+
+    import pyarrow.compute as pc
+
+    exceptions = labeled.map_batches(
+        lambda t: t.filter(pc.or_(
+            pc.not_equal(t["matched_status"], config.STATUS_STRICT),
+            t["group_conflict"])),
+        batch_format="pyarrow")
+    labels_pdf = exceptions.to_pandas()[
+        ["repo", "path", "commit", "matched_status",
+         "r_stale_commit", "group_conflict"]]
+
+    cand = labeled.map_batches(
+        lambda t: t.filter(pc.invert(pc.or_(t["r_stale_commit"],
+                                            t["r_null_empty"]))),
+        batch_format="pyarrow")
+    s2 = cand.map_batches(
+        _add_bucket(lambda t: pd.Series(t.column("sha_pre").to_pandas()), n_buckets),
+        batch_format="pyarrow")
+    losers = s2.groupby("bucket").map_groups(dedup_group_kernel,
+                                             batch_format="pandas")
+    losers_pdf = losers.to_pandas()
+    if not len(losers_pdf):
+        losers_pdf = pd.DataFrame({"repo": [], "path": [], "commit": []},
+                                  dtype=object)
+    return labels_pdf, losers_pdf
+
+
+class ApplyReconcileLabels:
+    """map_batches stage merging broadcast exception labels back onto full rows.
+
+    `labels_ref` / `losers_ref` are ``ray.put`` object refs fetched once per
+    actor (broadcast — shipped to each node once, not per batch)."""
+
+    def __init__(self, labels_ref, losers_ref) -> None:
+        labels: pd.DataFrame = ray.get(labels_ref)
+        losers: pd.DataFrame = ray.get(losers_ref)
+        if max(len(labels), len(losers)) > config.MAX_BROADCAST_LABELS:
+            raise ValueError(
+                "label table too large to broadcast; run reconcile in mode='full' "
+                "(full-row shuffle) instead")
+        labels = labels.loc[~_key_series(labels).duplicated()]
+        self._labels = labels.set_index(
+            labels["repo"] + SEP + labels["path"] + SEP + labels["commit"])
+        self._losers = frozenset(
+            (losers["repo"] + SEP + losers["path"] + SEP + losers["commit"]).tolist()) \
+            if len(losers) else frozenset()
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        key = _key_series(batch)
+        lab = self._labels.reindex(key.to_numpy(dtype=object))
+        batch = batch.copy()
+        batch["matched_status"] = (
+            lab["matched_status"].fillna(config.STATUS_STRICT).astype(np.int32).to_numpy())
+        batch["r_stale_commit"] = lab["r_stale_commit"].fillna(False).astype(bool).to_numpy()
+        batch["group_conflict"] = lab["group_conflict"].fillna(False).astype(bool).to_numpy()
+        dup = key.isin(self._losers).to_numpy() & ~batch["r_stale_commit"].to_numpy() \
+            & ~batch["r_null_empty"].to_numpy()
+        batch["r_exact_dup"] = dup
+        batch.loc[dup, "matched_status"] = config.STATUS_DUPLICATE
+        return batch
+
+
+def reconcile_full(ds: "ray.data.Dataset",
+                   n_buckets: int = config.RECONCILE_BUCKETS) -> "ray.data.Dataset":
+    """mode='full': one full-row bucketed shuffle computing reconciliation
+    labels in place (no broadcast — the path that always scales)."""
+    ds = ds.map_batches(
+        lambda t: t.append_column(
+            "bucket", pa.array(bucket_of(
+                pd.Series(t.column("repo").to_pandas() + SEP + t.column("path").to_pandas()),
+                n_buckets))),
+        batch_format="pyarrow")
+    out = ds.groupby("bucket").map_groups(reconcile_group_kernel, batch_format="pandas")
+    return out.drop_columns(["bucket"])

@@ -1,0 +1,52 @@
+"""Regex PII/toxicity scrubber — sha256-preserving for untouched rows.
+
+Scrubs in place (SURVEY.md §7.4 item 5: never materialize a duplicate content
+column) with a fixed chain of RE2 patterns, counts hits vectorized BEFORE
+replacing, and emits the post-scrub ``content_sha256``. The per-row invariant
+demanded by the north rule — sha256(content) equality for rows with zero scrub
+hits — holds by construction because rows with zero pattern matches are
+byte-identical after the replace chain (asserted in tests against ``sha_pre``).
+
+Analogue of the reference's normalizer family (vehicle/container regex
+normalizers, `plugins/dq_lib/reconciliation.py:84-117`) applied as one
+vectorized map_batches pass.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .heuristics import sha256_column
+
+# (pattern, replacement) — RE2 syntax, applied in order.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"AKIA[0-9A-Z]{16}", "<AWSKEY>"),
+    (r"ghp_[A-Za-z0-9]{36}", "<TOKEN>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"(\+1-)?555-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+)
+
+
+def scrub_kernel(batch: pa.Table) -> pa.Table:
+    """Replace `content` with scrubbed text; append scrub_hits, r_pii,
+    content_sha256 (post-scrub)."""
+    content = pc.fill_null(batch["content"], "")
+    hits = None
+    for pat, _ in PII_PATTERNS:
+        c = pc.count_substring_regex(content, pat)
+        hits = c if hits is None else pc.add(hits, c)
+        # remove matched spans before counting the next pattern so overlapping
+        # patterns (e.g. token-inside-email) are not double counted
+        content = pc.replace_substring_regex(content, pat, "\x00")
+    # now do the real replacements on the original text
+    content = pc.fill_null(batch["content"], "")
+    for pat, rep in PII_PATTERNS:
+        content = pc.replace_substring_regex(content, pat, rep)
+    hits = pc.cast(hits, pa.int32())
+    out = batch.set_column(batch.schema.get_field_index("content"),
+                           "content", pc.cast(content, batch["content"].type))
+    return (out
+            .append_column("scrub_hits", hits)
+            .append_column("r_pii", pc.greater(hits, 0))
+            .append_column("content_sha256", sha256_column(content)))

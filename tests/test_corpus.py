@@ -1,0 +1,38 @@
+import numpy as np
+import pyarrow.compute as pc
+
+from dataquality_box_ray.corpus import generate_corpus, corpus_path
+import pyarrow.parquet as pq
+
+
+def test_deterministic():
+    a = generate_corpus(500, seed=7)
+    b = generate_corpus(500, seed=7)
+    assert a.equals(b)
+
+
+def test_schema_and_anomaly_rates(small_corpus):
+    t = small_corpus
+    assert t.column_names == ["repo", "path", "commit", "lang", "content"]
+    n = t.num_rows
+    content = t["content"].to_pylist()
+    empty = sum(1 for c in content if not c.strip())
+    assert 0.005 < empty / n < 0.05
+    long_line = sum(1 for c in content if any(len(l) > 1000 for l in c.split("\n")))
+    assert 0.01 < long_line / n < 0.06
+    # mega-repo skew fixture
+    repo_counts = pc.value_counts(t["repo"]).to_pylist()
+    top = max(repo_counts, key=lambda r: r["counts"])
+    assert top["values"] == "org0/repo0"
+    assert top["counts"] / n > 0.2
+    # multi-commit keys exist
+    import pandas as pd
+    df = t.select(["repo", "path"]).to_pandas()
+    sizes = df.groupby(["repo", "path"]).size()
+    assert (sizes > 1).mean() > 0.05
+
+
+def test_cache_roundtrip(tmp_path):
+    p = corpus_path("/root/testdata/sf0.001")
+    t = pq.read_table(p)
+    assert t.num_rows == generate_corpus(2000, seed=42).num_rows

@@ -1,0 +1,87 @@
+"""End-to-end: distributed pipeline vs single-process oracle (FIXTURES.md F2).
+
+The F1 criterion is keep/drop F1 ≥ 0.99; because both sides implement one
+deterministic truth table the expectation is exact equality, and the test
+asserts full-column equality (keys, statuses, reasons, shas), not just F1.
+"""
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from dataquality_box_ray.corpus import corpus_path, generate_corpus
+from dataquality_box_ray.oracle import oracle_result
+from dataquality_box_ray.pipelines.quality_filter import (
+    quality_filter_dataset, scoreboard)
+
+KEY = ["repo", "path", "commit", "sha_pre"]
+
+
+@pytest.fixture(scope="module")
+def result_and_oracle(tmp_path_factory):
+    path = corpus_path("/root/testdata/sf0.001")          # 2k rows, 8 files
+    work = tmp_path_factory.mktemp("qf")
+    ds = quality_filter_dataset(path, str(work), n_buckets=16)
+    got = ds.to_pandas()
+    exp = oracle_result(pq.read_table(path))
+    return got, exp
+
+
+def _aligned(got: pd.DataFrame, exp: pd.DataFrame):
+    sort_cols = ["repo", "path", "commit", "content_sha256"]
+    g = got.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    e = exp.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    return g, e
+
+
+def test_row_counts(result_and_oracle):
+    got, exp = result_and_oracle
+    assert len(got) == len(exp) > 0
+
+
+def test_keep_drop_exact_match(result_and_oracle):
+    got, exp = result_and_oracle
+    g, e = _aligned(got, exp)
+    assert (g["keep"] == e["keep"]).all()
+    f1_den = (g["keep"].sum() + e["keep"].sum())
+    f1 = 2 * (g["keep"] & e["keep"]).sum() / f1_den
+    assert f1 >= 0.99
+
+
+def test_labels_match(result_and_oracle):
+    got, exp = result_and_oracle
+    g, e = _aligned(got, exp)
+    for col in ["matched_status", "severity", "r_stale_commit", "r_exact_dup",
+                "group_conflict", "langid_lang", "heur_lang"]:
+        assert (g[col] == e[col]).all(), col
+    assert (g["drop_reasons"].map(tuple) == e["drop_reasons"].map(tuple)).all()
+
+
+def test_scrub_and_sha(result_and_oracle):
+    got, exp = result_and_oracle
+    g, e = _aligned(got, exp)
+    assert (g["content"] == e["content"]).all()
+    assert (g["content_sha256"] == e["content_sha256"]).all()
+    untouched = g["scrub_hits"] == 0
+    assert untouched.any()
+    # per-row invariant from the north rule: untouched rows keep their sha
+    import hashlib
+    raw = pq.read_table(corpus_path("/root/testdata/sf0.001")).to_pandas()
+    raw["sha"] = raw["content"].map(
+        lambda c: hashlib.sha256((c or "").encode()).hexdigest())
+    sha_in = raw.set_index(raw.repo + "\x00" + raw.path + "\x00" + raw.commit)["sha"]
+    gk = g.loc[untouched]
+    keys = gk.repo + "\x00" + gk.path + "\x00" + gk.commit
+    assert (sha_in.reindex(keys.drop_duplicates()).dropna().sort_index()
+            .equals(gk.drop_duplicates(subset=["repo", "path", "commit"])
+                    .set_index(keys.drop_duplicates())["content_sha256"].sort_index()))
+
+
+def test_scoreboard(result_and_oracle, tmp_path):
+    path = corpus_path("/root/testdata/sf0.001")
+    ds = quality_filter_dataset(path, str(tmp_path), n_buckets=16)
+    sb = scoreboard(ds)
+    got, exp = result_and_oracle
+    assert sb["rows"] == len(exp)
+    assert sb["kept"] == int(exp["keep"].sum())
+    assert 0.5 < sb["keep_rate"] < 0.95
