@@ -1,0 +1,260 @@
+"""YAML rule engine: the reference's three rule logic types on Ray Data.
+
+Mirrors `plugins/operators/rule_engine.py` dispatch (`:120-141`):
+
+- ``filter``     (`:291-310`): optional pre_compute columns (`:246-285`), a
+  compiled predicate, hit rows stamped with ``_rule_id`` / ``_severity``
+  (`:146-149`). Runs as ONE vectorized map_batches pass; several filter rules
+  against the same entity can be fused into a single pass
+  (`run_filter_rules_fused`) — the reference runs 17 rule tasks that each
+  re-read the entity Parquet (SURVEY.md §4 "rule parallelism"), here one read
+  computes every mask.
+- ``aggregate``  (`:316-364`): group_by + aggregates + having — executed as a
+  partial (combiner) aggregation inside map_batches followed by a small
+  groupby over partials, so a skewed group key never concentrates raw rows on
+  one node (SURVEY.md §4 "skew": the salted-shuffle answer for repo-level
+  aggregates).
+- ``cross_entity`` (`:370-478`): anti_join / compare across two datasets with
+  optional per-side pre-aggregation and join-key type alignment (`:437-444`).
+
+Rule documents are YAML (drop a file in a pack dir — the reference's
+extension surface, `plugins/orchestration/rule_scanner.py:52-101`), validated
+with explicit error lists, and ``depends_on`` is topologically sorted like the
+reference's scanner (`:353-421`).
+"""
+
+from __future__ import annotations
+
+import graphlib
+import pathlib
+from dataclasses import dataclass, field
+from typing import Any
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .expressions import compile_expr, compile_predicate
+
+_VALID_SEVERITIES = {"P0", "P1", "P2"}
+_VALID_TYPES = {"filter", "aggregate", "cross_entity"}
+_VALID_AGGS = {"sum", "count", "min", "max", "mean"}
+
+
+@dataclass
+class Rule:
+    rule_id: str
+    severity: str
+    target_entity: str
+    logic: dict[str, Any]
+    depends_on: list[str] = field(default_factory=list)
+
+    @classmethod
+    def from_dict(cls, doc: dict[str, Any]) -> "Rule":
+        errors = []
+        meta = doc.get("meta") or {}
+        if not meta.get("rule_id"):
+            errors.append("meta.rule_id missing")
+        if meta.get("severity") not in _VALID_SEVERITIES:
+            errors.append(f"meta.severity must be one of {sorted(_VALID_SEVERITIES)}")
+        logic = doc.get("logic") or {}
+        if logic.get("type") not in _VALID_TYPES:
+            errors.append(f"logic.type must be one of {sorted(_VALID_TYPES)}")
+        if logic.get("type") == "filter" and not logic.get("predicate"):
+            errors.append("filter rule needs logic.predicate")
+        if logic.get("type") == "aggregate":
+            if not logic.get("group_by"):
+                errors.append("aggregate rule needs logic.group_by")
+            for a in logic.get("aggregates", []):
+                if a.get("agg") not in _VALID_AGGS:
+                    errors.append(f"unsupported agg {a.get('agg')!r}")
+        if not doc.get("target_entity"):
+            errors.append("target_entity missing")
+        if errors:
+            raise ValueError(f"invalid rule {meta.get('rule_id')!r}: {errors}")
+        return cls(rule_id=meta["rule_id"], severity=meta["severity"],
+                   target_entity=doc["target_entity"], logic=logic,
+                   depends_on=list(doc.get("depends_on", [])))
+
+
+def load_rule_pack(path: str | pathlib.Path) -> list[Rule]:
+    """Load + validate every ``*.yaml`` rule in a directory, topo-sorted by
+    ``depends_on`` (reference scanner semantics, rule_scanner.py:353-421)."""
+    import yaml
+
+    rules: dict[str, Rule] = {}
+    for f in sorted(pathlib.Path(path).glob("*.yaml")):
+        rule = Rule.from_dict(yaml.safe_load(f.read_text()))
+        if rule.rule_id in rules:
+            raise ValueError(f"duplicate rule_id {rule.rule_id}")
+        rules[rule.rule_id] = rule
+    ts = graphlib.TopologicalSorter(
+        {rid: [d for d in r.depends_on if d in rules] for rid, r in rules.items()})
+    return [rules[rid] for rid in ts.static_order()]
+
+
+def _pre_compute_fns(logic: dict[str, Any]):
+    return [(spec["name"], compile_expr(spec["expr"]))
+            for spec in logic.get("pre_compute", [])]
+
+
+# --------------------------------------------------------------------------
+# filter rules
+# --------------------------------------------------------------------------
+
+def run_filter_rule(ds: "ray.data.Dataset", rule: Rule) -> "ray.data.Dataset":
+    """Hit rows of one filter rule, stamped with _rule_id/_severity."""
+    pre = _pre_compute_fns(rule.logic)
+    pred = compile_predicate(rule.logic["predicate"])
+    rid, sev = rule.rule_id, rule.severity
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        for name, fn in pre:
+            df[name] = fn(df)
+        hits = df[pred(df)].copy()
+        hits["_rule_id"] = rid
+        hits["_severity"] = sev
+        return hits
+
+    return ds.map_batches(apply, batch_format="pandas")
+
+
+def run_filter_rules_fused(ds: "ray.data.Dataset",
+                           rules: list[Rule]) -> "ray.data.Dataset":
+    """One map_batches pass computing a hit mask per rule: appends one boolean
+    column ``hit_<rule_id>`` per rule (the fused design of SURVEY.md §4)."""
+    compiled = []
+    for r in rules:
+        if r.logic["type"] != "filter":
+            raise ValueError(f"{r.rule_id} is not a filter rule")
+        compiled.append((r.rule_id, _pre_compute_fns(r.logic),
+                         compile_predicate(r.logic["predicate"])))
+
+    def apply(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        for rid, pre, pred in compiled:
+            tmp = df
+            for name, fn in pre:
+                tmp = tmp.assign(**{name: fn(tmp)})
+            out[f"hit_{rid}"] = pred(tmp).to_numpy()
+        return out
+
+    return ds.map_batches(apply, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# aggregate rules (partial/combiner + small final groupby)
+# --------------------------------------------------------------------------
+
+_PARTIAL_AGGS = {
+    "sum": ("sum", "sum"),
+    "count": ("count", "sum"),
+    "min": ("min", "min"),
+    "max": ("max", "max"),
+}
+
+
+def grouped_aggregate(ds: "ray.data.Dataset", group_by: list[str],
+                      aggregates: list[dict[str, str]]) -> pd.DataFrame:
+    """GROUP BY via partial aggregation: each batch emits one row per key
+    (combiner), the final groupby runs over the much smaller partials — the
+    skew-safe form of `rule_engine.py:316-364`'s group_by().agg()."""
+    specs = []
+    for a in aggregates:
+        name, agg, col = a["name"], a["agg"], a.get("col")
+        if agg == "mean":
+            specs.append((name, "mean", col))
+        else:
+            specs.append((name, agg, col))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_by, sort=False, dropna=False)
+        cols = {}
+        for name, agg, col in specs:
+            if agg == "count":
+                cols[f"__{name}_cnt"] = g.size() if col is None else g[col].count()
+            elif agg == "mean":
+                cols[f"__{name}_sum"] = g[col].sum()
+                cols[f"__{name}_cnt"] = g[col].count()
+            else:
+                cols[f"__{name}_{agg}"] = g[col].agg(agg)
+        return pd.DataFrame(cols).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if not len(partials):
+        return pd.DataFrame(columns=group_by + [s[0] for s in specs])
+    g = partials.groupby(group_by, sort=False, dropna=False)
+    out = {}
+    for name, agg, col in specs:
+        if agg == "count":
+            out[name] = g[f"__{name}_cnt"].sum()
+        elif agg == "mean":
+            out[name] = g[f"__{name}_sum"].sum() / g[f"__{name}_cnt"].sum()
+        elif agg == "sum":
+            out[name] = g[f"__{name}_sum"].sum()
+        else:
+            out[name] = g[f"__{name}_{agg}"].agg(agg)
+    return pd.DataFrame(out).reset_index()
+
+
+def run_aggregate_rule(ds: "ray.data.Dataset", rule: Rule) -> pd.DataFrame:
+    """group_by + aggregates + having → violating groups (small result)."""
+    logic = rule.logic
+    out = grouped_aggregate(ds, list(logic["group_by"]), logic.get("aggregates", []))
+    having = logic.get("having")
+    if having and len(out):
+        out = out[compile_predicate(having)(out)]
+    out = out.copy()
+    out["_rule_id"] = rule.rule_id
+    out["_severity"] = rule.severity
+    return out.reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# cross-entity rules
+# --------------------------------------------------------------------------
+
+def run_cross_entity_rule(datasets: dict[str, "ray.data.Dataset"],
+                          rule: Rule) -> pd.DataFrame:
+    """anti_join / compare across two entities (`rule_engine.py:370-478`).
+
+    Sides may pre-aggregate (granularity alignment, `:480-506`). The right
+    side of an anti_join and both sides of a compare are reduced to driver
+    pandas frames AFTER their (distributed) pre-aggregation — rule outputs are
+    violation sets, small by construction; for large raw sides configure a
+    pre_aggregate so the reduction happens in the cluster.
+    """
+    logic = rule.logic
+    op = logic.get("op", "compare")
+
+    def side(spec) -> pd.DataFrame:
+        ds = datasets[spec["entity"]]
+        if spec.get("pre_aggregate"):
+            pre = spec["pre_aggregate"]
+            return grouped_aggregate(ds, list(pre["group_by"]), pre["aggregates"])
+        return ds.to_pandas()
+
+    left = side(logic["left"])
+    right = side(logic["right"])
+    lkey = list(logic["left"]["key"])
+    rkey = list(logic["right"]["key"])
+    # join-key type alignment (reference `:437-444`)
+    for lk, rk in zip(lkey, rkey):
+        if left[lk].dtype != right[rk].dtype:
+            right[rk] = right[rk].astype(left[lk].dtype)
+
+    if op == "anti_join":
+        merged = left.merge(right[rkey].drop_duplicates(), left_on=lkey,
+                            right_on=rkey, how="left", indicator=True)
+        out = merged[merged["_merge"] == "left_only"].drop(columns=["_merge"])
+    elif op == "compare":
+        merged = left.merge(right, left_on=lkey, right_on=rkey, how="inner",
+                            suffixes=("", "_r"))
+        out = merged[compile_predicate(logic["compare"])(merged)]
+    else:
+        raise ValueError(f"unknown cross_entity op {op!r}")
+    out = out.copy()
+    out["_rule_id"] = rule.rule_id
+    out["_severity"] = rule.severity
+    return out.reset_index(drop=True)

@@ -1,0 +1,83 @@
+"""Sandboxed rule-expression compiler.
+
+The reference compiles YAML expression strings to Polars expressions with a
+``__builtins__``-stripped eval (`plugins/operators/adapter.py:205-233`,
+identically `plugins/operators/rule_engine.py:512-535`) — this is its user
+extension surface and is kept here, retargeted at vectorized pandas Series so
+compiled predicates run inside ``map_batches`` batches.
+
+Grammar: python expressions over
+  col("name")      — a column (pandas Series)
+  lit(x)           — a literal
+  when(cond, a, b) — vectorized if/else
+  abs(x), x.isna(), x.fillna(v), x.isin([...]), x.str.*  — Series methods
+with operators  & | ~ == != < <= > >=  + - * / .
+
+Null semantics follow the reference's Polars behaviour re-specified as a truth
+table (SURVEY.md §7.4 item 2): comparisons involving null are FALSE for rule
+hits (Polars' null comparisons are null → filtered out), which pandas delivers
+because NaN comparisons are False.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+
+_ALLOWED_BUILTINS = {"abs": abs, "min": min, "max": max, "round": round,
+                     "len": len}
+
+
+class ExpressionError(ValueError):
+    pass
+
+
+def compile_expr(expr: str) -> Callable[[pd.DataFrame], pd.Series]:
+    """Compile an expression string once; returns fn(df) -> Series."""
+    try:
+        code = compile(expr, "<rule-expr>", "eval")
+    except SyntaxError as e:
+        raise ExpressionError(f"bad expression {expr!r}: {e}") from e
+    for name in code.co_names:
+        # co_names includes attribute names (x.str.contains → "str",
+        # "contains"), so the check is a deny-list on private/dunder access;
+        # unknown bare names fail at eval time with NameError because the
+        # namespace below is closed (mirrors the reference's stripped-builtins
+        # sandbox at rule_engine.py:512-535)
+        if name.startswith("_"):
+            raise ExpressionError(f"disallowed name {name!r} in {expr!r}")
+
+    def fn(df: pd.DataFrame) -> pd.Series:
+        ns = {
+            "__builtins__": _ALLOWED_BUILTINS,
+            "col": lambda c: df[c],
+            "lit": lambda v: v,
+            "when": lambda cond, a, b: pd.Series(
+                np.where(cond.fillna(False) if isinstance(cond, pd.Series) else cond,
+                         a, b),
+                index=df.index),
+            "np": np,
+        }
+        out = eval(code, ns)   # noqa: S307 — sandboxed namespace, see docstring
+        if not isinstance(out, pd.Series):
+            out = pd.Series(out, index=df.index)
+        return out
+
+    fn.source = expr
+    return fn
+
+
+def compile_predicate(expr: str) -> Callable[[pd.DataFrame], pd.Series]:
+    """Predicate variant: nulls → False (reference's filtered-out semantics)."""
+    inner = compile_expr(expr)
+
+    def fn(df: pd.DataFrame) -> pd.Series:
+        s = inner(df)
+        if s.dtype != bool:
+            s = s.fillna(False).astype(bool)
+        return s
+
+    fn.source = expr
+    return fn

@@ -1,0 +1,142 @@
+import pathlib
+
+import pandas as pd
+import pytest
+import ray.data
+
+from dataquality_box_ray.rules.engine import (
+    Rule, load_rule_pack, run_aggregate_rule, run_cross_entity_rule,
+    run_filter_rule, run_filter_rules_fused, grouped_aggregate)
+from dataquality_box_ray.rules.expressions import (
+    ExpressionError, compile_expr, compile_predicate)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_expression_compiler():
+    df = pd.DataFrame({"a": [1, 2, None], "b": [10.0, 0.0, 5.0]})
+    assert compile_expr("col('a') + col('b')")(df).tolist()[:2] == [11.0, 2.0]
+    # null comparison → False (reference Polars filtered-out semantics)
+    assert compile_predicate("col('a') > lit(1)")(df).tolist() == [False, True, False]
+    assert compile_expr("when(col('b') > lit(1), lit('hi'), lit('lo'))")(df).tolist() \
+        == ["hi", "lo", "hi"]
+    with pytest.raises(ExpressionError):
+        compile_expr("col('a').__class__")
+    with pytest.raises(Exception):
+        compile_predicate("open('/etc/passwd')")(df)
+
+
+def test_rule_validation():
+    with pytest.raises(ValueError, match="severity"):
+        Rule.from_dict({"meta": {"rule_id": "X", "severity": "P9"},
+                        "target_entity": "t", "logic": {"type": "filter",
+                                                        "predicate": "1"}})
+    with pytest.raises(ValueError, match="predicate"):
+        Rule.from_dict({"meta": {"rule_id": "X", "severity": "P0"},
+                        "target_entity": "t", "logic": {"type": "filter"}})
+
+
+def test_load_rule_pack_topo_order():
+    pack = pathlib.Path(__file__).parent.parent / \
+        "dataquality_box_ray/rules/packs/corpus"
+    rules = load_rule_pack(pack)
+    ids = [r.rule_id for r in rules]
+    assert set(ids) == {"R_line_len", "R_alnum_ratio", "R_lang_enum",
+                        "R_repo_volume"}
+    assert ids.index("R_line_len") < ids.index("R_repo_volume")  # depends_on
+
+
+def test_filter_rule_on_lineitem():
+    ds = ray.data.read_parquet(f"{SF}/lineitem.parquet")
+    rule = Rule.from_dict({
+        "meta": {"rule_id": "R_zero_qty", "severity": "P0"},
+        "target_entity": "lineitem",
+        "logic": {"type": "filter",
+                  "pre_compute": [{"name": "ratio",
+                                   "expr": "col('l_discount') / (col('l_tax') + lit(0.01))"}],
+                  "predicate": "(col('l_quantity') >= lit(49)) & (col('ratio') > lit(1))"}})
+    hits = run_filter_rule(ds, rule).to_pandas()
+    raw = pd.read_parquet(f"{SF}/lineitem.parquet")
+    raw["ratio"] = raw.l_discount / (raw.l_tax + 0.01)
+    expect = raw[(raw.l_quantity >= 49) & (raw.ratio > 1)]
+    assert len(hits) == len(expect) > 0
+    assert set(hits["_severity"]) == {"P0"}
+
+
+def test_fused_filter_rules(small_corpus):
+    from dataquality_box_ray.stages.heuristics import heuristics_kernel
+    scored = heuristics_kernel(small_corpus)
+    ds = ray.data.from_arrow(scored)
+    pack = pathlib.Path(__file__).parent.parent / \
+        "dataquality_box_ray/rules/packs/corpus"
+    rules = [r for r in load_rule_pack(pack) if r.logic["type"] == "filter"]
+    out = run_filter_rules_fused(ds, rules).to_pandas()
+    # fused masks must equal the kernel's own flags
+    assert (out["hit_R_line_len"] == out["r_line_len"]).all()
+    assert (out["hit_R_alnum_ratio"] == out["r_alnum_ratio"]).all()
+    assert (out["hit_R_lang_enum"] == out["r_lang_enum"]).all()
+
+
+def test_aggregate_rule_partial_final():
+    ds = ray.data.read_parquet(f"{SF}/lineitem.parquet")
+    rule = Rule.from_dict({
+        "meta": {"rule_id": "R_qty_sum", "severity": "P1"},
+        "target_entity": "lineitem",
+        "logic": {"type": "aggregate", "group_by": ["l_returnflag"],
+                  "aggregates": [
+                      {"name": "sum_qty", "agg": "sum", "col": "l_quantity"},
+                      {"name": "n", "agg": "count"},
+                      {"name": "max_price", "agg": "max", "col": "l_extendedprice"},
+                      {"name": "avg_disc", "agg": "mean", "col": "l_discount"}],
+                  "having": "col('sum_qty') > lit(0)"}})
+    got = run_aggregate_rule(ds, rule).set_index("l_returnflag").sort_index()
+    raw = pd.read_parquet(f"{SF}/lineitem.parquet")
+    exp = raw.groupby("l_returnflag").agg(
+        sum_qty=("l_quantity", "sum"), n=("l_quantity", "size"),
+        max_price=("l_extendedprice", "max"), avg_disc=("l_discount", "mean"))
+    assert (got["n"] == exp["n"]).all()
+    assert (got["sum_qty"] - exp["sum_qty"]).abs().max() < 1e-6
+    assert (got["avg_disc"] - exp["avg_disc"]).abs().max() < 1e-9
+
+
+def test_cross_entity_anti_join():
+    datasets = {
+        "customer": ray.data.read_parquet(f"{SF}/customer.parquet"),
+        "orders": ray.data.read_parquet(f"{SF}/orders.parquet"),
+    }
+    rule = Rule.from_dict({
+        "meta": {"rule_id": "R_cust_no_orders", "severity": "P2"},
+        "target_entity": "customer",
+        "logic": {"type": "cross_entity", "op": "anti_join",
+                  "left": {"entity": "customer", "key": ["c_custkey"]},
+                  "right": {"entity": "orders", "key": ["o_custkey"]}}})
+    got = run_cross_entity_rule(datasets, rule)
+    cust = pd.read_parquet(f"{SF}/customer.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    exp = cust[~cust.c_custkey.isin(orders.o_custkey)]
+    assert sorted(got["c_custkey"]) == sorted(exp["c_custkey"])
+
+
+def test_cross_entity_compare_with_preagg():
+    datasets = {
+        "orders": ray.data.read_parquet(f"{SF}/orders.parquet"),
+        "lineitem": ray.data.read_parquet(f"{SF}/lineitem.parquet"),
+    }
+    rule = Rule.from_dict({
+        "meta": {"rule_id": "R_total_mismatch", "severity": "P0"},
+        "target_entity": "orders",
+        "logic": {"type": "cross_entity", "op": "compare",
+                  "left": {"entity": "orders", "key": ["o_orderkey"]},
+                  "right": {"entity": "lineitem", "key": ["l_orderkey"],
+                            "pre_aggregate": {
+                                "group_by": ["l_orderkey"],
+                                "aggregates": [{"name": "recomputed", "agg": "sum",
+                                                "col": "l_extendedprice"}]}},
+                  "compare": "abs(col('o_totalprice') - col('recomputed')) > lit(0.01)"}})
+    got = run_cross_entity_rule(datasets, rule)
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    rec = li.groupby("l_orderkey").l_extendedprice.sum()
+    joined = orders.join(rec.rename("recomputed"), on="o_orderkey", how="inner")
+    exp = joined[(joined.o_totalprice - joined.recomputed).abs() > 0.01]
+    assert len(got) == len(exp)
