@@ -1,0 +1,3 @@
+"""Operator library: Ray-Data-native counterparts of every reference operator
+family (SURVEY.md §2) — joins/lookups, aggregations, ordering/window ops,
+dedup/set ops, text analysis, similarity search, multimodal plumbing."""

@@ -1,0 +1,200 @@
+"""Aggregations, window/ordering operators (SURVEY.md §2.5, §2.6).
+
+Design rules:
+- Global GROUP BYs go through the partial/combiner path
+  (`rules.engine.grouped_aggregate`) — raw rows never concentrate by key.
+- Group-broadcast ("window") aggregates are two-phase: small grouped
+  aggregate → broadcast join back (reference `sum().over()` adapter fields,
+  SURVEY.md A5).
+- Order-dependent per-group logic (lag, chain continuity, consecutive runs)
+  sorts WITHIN hash-bucketed groups only — never a global sort (reference
+  sorts only within (vehicle,time) groups, `reconciliation.py:234-235`).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..rules.engine import grouped_aggregate
+from .joins import broadcast_lookup_join
+from ..stages.reconcile import bucket_of
+
+
+def window_aggregate(ds: "ray.data.Dataset", key: str,
+                     aggregates: list[dict[str, str]]) -> "ray.data.Dataset":
+    """`agg(x).over(key)` broadcast back to rows (A5): distributed partial
+    groupby → small result broadcast-joined back onto every row."""
+    small = grouped_aggregate(ds, [key], aggregates)
+    return broadcast_lookup_join(ds, small, key, key)
+
+
+def global_stats(ds: "ray.data.Dataset", col: str) -> dict[str, float]:
+    """mean/std in one distributed pass (sum, sumsq, n partials) — A7.
+    std is the sample std (ddof=1) to match DuckDB/Polars."""
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        x = pc.cast(t[col], pa.float64())
+        return pa.table({
+            "s": [pc.sum(x).as_py() or 0.0],
+            "s2": [pc.sum(pc.multiply(x, x)).as_py() or 0.0],
+            "n": [len(t) - x.null_count],
+        })
+
+    p = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    n, s, s2 = p["n"], p["s"], p["s2"]
+    mean = s / n if n else 0.0
+    var = (s2 - n * mean * mean) / (n - 1) if n > 1 else 0.0
+    return {"n": int(n), "mean": mean, "std": float(np.sqrt(max(var, 0.0)))}
+
+
+def three_sigma_outliers(ds: "ray.data.Dataset", col: str,
+                         k: float = 3.0, max_ratio: float = 0.05
+                         ) -> dict[str, Any]:
+    """3σ outlier detection (reference `plugins/dq_lib/distribution.py:6-65`):
+    stats pass → broadcast bounds → vectorized filter pass; pass iff outlier
+    ratio < max_ratio."""
+    st = global_stats(ds, col)
+    lo, hi = st["mean"] - k * st["std"], st["mean"] + k * st["std"]
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        return df[(df[col] < lo) | (df[col] > hi)]
+
+    outliers = ds.map_batches(flag, batch_format="pandas")
+    n_out = outliers.count()
+    ratio = n_out / st["n"] if st["n"] else 0.0
+    return {"lower": lo, "upper": hi, "n": st["n"], "n_outliers": n_out,
+            "ratio": ratio, "passed": ratio < max_ratio,
+            "outliers_ds": outliers}
+
+
+def status_distribution(ds: "ray.data.Dataset", col: str) -> dict[Any, int]:
+    """`group_by(status).count()` → dict (reference metrics.py:124-126)."""
+    out = grouped_aggregate(ds, [col], [{"name": "n", "agg": "count"}])
+    return dict(zip(out[col], out["n"].astype(int)))
+
+
+def top_k(ds: "ray.data.Dataset", col: str, k: int,
+          tie_break: list[str] | None = None) -> pd.DataFrame:
+    """Top-k rows by col desc (O3) with explicit deterministic tie-break
+    (SURVEY.md §7.4 item 6: Ray block order is not stable, so sampled outputs
+    must define their ordering keys). Per-block top-k partials → driver merge."""
+    keys = [col] + (tie_break or [])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(keys, ascending=[False] + [True] * (len(keys) - 1),
+                              kind="mergesort").head(k)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (parts.sort_values(keys, ascending=[False] + [True] * (len(keys) - 1),
+                              kind="mergesort").head(k).reset_index(drop=True))
+
+
+def _bucketed_groups(ds: "ray.data.Dataset", key: str, fn, n_buckets: int = 32,
+                     ) -> "ray.data.Dataset":
+    """Hash-bucket by key, then run `fn` once per bucket with a vectorized
+    pandas body over all of the bucket's groups (no per-key Python calls)."""
+    def add(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column(key).to_pandas().astype(str))
+        return t.append_column("__bucket", pa.array(bucket_of(s, n_buckets)))
+
+    bucketed = ds.map_batches(add, batch_format="pyarrow")
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        return fn(df.drop(columns=["__bucket"]))
+
+    return bucketed.groupby("__bucket").map_groups(run, batch_format="pandas")
+
+
+def lag_over(ds: "ray.data.Dataset", key: str, order_col: str,
+             value_cols: list[str], n_buckets: int = 32) -> "ray.data.Dataset":
+    """`shift(1).over(key)` after sort-within-group (O5) — vectorized
+    per-bucket: one stable sort of the bucket, one groupby().shift()."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, order_col], kind="mergesort")
+        g = df.groupby(key, sort=False)
+        for c in value_cols:
+            df[f"prev_{c}"] = g[c].shift(1)
+        return df
+
+    return _bucketed_groups(ds, key, fn, n_buckets)
+
+
+def chain_continuity(ds: "ray.data.Dataset", key: str, start_col: str,
+                     end_col: str, tolerance_s: float,
+                     n_buckets: int = 32) -> "ray.data.Dataset":
+    """Chain-continuity check (reference `plugins/dq_lib/consistency.py:
+    61-139`): per key sort by start, lag previous end, flag |gap| > tolerance.
+    Emits all rows with `gap_s` and `chain_break` columns."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, start_col], kind="mergesort")
+        prev_end = df.groupby(key, sort=False)[end_col].shift(1)
+        gap = (pd.to_datetime(df[start_col]) - pd.to_datetime(prev_end)
+               ).dt.total_seconds()
+        df["gap_s"] = gap
+        df["chain_break"] = gap.abs() > tolerance_s   # NaN (first row) → False
+        df["chain_break"] = df["chain_break"].fillna(False)
+        return df
+
+    return _bucketed_groups(ds, key, fn, n_buckets)
+
+
+def consecutive_runs_keep_last(ds: "ray.data.Dataset", key: str,
+                               index_col: str, n_buckets: int = 32
+                               ) -> "ray.data.Dataset":
+    """Consecutive-run filter (reference `DatalogLogicCheck_worker_dag.py:
+    90-156`): group rows by key, find runs of adjacent indices, keep the LAST
+    row of each run — vectorized run detection via diff != 1."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key, index_col], kind="mergesort")
+        g = df.groupby(key, sort=False)[index_col]
+        new_run = (df[index_col] - g.shift(1)).ne(1)
+        run_id = new_run.cumsum()
+        last = ~run_id.duplicated(keep="last")
+        return df[last]
+
+    return _bucketed_groups(ds, key, fn, n_buckets)
+
+
+def unpivot(ds: "ray.data.Dataset", id_cols: list[str],
+            value_cols: list[str], var_name: str = "attr",
+            value_name: str = "value") -> "ray.data.Dataset":
+    """Wide→long melt (M10) — row-local per batch, no shuffle."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.melt(id_vars=id_cols, value_vars=value_cols,
+                       var_name=var_name, value_name=value_name)
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def horizontal_sum(ds: "ray.data.Dataset", cols: list[str],
+                   out_col: str) -> "ray.data.Dataset":
+    """Row-wise sum across columns (A6 `sum_horizontal`) — vectorized Arrow."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        acc = pc.cast(pc.fill_null(t[cols[0]], 0), pa.float64())
+        for c in cols[1:]:
+            acc = pc.add(acc, pc.cast(pc.fill_null(t[c], 0), pa.float64()))
+        return t.append_column(out_col, acc)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def non_null_count_horizontal(ds: "ray.data.Dataset", cols: list[str],
+                              out_col: str) -> "ray.data.Dataset":
+    """Row-wise non-null count (A6 `sum_horizontal(is_not_null×k)`)."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        acc = pc.cast(pc.is_valid(t[cols[0]]), pa.int64())
+        for c in cols[1:]:
+            acc = pc.add(acc, pc.cast(pc.is_valid(t[c]), pa.int64()))
+        return t.append_column(out_col, acc)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,302 @@
+"""Deduplication family — exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+All variants follow one scale shape:
+  1. row-local signature computation in ``map_batches`` (vectorized numpy);
+  2. a SLIM shuffle of (signature-part, id) rows — never the text;
+  3. candidate verification / keep-first selection inside hash buckets;
+  4. survivors selected by broadcast anti-join on loser ids.
+
+The exact path is the reference's dedup-against-sink semantics
+(`plugins/services/reconciliation_runner.py:586-601`, SURVEY.md D3)
+generalized to hash-partition + per-group-first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..stages.heuristics import sha256_column
+from ..stages.reconcile import bucket_of
+from .joins import broadcast_anti_join
+
+_P = np.uint64((1 << 61) - 1)      # Mersenne prime for affine permutations
+_SHINGLE_MUL = np.uint64(0x100000001B3)
+
+
+def _shingle_hashes(text: str, k: int = 5, max_chars: int = 5000) -> np.ndarray:
+    """uint64 hashes of all k-char shingles — vectorized sliding window."""
+    if not text:
+        return np.empty(0, dtype=np.uint64)
+    cp = np.frombuffer(text[:max_chars].encode("utf-32-le"), dtype=np.uint32)
+    if len(cp) < k:
+        cp = np.pad(cp, (0, k - len(cp)), constant_values=32)
+    win = np.lib.stride_tricks.sliding_window_view(cp, k).astype(np.uint64)
+    pw = _SHINGLE_MUL ** np.arange(k, dtype=np.uint64)
+    return (win * pw).sum(axis=1, dtype=np.uint64)
+
+
+def exact_dedup(ds: "ray.data.Dataset", content_col: str, id_col: str,
+                n_buckets: int = 64) -> "ray.data.Dataset":
+    """Exact dedup: sha256(content) → slim hash shuffle → keep min id."""
+    def add_sha(t: pa.Table) -> pa.Table:
+        return t.append_column("__sha", sha256_column(
+            t[content_col].combine_chunks() if isinstance(t[content_col], pa.ChunkedArray)
+            else t[content_col]))
+
+    with_sha = ds.map_batches(add_sha, batch_format="pyarrow")
+    slim = with_sha.select_columns(["__sha", id_col])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column("__sha").to_pandas())
+        return t.append_column("__bucket", pa.array(bucket_of(s, n_buckets)))
+
+    def losers_fn(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.groupby("__sha", sort=False)[id_col].transform("min")
+        return df.loc[df[id_col] != keep, [id_col]]
+
+    losers = (slim.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("__bucket").map_groups(losers_fn, batch_format="pandas")
+              .to_pandas())
+    loser_ids = set(losers[id_col]) if len(losers) else set()
+    return broadcast_anti_join(ds, loser_ids, id_col)
+
+
+class MinHasher:
+    """Row-local MinHash signatures (actor-pool stage: permutation parameters
+    built once per actor)."""
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int = 64,
+                 shingle_k: int = 5, bands: int = 16, seed: int = 7) -> None:
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _P, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _P, size=num_perm, dtype=np.uint64)
+        self.text_col, self.id_col = text_col, id_col
+        self.num_perm, self.k, self.bands = num_perm, shingle_k, bands
+        self.rows_per_band = num_perm // bands
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k)
+        if not len(sh):
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        # affine permutations, min per permutation
+        v = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _P
+        return v.min(axis=1)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        """Explode each doc to (band, band_hash, id) rows — the slim LSH table."""
+        out_band, out_hash, out_id = [], [], []
+        r = self.rows_per_band
+        for doc_id, text in zip(df[self.id_col], df[self.text_col]):
+            sig = self.signature(text or "")
+            bh = sig.reshape(self.bands, r)
+            hashes = (bh * (_SHINGLE_MUL ** np.arange(r, dtype=np.uint64))
+                      ).sum(axis=1, dtype=np.uint64)
+            out_band.extend(range(self.bands))
+            out_hash.extend(hashes.tolist())
+            out_id.extend([doc_id] * self.bands)
+        return pd.DataFrame({"band": np.array(out_band, dtype=np.int32),
+                             "band_hash": np.array(out_hash, dtype=np.uint64),
+                             "id": out_id})
+
+
+def minhash_lsh_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
+                           num_perm: int = 64, bands: int = 16,
+                           shingle_k: int = 5) -> pd.DataFrame:
+    """Candidate near-dup pairs via MinHash+LSH: shingle→minhash→band→bucket
+    groupby (the slim shuffle carries only (band, hash, id))."""
+    sig = ds.map_batches(MinHasher, batch_format="pandas",
+                         concurrency=(1, 8),
+                         fn_constructor_kwargs=dict(
+                             text_col=text_col, id_col=id_col,
+                             num_perm=num_perm, shingle_k=shingle_k,
+                             bands=bands))
+
+    def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df.duplicated(["band", "band_hash"], keep=False)]
+        rows = []
+        for _, grp in dup.groupby(["band", "band_hash"], sort=False):
+            ids = sorted(grp["id"].unique())
+            rows.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1:])
+        return pd.DataFrame(rows, columns=["id_a", "id_b"]) if rows else \
+            pd.DataFrame({"id_a": [], "id_b": []})
+
+    # band is the natural partition key: all holders of one (band,hash) meet
+    pairs = (sig.groupby("band").map_groups(pairs_fn, batch_format="pandas")
+             .to_pandas())
+    if "id_a" not in pairs.columns:          # all buckets empty → schema lost
+        pairs = pd.DataFrame({"id_a": [], "id_b": []})
+    return pairs.drop_duplicates().reset_index(drop=True)
+
+
+def verify_jaccard(pairs: pd.DataFrame, texts: pd.Series, shingle_k: int = 5,
+                   threshold: float = 0.8) -> pd.DataFrame:
+    """Exact n-gram Jaccard verification of candidate pairs (texts: id→text,
+    fetched for the candidate ids only — candidates are a few % of the data)."""
+    out = []
+    cache: dict = {}
+
+    def shset(i):
+        if i not in cache:
+            cache[i] = set(_shingle_hashes(texts.get(i, "") or "", shingle_k).tolist())
+        return cache[i]
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        sa, sb = shset(a), shset(b)
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        j = inter / union if union else 0.0
+        out.append(j)
+    res = pairs.copy()
+    res["jaccard"] = out
+    return res[res["jaccard"] >= threshold].reset_index(drop=True)
+
+
+def minhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
+                  threshold: float = 0.8, **kw) -> "ray.data.Dataset":
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
+    connected components (union-find over the verified pair set, which is
+    small; at extreme scale replace with iterated min-label propagation) →
+    keep min id per component."""
+    pairs = minhash_lsh_candidates(ds, text_col, id_col, **kw)
+    if not len(pairs):
+        return ds
+    cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
+    import pyarrow.compute as pc
+    texts_tbl = (ds.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col], value_set=pa.array(list(cand_ids)))),
+        batch_format="pyarrow")
+        .select_columns([id_col, text_col]).to_pandas())
+    texts = texts_tbl.set_index(id_col)[text_col]
+    verified = verify_jaccard(pairs, texts, threshold=threshold)
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(verified["id_a"], verified["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            parent[hi] = lo
+    losers = {x for x in parent if find(x) != x}
+    return broadcast_anti_join(ds, losers, id_col)
+
+
+class SimHasher:
+    """64-bit SimHash over shingle hashes (row-local, vectorized)."""
+
+    def __init__(self, text_col: str, shingle_k: int = 5) -> None:
+        self.text_col, self.k = text_col, shingle_k
+        self.bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> np.uint64:
+        sh = _shingle_hashes(text, self.k)
+        if not len(sh):
+            return np.uint64(0)
+        bits = (sh[:, None] & self.bits[None, :]) != 0     # (n, 64)
+        votes = bits.sum(axis=0) * 2 - len(sh)
+        return np.uint64((self.bits[votes > 0]).sum(dtype=np.uint64))
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["simhash"] = [int(self.simhash(t or "")) for t in df[self.text_col]]
+        df["simhash"] = df["simhash"].astype(np.uint64)
+        return df
+
+
+def simhash_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
+                       hamming_max: int = 3) -> pd.DataFrame:
+    """SimHash near-dup candidates: band the 64-bit hash into 4×16-bit keys
+    (any pair within hamming distance 3 shares ≥1 exact band) → slim groupby
+    per band → verify hamming distance."""
+    hashed = ds.map_batches(SimHasher, batch_format="pandas",
+                            concurrency=(1, 8),
+                            fn_constructor_kwargs=dict(text_col=text_col))
+    slim = hashed.select_columns([id_col, "simhash"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["simhash"].to_numpy(dtype=np.uint64)
+        out = []
+        for band in range(4):
+            key = (h >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            out.append(pd.DataFrame({"band": band, "key": key.astype(np.int64),
+                                     "id": df[id_col], "simhash": h}))
+        return pd.concat(out, ignore_index=True)
+
+    exploded = slim.map_batches(explode, batch_format="pandas")
+
+    def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
+        dup = df[df.duplicated(["band", "key"], keep=False)]
+        rows = []
+        for _, grp in dup.groupby(["band", "key"], sort=False):
+            recs = sorted(set(zip(grp["id"], grp["simhash"])))
+            for i, (ida, ha) in enumerate(recs):
+                for idb, hb in recs[i + 1:]:
+                    if bin(int(ha) ^ int(hb)).count("1") <= hamming_max:
+                        rows.append((ida, idb))
+        return pd.DataFrame(rows, columns=["id_a", "id_b"]) if rows else \
+            pd.DataFrame({"id_a": [], "id_b": []})
+
+    pairs = (exploded.groupby("band").map_groups(pairs_fn, batch_format="pandas")
+             .to_pandas())
+    if "id_a" not in pairs.columns:
+        pairs = pd.DataFrame({"id_a": [], "id_b": []})
+    return pairs.drop_duplicates().reset_index(drop=True)
+
+
+def embedding_near_dup(ds: "ray.data.Dataset", emb_col: str, id_col: str,
+                       threshold: float = 0.95, n_planes: int = 12,
+                       seed: int = 11) -> pd.DataFrame:
+    """Embedding-cosine near-dup: random-hyperplane LSH bucket (row-local) →
+    per-bucket brute-force cosine (vectorized matmul) → pairs ≥ threshold.
+    Vectors in one bucket share all n_planes sign bits, so recall depends on
+    n_planes vs threshold (documented trade-off; brute force within bucket)."""
+    first = ds.take(1)[0]
+    dim = len(first[emb_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
+    planes_ref = ray.put(planes)
+
+    class Bucketize:
+        def __init__(self) -> None:
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = np.stack(df[emb_col].to_numpy())
+            signs = (m @ self.planes) > 0
+            bucket = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+            return pd.DataFrame({id_col: df[id_col],
+                                 "bucket": bucket.astype(np.int64),
+                                 emb_col: df[emb_col]})
+
+    bucketed = ds.map_batches(Bucketize, batch_format="pandas",
+                              concurrency=(1, 8))
+
+    def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        m = np.stack(df[emb_col].to_numpy()).astype(np.float64)
+        norm = np.linalg.norm(m, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        mn = m / norm
+        sims = mn @ mn.T
+        ids = df[id_col].to_numpy()
+        ia, ib = np.triu_indices(len(df), k=1)
+        mask = sims[ia, ib] >= threshold
+        return pd.DataFrame({"id_a": np.minimum(ids[ia[mask]], ids[ib[mask]]),
+                             "id_b": np.maximum(ids[ia[mask]], ids[ib[mask]]),
+                             "cosine": sims[ia[mask], ib[mask]]})
+
+    pairs = (bucketed.groupby("bucket").map_groups(pairs_fn, batch_format="pandas")
+             .to_pandas())
+    return pairs.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)

@@ -1,0 +1,176 @@
+"""Joins and lookups (SURVEY.md §2.4).
+
+Broadcast-side joins ship the small side ONCE via ``ray.put`` and do the
+lookup inside ``map_batches`` (no shuffle) — the pattern the reference uses
+implicitly by pushing key lists into SQL IN-filters
+(`plugins/services/data_quality_runner.py:787-812`). Large-large joins go
+through ``Dataset.join`` (hash-partitioned) when available, else a bucketed
+``groupby(bucket).map_groups`` partitioned hash join.
+
+The as-of join (reference tier-1 strict match,
+`plugins/dq_lib/reconciliation.py:234-257`) has no Ray Data primitive: both
+sides are bucketed by the `by` key and each bucket runs a sorted
+``pd.merge_asof`` — the partitioning assumption is that one `by` group fits
+in a worker (same assumption the reference makes by sharding vehicles).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..stages.reconcile import bucket_of
+
+
+def broadcast_semi_join(ds: "ray.data.Dataset", keys: pd.DataFrame | set,
+                        on: str) -> "ray.data.Dataset":
+    """Keep rows whose `on` value appears in the broadcast key set (J7/D3)."""
+    key_set = keys if isinstance(keys, (set, frozenset)) else set(keys[on])
+    ref = ray.put(frozenset(key_set))
+
+    class Filter:
+        def __init__(self) -> None:
+            self.keys = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df[df[on].isin(self.keys)]
+
+    return ds.map_batches(Filter, batch_format="pandas", concurrency=(1, 8))
+
+
+def broadcast_anti_join(ds: "ray.data.Dataset", keys: pd.DataFrame | set,
+                        on: str) -> "ray.data.Dataset":
+    """Drop rows whose `on` value appears in the broadcast key set (J1 form)."""
+    key_set = keys if isinstance(keys, (set, frozenset)) else set(keys[on])
+    ref = ray.put(frozenset(key_set))
+
+    class Filter:
+        def __init__(self) -> None:
+            self.keys = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df[~df[on].isin(self.keys)]
+
+    return ds.map_batches(Filter, batch_format="pandas", concurrency=(1, 8))
+
+
+def completeness_check(target: "ray.data.Dataset", source: "ray.data.Dataset",
+                       on: str, source_on: str | None = None,
+                       threshold: float = 0.01) -> dict[str, Any]:
+    """Anti-join completeness (reference `plugins/dq_lib/completeness.py:6-39`):
+    target rows missing from source; pass iff loss_rate < threshold.
+
+    The source side is reduced to its DISTINCT key set in the cluster
+    (`unique` shuffle on one slim column) before the broadcast."""
+    source_on = source_on or on
+    src_keys = set(source.select_columns([source_on]).unique(source_on))
+    total = target.count()
+    missing_ds = broadcast_anti_join(target, src_keys, on)
+    missing = missing_ds.count()
+    loss_rate = missing / total if total else 0.0
+    return {"total": total, "missing": missing, "loss_rate": loss_rate,
+            "passed": loss_rate < threshold, "missing_ds": missing_ds}
+
+
+def broadcast_lookup_join(ds: "ray.data.Dataset", small: pd.DataFrame,
+                          left_on: str, right_on: str,
+                          columns: list[str] | None = None,
+                          ) -> "ray.data.Dataset":
+    """Left join a small dimension table by broadcast (J9 chained-adapter
+    joins: small right sides become a per-batch pandas merge, no shuffle)."""
+    cols = columns or [c for c in small.columns if c != right_on]
+    slim = small[[right_on] + cols].drop_duplicates(subset=[right_on])
+    ref = ray.put(slim)
+
+    class Join:
+        def __init__(self) -> None:
+            self.small = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df.merge(self.small, left_on=left_on, right_on=right_on,
+                            how="left")
+
+    return ds.map_batches(Join, batch_format="pandas", concurrency=(1, 8))
+
+
+def inner_join_compare(left: "ray.data.Dataset", right_small: pd.DataFrame,
+                       left_on: str, right_on: str, left_col: str,
+                       right_col: str) -> "ray.data.Dataset":
+    """J2: inner join on key, flag rows where fields disagree."""
+    joined = broadcast_lookup_join(left, right_small[[right_on, right_col]],
+                                   left_on, right_on)
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[right_col].notna()].copy()
+        df["field_mismatch"] = df[left_col] != df[right_col]
+        return df
+
+    return joined.map_batches(flag, batch_format="pandas")
+
+
+def _with_bucket(ds: "ray.data.Dataset", key: str, n_buckets: int):
+    def add(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column(key).to_pandas().astype(str))
+        return t.append_column("__bucket", pa.array(bucket_of(s, n_buckets)))
+    return ds.map_batches(add, batch_format="pyarrow")
+
+
+def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              by: str, on: str, tolerance, direction: str = "nearest",
+              n_buckets: int = 32, right_cols: list[str] | None = None,
+              ) -> "ray.data.Dataset":
+    """As-of join (J4): per-`by`-bucket sorted ``pd.merge_asof``.
+
+    Both sides get a deterministic hash bucket on `by`; one groupby shuffle
+    co-locates matching buckets; inside each bucket a vectorized merge_asof
+    runs per the reference's strategy ('nearest', tolerance 5m →
+    `reconciliation.py:244`). Left/right rows are tagged and unioned so the
+    shuffle happens once.
+    """
+    lcols = [c for c in left.schema().names if c not in (by, on)]
+    rcols = right_cols or [c for c in right.schema().names if c not in (by, on)]
+    rcols_r = [c + "_r" for c in rcols]
+    all_cols = [by, on] + lcols + rcols_r + ["__side"]
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in rcols_r:
+            df[c] = None
+        df["__side"] = "L"
+        return df[all_cols]
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns=dict(zip(rcols, rcols_r))).copy()
+        for c in lcols:
+            df[c] = None
+        df["__side"] = "R"
+        return df[all_cols]
+
+    lt = _with_bucket(left.map_batches(tag_left, batch_format="pandas"),
+                      by, n_buckets)
+    rt = _with_bucket(right.map_batches(tag_right, batch_format="pandas"),
+                      by, n_buckets)
+    both = lt.union(rt)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df.loc[df["__side"] == "L", [by, on] + lcols]
+        r = df.loc[df["__side"] == "R", [by, on] + rcols_r]
+        l = l.dropna(subset=[on]).sort_values(on, kind="mergesort")
+        r = r.dropna(subset=[on]).sort_values(on, kind="mergesort")
+        if not len(l):
+            return l
+        if not len(r):
+            out = l.copy()
+            for c in rcols_r:
+                out[c] = None
+            return out
+        return pd.merge_asof(l, r, on=on, by=by, tolerance=tolerance,
+                             direction=direction)
+
+    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")

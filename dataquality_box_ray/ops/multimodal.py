@@ -1,0 +1,119 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are `binary` columns with a metadata struct
+(media_type, width/height or sample_rate, codec). Decode / feature-extract /
+resize / frame-sample run as actor-pool map_batches stages (model/codec loaded
+once per actor, small batch sizes because payloads are large — SURVEY.md
+"memory-aware" rule).
+
+The image/audio codec libraries are NOT available in this container, so the
+decode step is STUBBED: ``decoder="none"`` raises NotImplementedError with
+the integration point documented, ``decoder="fake"`` produces a deterministic
+feature vector from the payload bytes so the Ray-side plumbing (schema, batch
+size, actor signature, output layout) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("media_type", pa.string()),            # "image/png", "audio/wav", ...
+    ("payload", pa.binary()),
+    ("meta", pa.struct([("width", pa.int32()), ("height", pa.int32()),
+                        ("sample_rate", pa.int32()), ("codec", pa.string())])),
+])
+
+# Large payloads: a batch × concurrency must fit the worker heap.
+MEDIA_BATCH_SIZE = 64
+
+
+class DecodeFeatures:
+    """Actor-pool stage: payload bytes → fixed-size feature vector.
+
+    Real integration point: replace `_decode` with PIL/torchvision/librosa
+    decode + model forward (loaded in __init__, once per actor)."""
+
+    def __init__(self, decoder: str = "fake", feature_dim: int = 16) -> None:
+        if decoder not in ("fake", "none"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
+        self.dim = feature_dim
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if self.decoder == "none":
+            raise NotImplementedError(
+                "no image/audio codec libraries in this environment; plug a "
+                "real decoder (PIL / librosa / pyav) in DecodeFeatures._decode")
+        # deterministic fake: sha256 bytes → unit-norm float vector
+        h = hashlib.sha256(payload or b"").digest()
+        v = np.frombuffer((h * ((self.dim * 4) // len(h) + 1))[: self.dim * 4],
+                          dtype=np.uint32).astype(np.float64)
+        n = np.linalg.norm(v)
+        return v / n if n else v
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        feats = [self._decode(p).astype(np.float32) for p in df["payload"]]
+        out = df.drop(columns=["payload"]).copy()   # payload not re-materialized
+        out["features"] = feats
+        return out
+
+
+class FrameSampler:
+    """Actor-pool stage: sample every k-th chunk of a (fake) video payload —
+    stands in for frame sampling; emits one row per sampled frame (flat_map
+    shape via pandas explode)."""
+
+    def __init__(self, every_k: int = 4, frame_bytes: int = 256) -> None:
+        self.k = every_k
+        self.fb = frame_bytes
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for mid, payload in zip(df["media_id"], df["payload"]):
+            payload = payload or b""
+            frames = [payload[i:i + self.fb]
+                      for i in range(0, len(payload), self.fb)][:: self.k]
+            rows.extend({"media_id": mid, "frame_no": j * self.k, "frame": f}
+                        for j, f in enumerate(frames))
+        return pd.DataFrame(rows) if rows else pd.DataFrame(
+            {"media_id": pd.Series([], dtype=np.int64),
+             "frame_no": pd.Series([], dtype=np.int64),
+             "frame": pd.Series([], dtype=object)})
+
+
+def decode_features(ds: "ray.data.Dataset", decoder: str = "fake",
+                    concurrency=(1, 4)) -> "ray.data.Dataset":
+    return ds.map_batches(DecodeFeatures, batch_format="pandas",
+                          batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency,
+                          fn_constructor_kwargs=dict(decoder=decoder))
+
+
+def sample_frames(ds: "ray.data.Dataset", every_k: int = 4,
+                  concurrency=(1, 4)) -> "ray.data.Dataset":
+    return ds.map_batches(FrameSampler, batch_format="pandas",
+                          batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency,
+                          fn_constructor_kwargs=dict(every_k=every_k))
+
+
+def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
+    """Deterministic fake media table for tests (binary payloads)."""
+    rng = np.random.default_rng(seed)
+    payloads = [rng.integers(0, 256, size=int(rng.integers(512, 4096)),
+                             dtype=np.uint8).tobytes() for _ in range(n)]
+    return pa.table({
+        "media_id": pa.array(range(n), type=pa.int64()),
+        "media_type": pa.array(["image/png" if i % 2 else "audio/wav"
+                                for i in range(n)]),
+        "payload": pa.array(payloads, type=pa.binary()),
+        "meta": pa.array([{"width": 64, "height": 64, "sample_rate": 16000,
+                           "codec": "raw"}] * n,
+                         type=MEDIA_SCHEMA.field("meta").type),
+    })

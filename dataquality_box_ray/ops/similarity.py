@@ -1,0 +1,120 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+- ``brute_force_topk``: exact cosine top-k. The query matrix is broadcast
+  once (`ray.put`), each batch computes a vectorized matmul and emits its
+  LOCAL top-k per query (a combiner), the driver merges the tiny partials —
+  the dataset streams, nothing materializes.
+- ``lsh_topk``: the scale path — random-hyperplane bucketing (as in
+  ops.dedup.embedding_near_dup); each query probes only the buckets within
+  `probe_hamming` bits of its own signature, trading recall for touched
+  fraction. Exact inside the probed buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def brute_force_topk(ds: "ray.data.Dataset", emb_col: str, id_col: str,
+                     queries: np.ndarray, k: int = 10) -> pd.DataFrame:
+    """Exact top-k cosine neighbours per query row.
+
+    Returns (query_id, vec_id, cosine) with deterministic ordering
+    (cosine desc, id asc tie-break)."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qn)
+
+    class Partial:
+        def __init__(self) -> None:
+            self.q = ray.get(q_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+            sims = self.q @ m.T                     # (nq, batch)
+            ids = df[id_col].to_numpy()
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {"query_id": np.repeat(np.arange(len(self.q)), kk),
+                    "vec_id": ids[idx].ravel(),
+                    "cosine": np.take_along_axis(sims, idx, axis=1).ravel()}
+            return pd.DataFrame(rows)
+
+    parts = ds.map_batches(Partial, batch_format="pandas",
+                           concurrency=(1, 8)).to_pandas()
+    parts = parts.sort_values(["query_id", "cosine", "vec_id"],
+                              ascending=[True, False, True], kind="mergesort")
+    return parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
+def lsh_topk(ds: "ray.data.Dataset", emb_col: str, id_col: str,
+             queries: np.ndarray, k: int = 10, n_planes: int = 8,
+             probe_hamming: int = 1, seed: int = 11) -> pd.DataFrame:
+    """Approximate top-k: probe only buckets within `probe_hamming` sign bits
+    of the query's bucket. Same output shape as brute_force_topk."""
+    q = np.asarray(queries, dtype=np.float64)
+    dim = q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    qn = _normalize(q)
+    q_buckets = ((qn @ planes) > 0) @ (1 << np.arange(n_planes))
+
+    # buckets each query probes
+    def neighbours(b: int) -> set[int]:
+        out = {b}
+        if probe_hamming >= 1:
+            out |= {b ^ (1 << i) for i in range(n_planes)}
+        if probe_hamming >= 2:
+            out |= {b ^ (1 << i) ^ (1 << j)
+                    for i in range(n_planes) for j in range(i + 1, n_planes)}
+        return out
+
+    probe_of_query = [neighbours(int(b)) for b in q_buckets]
+    probed: dict[int, list[int]] = {}
+    for qi, bs in enumerate(probe_of_query):
+        for b in bs:
+            probed.setdefault(b, []).append(qi)
+    refs = ray.put((qn, probed, planes))
+
+    class Partial:
+        def __init__(self) -> None:
+            self.q, self.probed, self.planes = ray.get(refs)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+            buckets = ((m @ self.planes) > 0) @ (1 << np.arange(n_planes))
+            ids = df[id_col].to_numpy()
+            frames = []
+            for b in np.unique(buckets):
+                qis = self.probed.get(int(b))
+                if not qis:
+                    continue
+                sel = buckets == b
+                sims = self.q[qis] @ m[sel].T
+                sub_ids = ids[sel]
+                kk = min(k, sims.shape[1])
+                idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                frames.append(pd.DataFrame({
+                    "query_id": np.repeat(qis, kk),
+                    "vec_id": sub_ids[idx].ravel(),
+                    "cosine": np.take_along_axis(sims, idx, axis=1).ravel()}))
+            if not frames:
+                return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                     "vec_id": pd.Series([], dtype=np.int64),
+                                     "cosine": pd.Series([], dtype=np.float64)})
+            return pd.concat(frames, ignore_index=True)
+
+    parts = ds.map_batches(Partial, batch_format="pandas",
+                           concurrency=(1, 8)).to_pandas()
+    parts = parts.sort_values(["query_id", "cosine", "vec_id"],
+                              ascending=[True, False, True], kind="mergesort")
+    return parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)

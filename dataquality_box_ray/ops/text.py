@@ -1,0 +1,107 @@
+"""Text analysis over a document table (doc_id, text, ...).
+
+Each operator is a vectorized map_batches kernel; the language-ID heuristic
+and quality metrics re-use the corpus stages where the semantics coincide.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..stages.heuristics import max_line_lengths
+
+# whitespace tokens and a BPE-ish split: word pieces OR single non-space symbols
+_WORD_RE = r"[A-Za-z0-9_]+"
+_SYMBOL_RE = r"[^A-Za-z0-9_\s]"
+_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "that", "for", "it")
+_STOP_RE = r"\b(" + "|".join(_STOPWORDS) + r")\b"
+
+
+def token_stats(ds: "ray.data.Dataset", text_col: str = "text",
+                ) -> "ray.data.Dataset":
+    """Token counting: whitespace tokens + BPE-ish (wordpiece+symbol) count —
+    all RE2 count kernels, zero Python loops."""
+    def fn(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t[text_col], "")
+        ws_tokens = pc.count_substring_regex(text, r"\S+")
+        words = pc.count_substring_regex(text, _WORD_RE)
+        symbols = pc.count_substring_regex(text, _SYMBOL_RE)
+        return (t.append_column("ws_tokens", pc.cast(ws_tokens, pa.int64()))
+                 .append_column("bpe_ish_tokens",
+                                pc.cast(pc.add(words, symbols), pa.int64())))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_scores(ds: "ray.data.Dataset", text_col: str = "text",
+                   ) -> "ray.data.Dataset":
+    """Document quality scoring: length, punctuation ratio, stopword ratio,
+    mean word length, max line length → one [0,1] score.
+
+    Heuristic bands follow the public Gopher/C4-style quality rules (length
+    within band, stopword presence, not symbol-dominated)."""
+    def fn(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t[text_col], "")
+        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+        denom = pc.max_element_wise(n_chars, 1.0)
+        n_words = pc.cast(pc.count_substring_regex(text, _WORD_RE), pa.float64())
+        n_stop = pc.cast(pc.count_substring_regex(text, _STOP_RE), pa.float64())
+        n_punct = pc.cast(pc.count_substring_regex(text, _SYMBOL_RE), pa.float64())
+        word_chars = pc.cast(pc.utf8_length(
+            pc.replace_substring_regex(text, r"[^A-Za-z0-9_]", "")), pa.float64())
+
+        punct_ratio = pc.divide(n_punct, denom)
+        stop_ratio = pc.divide(n_stop, pc.max_element_wise(n_words, 1.0))
+        mean_word_len = pc.divide(word_chars, pc.max_element_wise(n_words, 1.0))
+        nc = n_chars.to_numpy(zero_copy_only=False)
+        pr = punct_ratio.to_numpy(zero_copy_only=False)
+        sr = stop_ratio.to_numpy(zero_copy_only=False)
+        mwl = mean_word_len.to_numpy(zero_copy_only=False)
+        score = ((nc >= 50) & (nc <= 100_000)).astype(np.float64) * 0.25 \
+            + (pr < 0.3) * 0.25 + (sr > 0.01) * 0.25 \
+            + ((mwl >= 2) & (mwl <= 12)) * 0.25
+        return (t.append_column("punct_ratio", punct_ratio)
+                 .append_column("stopword_ratio", stop_ratio)
+                 .append_column("mean_word_len", mean_word_len)
+                 .append_column("quality_score", pa.array(score)))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprints(ds: "ray.data.Dataset", text_col: str = "text",
+                 n_mins: int = 4) -> "ray.data.Dataset":
+    """Document fingerprinting: the `n_mins` smallest rolling 8-gram hashes
+    (winnowing-style sketch) joined as a hex string — stable under small
+    appends, usable as a cheap near-dup prefilter key."""
+    from .dedup import _shingle_hashes
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        fps = []
+        for text in df[text_col]:
+            h = _shingle_hashes(text or "", k=8)
+            if not len(h):
+                fps.append("0" * (n_mins * 16))
+                continue
+            mins = np.sort(h)[:n_mins]
+            if len(mins) < n_mins:
+                mins = np.pad(mins, (0, n_mins - len(mins)))
+            fps.append("".join(f"{int(v):016x}" for v in mins))
+        df = df.copy()
+        df["fingerprint"] = fps
+        return df
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def line_stats(ds: "ray.data.Dataset", text_col: str = "text",
+               ) -> "ray.data.Dataset":
+    """Per-doc line metrics (max line length — reuses the corpus kernel)."""
+    def fn(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(
+            t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray)
+            else t[text_col], "")
+        return t.append_column("max_line_len", pa.array(max_line_lengths(text)))
+    return ds.map_batches(fn, batch_format="pyarrow")

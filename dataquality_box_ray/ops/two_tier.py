@@ -1,0 +1,175 @@
+"""Two-tier record reconciliation — the reference's matching algebra
+(`plugins/dq_lib/reconciliation.py:234-434`) on its own table shapes
+(FIXTURES.md §F3), as a Ray Data operator.
+
+Input shapes:
+- left  (aggregated truth side, cf. `aggregate_ngen` output
+  `reconciliation.py:29-38`): key:int64, group:str, t_start, t_end (UTC
+  timestamps), big_item:str, small_items:list<str>.
+- right (observed side, cf. Cactus extract
+  `reconciliation_runner.py:265-279`): id:int64, group:str, t:timestamp,
+  item1..item3:str.
+
+Semantics (bit-for-bit tie-breaking per `reconciliation.py`):
+- **Tier 1 strict** (`:234-257`): per group sort both sides by time;
+  `merge_asof(direction='nearest', tolerance=strict_tol)` left.t_start ↔
+  right.t; matched pairs → status 1. One right row matches at most one left
+  row (earliest left wins on contention, keep-first).
+- **Tier 2 loose** (`:262-348`): unmatched left × unmatched right within the
+  same group, |Δt| ≤ loose_tol AND item match (big_item equals any of
+  item1..3 — scalar compare — OR small_items ∩ {item1..3} ≠ ∅ — the exploded
+  semi-join `:315-334`); best match per left key = smallest |Δt|, tie → lowest
+  right id (`sort + unique(keep='first')`, `:345`) → status 4.
+- **Classification** (`:350-434`): left rows with no match → status 3
+  (orphans, to synthesize); right rows never matched → status 2 (target-only).
+
+Distribution: both sides hash-bucketed by `group` and reconciled with ONE
+groupby shuffle; inside a bucket everything is vectorized pandas. The
+partitioning assumption (a group's rows fit one worker) is the reference's own
+vehicle-sharding assumption.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..stages.reconcile import bucket_of
+
+STATUS_STRICT, STATUS_TARGET_ONLY, STATUS_ORPHAN, STATUS_LOOSE = 1, 2, 3, 4
+
+
+def match_bucket(left: pd.DataFrame, right: pd.DataFrame,
+                 strict_tol: pd.Timedelta, loose_tol: pd.Timedelta
+                 ) -> pd.DataFrame:
+    """Reconcile one bucket (possibly many groups). Returns one row per left
+    key and per unmatched right id with matched_status + time_diff_sec."""
+    out_frames: list[pd.DataFrame] = []
+    left = left.sort_values(["t_start"], kind="mergesort").reset_index(drop=True)
+    right = right.sort_values(["t"], kind="mergesort").reset_index(drop=True)
+
+    # ---- tier 1: asof nearest within tolerance, per group ----------------
+    if len(left) and len(right):
+        asof = pd.merge_asof(left, right, left_on="t_start", right_on="t",
+                             by="group", direction="nearest",
+                             tolerance=strict_tol)
+    else:
+        asof = left.assign(id=np.nan, t=pd.NaT, item1=None, item2=None,
+                           item3=None)
+    asof["time_diff_sec"] = (asof["t_start"] - asof["t"]).abs().dt.total_seconds()
+    # one right row to at most one left: keep earliest left (sort order),
+    # later contenders demoted to unmatched
+    dup_right = asof["id"].notna() & asof.duplicated(subset=["id"], keep="first")
+    asof.loc[dup_right, ["id", "time_diff_sec"]] = [np.nan, np.nan]
+    t1 = asof[asof["id"].notna()].copy()
+    t1["matched_status"] = STATUS_STRICT
+
+    un_left = asof[asof["id"].isna()][left.columns].copy()
+    matched_right_ids = set(t1["id"].astype(np.int64))
+    un_right = right[~right["id"].isin(matched_right_ids)].copy()
+
+    # ---- tier 2: candidate product within group, item check, rank --------
+    if len(un_left) and len(un_right):
+        cand = un_left.merge(un_right, on="group", how="inner",
+                             suffixes=("", "_r"))
+        dt = (cand["t_start"] - cand["t"]).abs()
+        cand = cand[dt <= loose_tol].copy()
+        cand["time_diff_sec"] = (cand["t_start"] - cand["t"]).abs().dt.total_seconds()
+        if len(cand):
+            items = cand[["item1", "item2", "item3"]]
+            big_hit = items.eq(cand["big_item"], axis=0).any(axis=1) \
+                & cand["big_item"].notna()
+            small_hit = np.array([
+                bool(set(s or []) & {i for i in (i1, i2, i3) if i})
+                for s, i1, i2, i3 in zip(cand["small_items"], cand["item1"],
+                                         cand["item2"], cand["item3"])])
+            cand = cand[big_hit.to_numpy() | small_hit]
+        if len(cand):
+            # best match per left key: smallest Δt, tie → lowest right id;
+            # then a right row may serve only one left key (keep-first again)
+            cand = cand.sort_values(["key", "time_diff_sec", "id"],
+                                    kind="mergesort")
+            cand = cand[~cand.duplicated(subset=["key"], keep="first")]
+            cand = cand.sort_values(["time_diff_sec", "id"], kind="mergesort")
+            cand = cand[~cand.duplicated(subset=["id"], keep="first")]
+            t2 = cand.copy()
+            t2["matched_status"] = STATUS_LOOSE
+            matched2 = set(t2["id"].astype(np.int64))
+            un_left = un_left[~un_left["key"].isin(set(t2["key"]))]
+            un_right = un_right[~un_right["id"].isin(matched2)]
+            out_frames.append(t2)
+
+    # ---- classification ---------------------------------------------------
+    orphans = un_left.copy()
+    orphans["matched_status"] = STATUS_ORPHAN
+    target_only = un_right.copy()
+    target_only["matched_status"] = STATUS_TARGET_ONLY
+    out_frames.extend([t1, orphans, target_only])
+
+    out = pd.concat(out_frames, ignore_index=True, sort=False)
+    keep_cols = ["key", "group", "t_start", "t_end", "big_item", "small_items",
+                 "id", "t", "item1", "item2", "item3", "time_diff_sec",
+                 "matched_status"]
+    for c in keep_cols:
+        if c not in out.columns:
+            out[c] = None
+    return out[keep_cols]
+
+
+def two_tier_match(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                   strict_tol_s: int = 300, loose_tol_s: int = 3 * 3600,
+                   n_buckets: int = 16) -> "ray.data.Dataset":
+    """Distributed two-tier match: one groupby shuffle over hash(group)."""
+    strict = pd.Timedelta(seconds=strict_tol_s)
+    loose = pd.Timedelta(seconds=loose_tol_s)
+    # ragged list<string> columns (small_items) must stay plain Arrow lists,
+    # not be force-cast to the tensor extension (which requires rectangularity)
+    ray.data.DataContext.get_current().enable_tensor_extension_casting = False
+
+    def tag(side: str, cols: list[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__side"] = side
+            return df
+        return fn
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column("group").to_pandas())
+        return t.append_column("__bucket", pa.array(bucket_of(s, n_buckets)))
+
+    lcols = ["key", "group", "t_start", "t_end", "big_item", "small_items"]
+    rcols = ["id", "group", "t", "item1", "item2", "item3"]
+
+    def widen_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in ("id", "t", "item1", "item2", "item3"):
+            df[c] = None if c != "t" else pd.NaT
+        df["__side"] = "L"
+        return df
+
+    def widen_right(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for c in ("key", "t_start", "t_end", "big_item", "small_items"):
+            df[c] = pd.NaT if c in ("t_start", "t_end") else None
+        df["__side"] = "R"
+        return df
+
+    order = lcols + ["id", "t", "item1", "item2", "item3", "__side"]
+    lt = left.map_batches(lambda df: widen_left(df)[order], batch_format="pandas")
+    rt = right.map_batches(lambda df: widen_right(df)[order], batch_format="pandas")
+    both = lt.union(rt).map_batches(add_bucket, batch_format="pyarrow")
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__side"] == "L"][lcols].copy()
+        r = df[df["__side"] == "R"][rcols].copy()
+        l["key"] = l["key"].astype("int64")
+        r["id"] = r["id"].astype("int64")
+        for c in ("t_start", "t_end"):
+            l[c] = pd.to_datetime(l[c])
+        r["t"] = pd.to_datetime(r["t"])
+        return match_bucket(l, r, strict, loose)
+
+    return both.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")

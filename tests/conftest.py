@@ -9,6 +9,7 @@ def ray_session():
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
     yield
     ray.shutdown()
 

@@ -1,0 +1,115 @@
+import numpy as np
+import pandas as pd
+import ray.data
+
+from dataquality_box_ray.ops import dedup, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+def _docs_pdf():
+    return pd.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup():
+    out = dedup.exact_dedup(_docs(), "text", "doc_id").to_pandas()
+    docs = _docs_pdf()
+    exp_keep = docs.groupby("text", sort=False).doc_id.min()
+    assert sorted(out.doc_id) == sorted(exp_keep)
+    assert out.text.is_unique
+
+
+def test_minhash_identical_and_near_dup():
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep green forest while the hunter sleeps soundly")
+    near = base.replace("hunter", "farmer")
+    other = "completely different content about database systems and queries " * 3
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": [base, base, near, other]})
+    ds = ray.data.from_pandas(df)
+    pairs = dedup.minhash_lsh_candidates(ds, "text", "doc_id")
+    pset = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (1, 2) in pset                      # identical docs always collide
+    verified = dedup.verify_jaccard(pairs, df.set_index("doc_id").text,
+                                    threshold=0.99)
+    assert set(map(tuple, verified[["id_a", "id_b"]].values)) == {(1, 2)}
+    kept = dedup.minhash_dedup(ds, "text", "doc_id", threshold=0.9).to_pandas()
+    assert 1 in set(kept.doc_id) and 2 not in set(kept.doc_id)
+    assert {3, 4} <= set(kept.doc_id)
+
+
+def test_simhash_candidates():
+    a = "import numpy as np\nresult = np.sum(values) * scale_factor\n" * 5
+    b = a + "x"      # single-character drift → hamming distance ≤ 3
+    c = "SELECT o_orderkey, SUM(l_extendedprice) FROM lineitem GROUP BY 1" * 4
+    df = pd.DataFrame({"doc_id": [10, 11, 12], "text": [a, b, c]})
+    pairs = dedup.simhash_candidates(ray.data.from_pandas(df), "text", "doc_id")
+    pset = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    assert (10, 11) in pset
+    assert (10, 12) not in pset and (11, 12) not in pset
+
+
+def test_embedding_near_dup_and_topk():
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((40, 16))
+    dup_rows = base[:5] + rng.standard_normal((5, 16)) * 0.01   # near dups
+    emb = np.vstack([base, dup_rows])
+    df = pd.DataFrame({"vec_id": np.arange(len(emb)),
+                       "embedding": list(emb.astype(np.float32))})
+    ds = ray.data.from_pandas(df)
+    pairs = dedup.embedding_near_dup(ds, "embedding", "vec_id",
+                                     threshold=0.99, n_planes=6)
+    got = set(map(tuple, pairs[["id_a", "id_b"]].values))
+    expected = {(i, 40 + i) for i in range(5)}
+    assert expected <= got                       # recall on planted dups
+    # precision: no pair of independent gaussians at cos≥0.99
+    assert all((a, b) in expected for a, b in got)
+
+    queries = base[:3]
+    topk = similarity.brute_force_topk(ds, "embedding", "vec_id", queries, k=3)
+    for qi in range(3):
+        rows = topk[topk.query_id == qi]
+        assert rows.iloc[0].vec_id == qi        # itself first (cos=1)
+        assert rows.iloc[0].cosine > 0.999
+
+
+def test_lsh_topk_recall():
+    rng = np.random.default_rng(1)
+    emb = rng.standard_normal((300, 24))
+    df = pd.DataFrame({"vec_id": np.arange(300),
+                       "embedding": list(emb.astype(np.float32))})
+    ds = ray.data.from_pandas(df)
+    queries = emb[:5]
+    exact = similarity.brute_force_topk(ds, "embedding", "vec_id", queries, k=5)
+    approx = similarity.lsh_topk(ds, "embedding", "vec_id", queries, k=5,
+                                 n_planes=6, probe_hamming=2)
+    # top-1 (the vector itself) must always be found; overall recall decent
+    recall_hits = 0
+    for qi in range(5):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a = set(approx[approx.query_id == qi].vec_id)
+        assert qi in a
+        recall_hits += len(e & a)
+    assert recall_hits / 25 >= 0.4
+
+
+def test_text_ops():
+    ds = text.token_stats(_docs())
+    ds = text.quality_scores(ds)
+    ds = text.fingerprints(ds)
+    ds = text.line_stats(ds)
+    out = ds.to_pandas()
+    docs = _docs_pdf()
+    row = out.set_index("doc_id").loc[docs.doc_id.iloc[0]]
+    t = docs.text.iloc[0]
+    assert row.ws_tokens == len(t.split())
+    assert 0 <= row.quality_score <= 1
+    assert len(row.fingerprint) == 64
+    assert row.max_line_len == max(len(l) for l in t.split("\n"))
+    # identical texts → identical fingerprints
+    fp_per_text = out.groupby("text").fingerprint.nunique()
+    assert (fp_per_text == 1).all()

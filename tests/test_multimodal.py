@@ -1,0 +1,38 @@
+import numpy as np
+import pytest
+import ray.data
+
+from dataquality_box_ray.ops import multimodal as mm
+
+
+def test_decode_features_fake():
+    t = mm.synth_media_table(32)
+    ds = ray.data.from_arrow(t)
+    out = mm.decode_features(ds, decoder="fake").to_pandas()
+    assert len(out) == 32
+    assert "payload" not in out.columns          # not re-materialized
+    feats = np.stack(out.features.to_numpy())
+    assert feats.shape == (32, 16)
+    assert np.allclose(np.linalg.norm(feats, axis=1), 1.0, atol=1e-5)
+    # deterministic: same payload → same features
+    out2 = mm.decode_features(ray.data.from_arrow(t), decoder="fake").to_pandas()
+    a = out.sort_values("media_id").reset_index(drop=True)
+    b = out2.sort_values("media_id").reset_index(drop=True)
+    assert all(np.array_equal(x, y) for x, y in zip(a.features, b.features))
+
+
+def test_decode_stub_raises():
+    d = mm.DecodeFeatures(decoder="none")
+    with pytest.raises(NotImplementedError):
+        d._decode(b"abc")
+
+
+def test_frame_sampler():
+    t = mm.synth_media_table(8)
+    out = mm.sample_frames(ray.data.from_arrow(t), every_k=2).to_pandas()
+    assert set(out.columns) == {"media_id", "frame_no", "frame"}
+    payload0 = t.column("payload")[0].as_py()
+    n_chunks = (len(payload0) + 255) // 256
+    exp_frames = len(range(0, n_chunks, 2))
+    assert (out.media_id == 0).sum() == exp_frames
+    assert out[out.media_id == 0].frame.iloc[0] == payload0[:256]

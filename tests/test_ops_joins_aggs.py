@@ -1,0 +1,146 @@
+import numpy as np
+import pandas as pd
+import ray.data
+
+from dataquality_box_ray.ops import aggregates as agg
+from dataquality_box_ray.ops import joins
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pdf(name):
+    return pd.read_parquet(f"{SF}/{name}.parquet")
+
+
+def _ds(name):
+    return ray.data.read_parquet(f"{SF}/{name}.parquet")
+
+
+def test_broadcast_semi_anti_join():
+    orders = _pdf("orders")
+    cust_with = set(orders.o_custkey)
+    semi = joins.broadcast_semi_join(_ds("customer"), cust_with, "c_custkey").to_pandas()
+    anti = joins.broadcast_anti_join(_ds("customer"), cust_with, "c_custkey").to_pandas()
+    cust = _pdf("customer")
+    assert len(semi) == cust.c_custkey.isin(cust_with).sum()
+    assert len(anti) == (~cust.c_custkey.isin(cust_with)).sum()
+    assert len(semi) + len(anti) == len(cust)
+
+
+def test_completeness_check():
+    res = joins.completeness_check(_ds("customer"), _ds("orders"),
+                                   "c_custkey", source_on="o_custkey")
+    cust, orders = _pdf("customer"), _pdf("orders")
+    missing = (~cust.c_custkey.isin(orders.o_custkey)).sum()
+    assert res["missing"] == missing
+    assert res["total"] == len(cust)
+    assert abs(res["loss_rate"] - missing / len(cust)) < 1e-12
+
+
+def test_broadcast_lookup_join():
+    nation = _pdf("nation")
+    out = joins.broadcast_lookup_join(_ds("customer"), nation,
+                                      "c_nationkey", "n_nationkey",
+                                      ["n_name"]).to_pandas()
+    cust = _pdf("customer")
+    exp = cust.merge(nation[["n_nationkey", "n_name"]], left_on="c_nationkey",
+                     right_on="n_nationkey", how="left")
+    assert len(out) == len(exp)
+    assert out.sort_values("c_custkey").n_name.tolist() == \
+        exp.sort_values("c_custkey").n_name.tolist()
+
+
+def test_asof_join_events():
+    ev = _pdf("events")
+    a = ev[ev.event_type == "click"][["user_id", "ts", "event_id"]]
+    b = ev[ev.event_type == "view"][["user_id", "ts", "value"]]
+    dsa = ray.data.from_pandas(a.reset_index(drop=True))
+    dsb = ray.data.from_pandas(b.reset_index(drop=True))
+    got = joins.asof_join(dsa, dsb, by="user_id", on="ts",
+                          tolerance=pd.Timedelta("10min")).to_pandas()
+    exp = pd.merge_asof(a.sort_values("ts"), b.sort_values("ts"),
+                        on="ts", by="user_id", direction="nearest",
+                        tolerance=pd.Timedelta("10min"))
+    assert len(got) == len(exp)
+    g = got.sort_values("event_id").reset_index(drop=True)
+    e = exp.sort_values("event_id").reset_index(drop=True)
+    matched_g = g["value_r"].notna().sum()
+    matched_e = e["value"].notna().sum()
+    assert matched_g == matched_e > 0
+    pd.testing.assert_series_equal(
+        g["value_r"].astype(float), e["value"].astype(float),
+        check_names=False)
+
+
+def test_window_aggregate():
+    out = agg.window_aggregate(
+        _ds("orders"), "o_custkey",
+        [{"name": "cust_total", "agg": "sum", "col": "o_totalprice"}]).to_pandas()
+    orders = _pdf("orders")
+    exp = orders.groupby("o_custkey").o_totalprice.sum()
+    got = out.drop_duplicates("o_orderkey").set_index("o_orderkey")
+    sample = orders.set_index("o_orderkey").head(50)
+    for ok, row in sample.iterrows():
+        assert abs(got.loc[ok, "cust_total"] - exp[row.o_custkey]) < 1e-6
+
+
+def test_global_stats_and_three_sigma():
+    li = _pdf("lineitem")
+    st = agg.global_stats(_ds("lineitem"), "l_extendedprice")
+    assert abs(st["mean"] - li.l_extendedprice.mean()) < 1e-6
+    assert abs(st["std"] - li.l_extendedprice.std(ddof=1)) < 1e-6
+    res = agg.three_sigma_outliers(_ds("lineitem"), "l_extendedprice")
+    lo, hi = res["lower"], res["upper"]
+    exp_out = ((li.l_extendedprice < lo) | (li.l_extendedprice > hi)).sum()
+    assert res["n_outliers"] == exp_out
+
+
+def test_status_distribution():
+    got = agg.status_distribution(_ds("orders"), "o_orderstatus")
+    exp = _pdf("orders").o_orderstatus.value_counts().to_dict()
+    assert got == exp
+
+
+def test_top_k():
+    got = agg.top_k(_ds("lineitem"), "l_extendedprice", 10, ["l_orderkey", "l_linenumber"])
+    li = _pdf("lineitem")
+    exp = li.sort_values(["l_extendedprice", "l_orderkey", "l_linenumber"],
+                         ascending=[False, True, True]).head(10)
+    assert got.l_extendedprice.tolist() == exp.l_extendedprice.tolist()
+
+
+def test_lag_and_chain():
+    out = agg.lag_over(_ds("events"), "user_id", "ts", ["value"]).to_pandas()
+    ev = _pdf("events").sort_values(["user_id", "ts"], kind="mergesort")
+    exp_prev = ev.groupby("user_id").value.shift(1)
+    got = out.sort_values(["user_id", "ts"], kind="mergesort")
+    assert np.allclose(got.prev_value.to_numpy(dtype=float),
+                       exp_prev.to_numpy(dtype=float), equal_nan=True)
+
+
+def test_consecutive_runs_keep_last():
+    df = pd.DataFrame({"k": ["a"] * 6 + ["b"] * 3,
+                       "idx": [1, 2, 3, 7, 8, 10, 1, 5, 6],
+                       "v": range(9)})
+    out = agg.consecutive_runs_keep_last(ray.data.from_pandas(df), "k", "idx")
+    got = out.to_pandas().sort_values(["k", "idx"])
+    assert got[["k", "idx"]].values.tolist() == \
+        [["a", 3], ["a", 8], ["a", 10], ["b", 1], ["b", 6]]
+
+
+def test_unpivot_and_horizontal():
+    out = agg.unpivot(_ds("orders"), ["o_orderkey"],
+                      ["o_orderstatus", "o_orderpriority"]).to_pandas()
+    assert len(out) == 2 * len(_pdf("orders"))
+    assert set(out.attr) == {"o_orderstatus", "o_orderpriority"}
+
+    h = agg.horizontal_sum(_ds("lineitem"), ["l_quantity", "l_discount"],
+                           "qsum").to_pandas()
+    li = _pdf("lineitem")
+    assert np.allclose(h.sort_values(["l_orderkey", "l_linenumber"]).qsum.to_numpy(),
+                       (li.l_quantity + li.l_discount)
+                       .to_numpy()[np.lexsort([li.l_linenumber, li.l_orderkey])])
+    nn = agg.non_null_count_horizontal(_ds("orders"),
+                                       ["o_orderstatus", "o_orderpriority"],
+                                       "nn").to_pandas()
+    assert (nn.nn == 2).all()

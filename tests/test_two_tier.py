@@ -1,0 +1,103 @@
+"""Reconciliation algebra unit tests on reference-shaped mini-tables
+(FIXTURES.md §F3 cases)."""
+
+import pandas as pd
+import ray.data
+
+from dataquality_box_ray.ops.two_tier import (
+    STATUS_LOOSE, STATUS_ORPHAN, STATUS_STRICT, STATUS_TARGET_ONLY,
+    two_tier_match)
+
+T0 = pd.Timestamp("2026-01-01 08:00:00")
+
+
+def _m(minutes):
+    return T0 + pd.Timedelta(minutes=minutes)
+
+
+def _fixture():
+    left = pd.DataFrame({
+        "key": [1, 2, 3, 4, 5],
+        "group": ["g1", "g1", "g1", "g2", "g2"],
+        "t_start": [_m(0), _m(60), _m(240), _m(0), _m(30)],
+        "t_end": [_m(10), _m(70), _m(250), _m(10), _m(40)],
+        "big_item": ["BIGA000001", None, "BIGC000003", "BIGD000004", None],
+        "small_items": [["S1", "S2"], ["S3"], [], ["S9"], ["S7"]],
+    })
+    right = pd.DataFrame({
+        # id 10: strict match key 1 (2 min away)
+        # id 11: loose match key 2 (40 min away, item S3 hit)
+        # id 12: within loose window of key 2 but no item overlap → no match
+        # id 13: target-only in g1 (far from everything)
+        # id 14: strict match key 4 in g2 (1 min)
+        # key 3, key 5 → orphans
+        "id": [10, 11, 12, 13, 14],
+        "group": ["g1", "g1", "g1", "g1", "g2"],
+        "t": [_m(2), _m(100), _m(90), _m(800), _m(1)],
+        "item1": ["BIGA000001", "S3", "ZZ", "QQ", "BIGD000004"],
+        "item2": [None, None, None, None, None],
+        "item3": [None, None, None, None, None],
+    })
+    return left, right
+
+
+def test_two_tier_statuses():
+    left, right = _fixture()
+    out = two_tier_match(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                         strict_tol_s=300, loose_tol_s=3 * 3600).to_pandas()
+    by_key = out[out.key.notna()].set_index("key")
+    assert by_key.loc[1, "matched_status"] == STATUS_STRICT
+    assert by_key.loc[1, "id"] == 10
+    assert by_key.loc[2, "matched_status"] == STATUS_LOOSE
+    assert by_key.loc[2, "id"] == 11
+    assert by_key.loc[3, "matched_status"] == STATUS_ORPHAN
+    assert by_key.loc[4, "matched_status"] == STATUS_STRICT
+    assert by_key.loc[5, "matched_status"] == STATUS_ORPHAN
+    target_only = out[out.matched_status == STATUS_TARGET_ONLY]
+    assert set(target_only.id) == {12, 13}
+    # every input row accounted for exactly once
+    assert len(out) == 5 + 2
+
+
+def test_tie_break_nearest_keep_first():
+    left = pd.DataFrame({
+        "key": [1], "group": ["g"], "t_start": [_m(0)], "t_end": [_m(5)],
+        "big_item": ["BB"], "small_items": [[]]})
+    right = pd.DataFrame({
+        "id": [20, 21], "group": ["g", "g"],
+        "t": [_m(30), _m(-30)],                     # equidistant, outside strict
+        "item1": ["BB", "BB"], "item2": [None, None], "item3": [None, None]})
+    out = two_tier_match(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                         strict_tol_s=300, loose_tol_s=7200).to_pandas()
+    row = out[out.key == 1].iloc[0]
+    # equidistant candidates → lowest id wins (sort+keep-first, reconciliation.py:345)
+    assert row.matched_status == STATUS_LOOSE and row.id == 20
+
+
+def test_strict_contention_earliest_left_wins():
+    left = pd.DataFrame({
+        "key": [1, 2], "group": ["g", "g"],
+        "t_start": [_m(0), _m(2)], "t_end": [_m(5), _m(6)],
+        "big_item": [None, None], "small_items": [[], []]})
+    right = pd.DataFrame({
+        "id": [30], "group": ["g"], "t": [_m(1)],
+        "item1": [None], "item2": [None], "item3": [None]})
+    out = two_tier_match(ray.data.from_pandas(left), ray.data.from_pandas(right),
+                         strict_tol_s=300, loose_tol_s=7200).to_pandas()
+    by_key = out[out.key.notna()].set_index("key")
+    assert by_key.loc[1, "matched_status"] == STATUS_STRICT
+    assert by_key.loc[2, "matched_status"] == STATUS_ORPHAN
+
+
+def test_empty_sides():
+    left = pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                         "group": pd.Series([], dtype=str),
+                         "t_start": pd.Series([], dtype="datetime64[ns]"),
+                         "t_end": pd.Series([], dtype="datetime64[ns]"),
+                         "big_item": pd.Series([], dtype=str),
+                         "small_items": pd.Series([], dtype=object)})
+    right = _fixture()[1]
+    out = two_tier_match(ray.data.from_pandas(left), ray.data.from_pandas(right))
+    got = out.to_pandas()
+    assert (got.matched_status == STATUS_TARGET_ONLY).all()
+    assert len(got) == len(right)
