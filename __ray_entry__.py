@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native DataQuality_Box rebuild.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()``   — flagship corpus quality filter on sf0.001.
+``queries()`` — one callable per implemented operator family (SURVEY.md §2);
+each takes ``sf_dir`` and returns a Dataset / pandas DataFrame.
+``oracle_sql()`` — DuckDB SQL equivalents (pipelines/oracles.py); queries
+without an entry (model scoring, sketch algebra, iterative matching) get the
+driver's weaker rows-only check.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported; nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -20,25 +18,67 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    import tempfile
+
+    from dataquality_box_ray.corpus import corpus_path
+    from dataquality_box_ray.pipelines.quality_filter import quality_filter_dataset
+
+    path = corpus_path("/root/testdata/sf0.001")
+    work = tempfile.mkdtemp(prefix="qf_entry_")
+    ds = quality_filter_dataset(path, work, n_buckets=16)
+    # drop the wide content column from the smoke-check result; labels +
+    # hashes are the pipeline's contract
+    return ds.drop_columns(["content"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from dataquality_box_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # corpus quality-filter pipeline
+        "corpus_heuristics": q.corpus_heuristics,
+        "corpus_rule_hit_counts": q.corpus_rule_hit_counts,
+        "corpus_reconcile_labels": q.corpus_reconcile_labels,
+        "corpus_quality_filter": q.corpus_quality_filter,          # rows-only
+        "corpus_scoreboard": q.corpus_scoreboard,                  # rows-only
+        # YAML rule engine over TPC-H-ish tables
+        "filter_rule_hits": q.filter_rule_hits,
+        "aggregate_rule_having": q.aggregate_rule_having,
+        "cross_check_totalprice": q.cross_check_totalprice,
+        # joins / lookups
+        "customers_without_orders": q.customers_without_orders,
+        "customers_with_orders": q.customers_with_orders,
+        "customer_nation_lookup": q.customer_nation_lookup,
+        "asof_click_view": q.asof_click_view,
+        "two_tier_events": q.two_tier_events,                      # rows-only
+        # aggregations / windows / ordering
+        "window_customer_total": q.window_customer_total,
+        "three_sigma_prices": q.three_sigma_prices,
+        "top20_prices": q.top20_prices,
+        "distinct_flag_status": q.distinct_flag_status,
+        "order_status_distribution": q.order_status_distribution,
+        "event_gap_breaks": q.event_gap_breaks,
+        "consecutive_event_runs": q.consecutive_event_runs,
+        "unpivot_orders": q.unpivot_orders,
+        "sessionize_events": q.sessionize_events,
+        "tumbling_hour_counts": q.tumbling_hour_counts,
+        # documents / text analysis
+        "doc_token_stats": q.doc_token_stats,
+        "doc_quality_scores": q.doc_quality_scores,
+        "doc_lang_heuristic": q.doc_lang_heuristic,
+        "doc_exact_dedup": q.doc_exact_dedup,
+        "doc_minhash_dedup": q.doc_minhash_dedup,                  # rows-only
+        "doc_simhash_pairs": q.doc_simhash_pairs,                  # rows-only
+        "doc_fingerprints": q.doc_fingerprints,                    # rows-only
+        # embeddings / similarity
+        "embedding_topk": q.embedding_topk,
+        "embedding_lsh_topk": q.embedding_lsh_topk,                # rows-only
+        "embedding_near_dup_pairs": q.embedding_near_dup_pairs,    # rows-only
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dataquality_box_ray.pipelines import oracles
+
+    return oracles.build()

@@ -1,0 +1,110 @@
+"""Benchmark harness.
+
+Default: run the headline corpus quality-filter pipeline plus representative
+operator queries over $GRAFT_SF_DIR (default /root/testdata/sf0.1) under
+ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) and print ONE JSON line.
+
+--scaling: run the headline job twice in FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input and report both throughputs plus scaling
+efficiency — the sandbox stand-in for the N vs 4N node-count criterion
+(BASELINE.md §3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+
+    from dataquality_box_ray.corpus import corpus_path, rows_for_sf_dir
+    from dataquality_box_ray.pipelines import queries as q
+    from dataquality_box_ray.pipelines.quality_filter import quality_filter_dataset
+
+    corpus = corpus_path(sf_dir)                 # cached; built once
+    # warm the page cache so we measure compute+shuffle, not first-touch IO
+    import pyarrow.parquet as pq
+    import pathlib
+    for f in pathlib.Path(corpus).glob("*.parquet"):
+        pq.read_table(f)
+
+    n_files = rows_for_sf_dir(sf_dir)
+    t0 = time.time()
+    with tempfile.TemporaryDirectory(prefix="bench_qf_") as work:
+        ds = quality_filter_dataset(corpus, work, n_buckets=max(32, num_cpus * 2))
+        out = ds.map_batches(
+            lambda df: df[["keep"]].assign(n=1).groupby("keep", as_index=False)
+            .sum(), batch_format="pandas").to_pandas()
+        kept = int(out.loc[out.keep, "n"].sum())
+    headline = time.time() - t0
+
+    timings: dict[str, float] = {}
+    for name in ("aggregate_rule_having", "cross_check_totalprice",
+                 "asof_click_view", "window_customer_total",
+                 "doc_exact_dedup", "doc_minhash_dedup", "embedding_topk",
+                 "sessionize_events"):
+        t0 = time.time()
+        getattr(q, name)(sf_dir)
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = pathlib.Path(sf_dir).name.removeprefix("sf")
+    return {
+        "metric": "corpus_quality_filter_e2e",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "files_per_sec": round(n_files / headline, 1),
+        "rows": n_files,
+        "kept": kept,
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "num_cpus": num_cpus,
+    }
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "files_per_sec_lo": r_lo["files_per_sec"],
+        "files_per_sec_hi": r_hi["files_per_sec"],
+        "sf": r_hi["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))
+    import ray
+    if ray.is_initialized():
+        ray.shutdown()

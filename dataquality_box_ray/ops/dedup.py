@@ -299,4 +299,6 @@ def embedding_near_dup(ds: "ray.data.Dataset", emb_col: str, id_col: str,
 
     pairs = (bucketed.groupby("bucket").map_groups(pairs_fn, batch_format="pandas")
              .to_pandas())
+    if "id_a" not in pairs.columns:
+        pairs = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
     return pairs.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)

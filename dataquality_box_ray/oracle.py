@@ -45,7 +45,7 @@ def oracle_result(table: pa.Table) -> pd.DataFrame:
 
     # --- exact dedup: global, keep min (repo,path,commit) -----------------
     cand = ~df["r_stale_commit"] & ~df["r_null_empty"]
-    key = df["repo"] + "\x00" + df["path"] + "\x00" + df["commit"]
+    key = df["repo"] + "\x01" + df["path"] + "\x01" + df["commit"]
     canon = key[cand].groupby(df.loc[cand, "sha_pre"]).transform("min")
     df["r_exact_dup"] = False
     df.loc[cand, "r_exact_dup"] = (key[cand] != canon)

@@ -1,0 +1,240 @@
+"""Checkpointed, resumable runs: per-partition commit + lineage manifest.
+
+The reference's continuity machinery — watermark Variables
+(`dags/scanner_cactus_monitor.py:46-48,166-181`), in-flight markers +
+completion counting (`archive/dags/DatalogNgenCheck_controller_dag.py:57-59,
+102-120`), idempotent sinks + clean-before-write
+(`plugins/infra/operators.py:335-360`) — re-expressed for a batch Parquet
+engine (SURVEY.md §4 "checkpoint/resume: needs design"):
+
+- The input file list is split into P partitions (the reference's
+  vehicle-batch sharding, `reconciliation_worker_dag.py:44-63`).
+- Each partition runs the full pipeline and writes its outputs into
+  ``parts/p{i}.tmp`` then atomically renames to ``parts/p{i}`` (tmp→commit).
+- ``manifest.json`` is atomically replaced after each commit and records the
+  partition's LINEAGE: input fragment paths, row counts, rule hit counts,
+  drop reasons distribution, output uri, and a slim index location.
+- A killed run resumes by skipping committed partitions (manifest says so) —
+  no recomputation.
+- Cross-partition semantics (the reference's dedup-against-sink, D3
+  `reconciliation_runner.py:586-601`): each partition writes a slim index
+  (keys + content sha of kept rows); later partitions load the committed
+  indexes and (a) drop rows whose content sha already exists (exact dup vs
+  sink), (b) mark rows superseded by an already-committed newer commit of the
+  same (repo,path). Newer-than-committed arrivals are kept and the overridden
+  prior keys are recorded in the manifest (`superseded_prior`) — the
+  append-only analogue of the reference's UPDATE write-back.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from .. import config
+from ..stages.reconcile import SEP
+from . import quality_filter as qf
+
+INDEX_COLUMNS = ["repo", "path", "commit", "sha_pre"]
+
+
+def _atomic_write_json(path: pathlib.Path, obj: Any) -> None:
+    tmp = path.with_suffix(".tmp")
+    tmp.write_text(json.dumps(obj, indent=1, sort_keys=True))
+    os.replace(tmp, path)
+
+
+def load_manifest(out_dir: str | pathlib.Path) -> dict[str, Any]:
+    p = pathlib.Path(out_dir) / "manifest.json"
+    if p.exists():
+        return json.loads(p.read_text())
+    return {"partitions": {}, "version": 1}
+
+
+class CommittedIndexCorrections:
+    """map_batches stage applying cross-partition dedup/reconcile corrections
+    from the broadcast committed index (slim: keys + sha of kept rows)."""
+
+    def __init__(self, index_ref) -> None:
+        idx: pd.DataFrame = ray.get(index_ref)
+        self._shas = frozenset(idx["sha_pre"]) if len(idx) else frozenset()
+        if len(idx):
+            self._winner = idx.groupby(idx["repo"] + SEP + idx["path"])[
+                "commit"].max()
+        else:
+            self._winner = pd.Series(dtype=object)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        if self._shas:
+            dup = (df["sha_pre"].isin(self._shas)
+                   & ~df["r_stale_commit"] & ~df["r_null_empty"])
+            df.loc[dup, "r_exact_dup"] = True
+            df.loc[dup, "matched_status"] = config.STATUS_DUPLICATE
+        if len(self._winner):
+            prior = self._winner.reindex(
+                (df["repo"] + SEP + df["path"]).to_numpy(dtype=object))
+            stale = prior.notna().to_numpy() & \
+                (df["commit"].to_numpy() < prior.fillna("").to_numpy())
+            df.loc[stale, "r_stale_commit"] = True
+            df.loc[stale, "matched_status"] = config.STATUS_SUPERSEDED
+        return df
+
+
+def _partition_chunks(files: list[str], partitions: int) -> list[list[str]]:
+    """Contiguous runs of the sorted file list — adjacent files tend to share
+    (repo,path) locality, minimizing cross-partition reconciliation."""
+    n = len(files)
+    partitions = min(partitions, n) or 1
+    step = (n + partitions - 1) // partitions
+    return [files[i:i + step] for i in range(0, n, step)]
+
+
+def run_quality_filter(input_path: str, out_dir: str, *,
+                       partitions: int = 1, resume: bool = True,
+                       n_buckets: int = config.RECONCILE_BUCKETS,
+                       fail_after: int | None = None) -> dict[str, Any]:
+    """Run the flagship pipeline over `partitions` input chunks with
+    per-partition commit; returns the manifest. `fail_after` kills the run
+    after that many fresh commits (test hook for the kill-and-resume fixture).
+    """
+    out = pathlib.Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "parts").mkdir(exist_ok=True)
+    if not resume:
+        for p in (out / "parts").iterdir():
+            shutil.rmtree(p)
+        (out / "manifest.json").unlink(missing_ok=True)
+    manifest = load_manifest(out)
+
+    files = sorted(str(p) for p in pathlib.Path(input_path).glob("*.parquet"))
+    chunks = _partition_chunks(files, partitions)
+    manifest["input_path"] = input_path
+    manifest["partitions_total"] = len(chunks)
+
+    fresh_commits = 0
+    for i, chunk in enumerate(chunks):
+        pid = f"p{i:04d}"
+        if manifest["partitions"].get(pid, {}).get("status") == "committed":
+            continue
+        part_dir = out / "parts" / pid
+        tmp_dir = out / "parts" / (pid + ".tmp")
+        if tmp_dir.exists():
+            shutil.rmtree(tmp_dir)            # half-written attempt → redo
+        tmp_dir.mkdir(parents=True)
+
+        # committed slim indexes from earlier partitions
+        idx_files = [str(out / "parts" / q / "index.parquet")
+                     for q, e in sorted(manifest["partitions"].items())
+                     if e.get("status") == "committed"]
+        committed = (pd.concat([pd.read_parquet(f) for f in idx_files],
+                               ignore_index=True)
+                     if idx_files else pd.DataFrame(columns=INDEX_COLUMNS))
+
+        # superseded_prior lineage: committed keys overridden by newer commits
+        result_ds, superseded = _run_partition(chunk, str(tmp_dir), committed,
+                                               n_buckets)
+        result_ds.write_parquet(str(tmp_dir / "result"), compression="zstd")
+
+        res = ray.data.read_parquet(str(tmp_dir / "result"))
+        kept_slim = res.map_batches(
+            lambda df: df.loc[df["keep"], INDEX_COLUMNS],
+            batch_format="pandas").to_pandas()
+        kept_slim.to_parquet(tmp_dir / "index.parquet", index=False)
+        sb = qf.scoreboard(res)
+
+        os.replace(tmp_dir, part_dir)          # atomic commit
+        manifest["partitions"][pid] = {
+            "status": "committed",
+            "input_files": chunk,
+            "output": str(part_dir / "result"),
+            "index": str(part_dir / "index.parquet"),
+            "rows": sb["rows"], "kept": sb["kept"],
+            "rule_hits": {k: v for k, v in sb.items() if k.startswith("r_")},
+            "status_distribution": {k: v for k, v in sb.items()
+                                    if k.startswith("status_")},
+            "superseded_prior": superseded,
+        }
+        _atomic_write_json(out / "manifest.json", manifest)
+        fresh_commits += 1
+        if fail_after is not None and fresh_commits >= fail_after:
+            raise RuntimeError(f"injected failure after {fresh_commits} commits")
+    return manifest
+
+
+def _run_partition(files: list[str], tmp_dir: str, committed: pd.DataFrame,
+                   n_buckets: int) -> tuple["ray.data.Dataset", list[str]]:
+    """One partition: score → stage → labels → corrections → finalize."""
+    stage = pathlib.Path(tmp_dir) / "entity"
+    qf.scored_dataset(files).write_parquet(str(stage), compression="zstd")
+
+    from ..stages.decide import decide_kernel
+    from ..stages.reconcile import ApplyReconcileLabels, compute_label_tables
+    from ..stages.scrubber import scrub_kernel
+
+    slim = ray.data.read_parquet(str(stage), columns=qf.SLIM_COLUMNS)
+    labels_pdf, losers_pdf = compute_label_tables(slim, n_buckets)
+    labels_ref = ray.put(labels_pdf)
+    losers_ref = ray.put(losers_pdf)
+    index_ref = ray.put(committed)
+
+    # lineage: committed keys that a newer arriving commit supersedes
+    superseded: list[str] = []
+    if len(committed):
+        win_new = compute_new_winners(labels_pdf, files, stage)
+        cw = committed.assign(rp=committed["repo"] + SEP + committed["path"])
+        merged = cw.merge(win_new, on="rp", how="inner")
+        newer = merged[merged["new_commit"] > merged["commit"]]
+        superseded = sorted(newer["rp"] + SEP + newer["commit"])
+
+    ds = ray.data.read_parquet(str(stage))
+    ds = ds.map_batches(ApplyReconcileLabels, batch_format="pandas",
+                        batch_size=config.DEFAULT_BATCH_SIZE,
+                        concurrency=qf._scorer_concurrency(),
+                        fn_constructor_args=(labels_ref, losers_ref))
+    ds = ds.map_batches(CommittedIndexCorrections, batch_format="pandas",
+                        batch_size=config.DEFAULT_BATCH_SIZE,
+                        concurrency=(1, 4),
+                        fn_constructor_args=(index_ref,))
+    ds = ds.map_batches(scrub_kernel, batch_format="pyarrow",
+                        batch_size=config.DEFAULT_BATCH_SIZE)
+    ds = ds.map_batches(decide_kernel, batch_format="pyarrow",
+                        batch_size=config.DEFAULT_BATCH_SIZE)
+    return ds.select_columns(qf.RESULT_COLUMNS), superseded
+
+
+def compute_new_winners(labels_pdf: pd.DataFrame, files: list[str],
+                        stage: pathlib.Path) -> pd.DataFrame:
+    """(repo,path) → winning commit for this partition, from the slim stage."""
+    slim = ray.data.read_parquet(str(stage),
+                                 columns=["repo", "path", "commit"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rp = df["repo"] + SEP + df["path"]
+        return (df.assign(rp=rp).groupby("rp", sort=False)["commit"].max()
+                .rename("new_commit").reset_index())
+
+    parts = slim.map_batches(partial, batch_format="pandas").to_pandas()
+    return (parts.groupby("rp", sort=False)["new_commit"].max().reset_index())
+
+
+def verify_lineage_coverage(out_dir: str, input_path: str) -> bool:
+    """Every input fragment appears in exactly one committed partition."""
+    manifest = load_manifest(out_dir)
+    seen: list[str] = []
+    for e in manifest["partitions"].values():
+        if e.get("status") == "committed":
+            seen.extend(e["input_files"])
+    expected = sorted(str(p) for p in pathlib.Path(input_path).glob("*.parquet"))
+    return sorted(seen) == expected and len(set(seen)) == len(seen)

@@ -1,0 +1,341 @@
+"""DuckDB oracle SQL for every SQL-expressible query in queries.py.
+
+Keyed identically to __ray_entry__.queries(). Tables region/nation/customer/
+supplier/part/orders/lineitem/events/documents/embeddings are pre-registered
+views; corpus queries read the deterministic cache Parquet directly via
+read_parquet() (materialized by corpus_sql_path() before use).
+
+Column names and types mirror the Ray results exactly; money flows through
+integer cents (round-half-away on both sides), ratios are identical IEEE
+double divisions of integer counts.
+"""
+
+from __future__ import annotations
+
+from ..corpus import corpus_path
+
+_CORRECTNESS_SF_DIR = "/root/testdata/sf0.01"
+
+
+def corpus_glob() -> str:
+    """Materialize (if needed) and return the corpus Parquet glob for the
+    driver's correctness scale."""
+    return corpus_path(_CORRECTNESS_SF_DIR) + "/*.parquet"
+
+
+_MARK_EN = r"\b(the|and|while|every|because)\b"
+_MARK_DE = r"\b(der|die|und|während|jeder|weil)\b"
+_MARK_FR = r"\b(le|la|et|dans|que|chaque|parce)\b"
+
+
+def build() -> dict[str, str]:
+    corpus = f"read_parquet('{corpus_glob()}')"
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+
+    sql: dict[str, str] = {}
+
+    # ---- corpus ----------------------------------------------------------
+    sql["corpus_heuristics"] = f"""
+        SELECT repo, path, "commit",
+               length(content)::BIGINT AS char_len,
+               coalesce(list_max(list_transform(string_split(content, chr(10)),
+                                                x -> length(x))), 0)::BIGINT
+                   AS max_line_len,
+               length(trim(content, {ws})) < 1 AS r_null_empty,
+               coalesce(list_max(list_transform(string_split(content, chr(10)),
+                                                x -> length(x))), 0) > 1000
+                   AS r_line_len,
+               (length(regexp_replace(content, '[^\\p{{L}}\\p{{N}}]', '', 'g'))::DOUBLE
+                    / greatest(length(content), 1) < 0.25)
+                   AND NOT (length(trim(content, {ws})) < 1) AS r_alnum_ratio,
+               lang NOT IN ('en','zh','de','fr','unknown') AS r_lang_enum
+        FROM {corpus}
+    """
+
+    sql["corpus_rule_hit_counts"] = f"""
+        WITH f AS (
+          SELECT length(trim(content, {ws})) < 1 AS ne,
+                 coalesce(list_max(list_transform(string_split(content, chr(10)),
+                                                  x -> length(x))), 0) > 1000 AS ll,
+                 (length(regexp_replace(content, '[^\\p{{L}}\\p{{N}}]', '', 'g'))::DOUBLE
+                      / greatest(length(content), 1) < 0.25)
+                     AND NOT (length(trim(content, {ws})) < 1) AS ar,
+                 lang NOT IN ('en','zh','de','fr','unknown') AS le
+          FROM {corpus})
+        SELECT rule_id, hits FROM (
+          SELECT 'R_alnum_ratio' AS rule_id,
+                 count(*) FILTER (ar)::BIGINT AS hits FROM f
+          UNION ALL
+          SELECT 'R_lang_enum', count(*) FILTER (le)::BIGINT FROM f
+          UNION ALL
+          SELECT 'R_line_len', count(*) FILTER (ll)::BIGINT FROM f
+          UNION ALL
+          SELECT 'R_null_empty', count(*) FILTER (ne)::BIGINT FROM f)
+        ORDER BY rule_id
+    """
+
+    sql["corpus_reconcile_labels"] = f"""
+        WITH base AS (
+          SELECT repo, path, "commit", content,
+                 length(trim(content, {ws})) < 1 AS null_empty
+          FROM {corpus}),
+        rec AS (
+          SELECT *,
+                 count(*) OVER (PARTITION BY repo, path) AS grp_size,
+                 max("commit") OVER (PARTITION BY repo, path) AS winner
+          FROM base),
+        lab AS (
+          SELECT *,
+                 (grp_size > 1 AND "commit" <> winner) AS r_stale_commit,
+                 CASE WHEN grp_size = 1 THEN 1
+                      WHEN "commit" = winner THEN 4 ELSE 3 END AS status0
+          FROM rec),
+        ded AS (
+          SELECT *,
+                 repo || chr(1) || path || chr(1) || "commit" AS mykey,
+                 min(CASE WHEN NOT r_stale_commit AND NOT null_empty
+                          THEN repo || chr(1) || path || chr(1) || "commit"
+                     END) OVER (PARTITION BY content) AS canon
+          FROM lab)
+        SELECT repo, path, "commit",
+               CASE WHEN NOT r_stale_commit AND NOT null_empty
+                         AND mykey <> canon THEN 2
+                    ELSE status0 END::INTEGER AS matched_status,
+               r_stale_commit,
+               (NOT r_stale_commit AND NOT null_empty AND mykey <> canon)
+                   AS r_exact_dup
+        FROM ded
+    """
+
+    # ---- rule engine over TPC-H ------------------------------------------
+    sql["filter_rule_hits"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               'R_qty_ratio' AS _rule_id, 'P0' AS _severity
+        FROM lineitem
+        WHERE l_quantity >= 45 AND l_discount * 100 >= 5
+    """
+
+    sql["aggregate_rule_having"] = """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity)::BIGINT AS sum_qty,
+               sum(round(l_extendedprice * 100)::BIGINT) AS sum_price_cents,
+               sum(round(l_discount * 100)::BIGINT) AS sum_disc_cents,
+               count(*)::BIGINT AS n
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        HAVING sum(l_quantity) > 100
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+    sql["cross_check_totalprice"] = """
+        SELECT o.o_orderkey,
+               round(o.o_totalprice * 100)::BIGINT AS total_cents,
+               round(o.o_totalprice * 100)::BIGINT - l.s AS diff_cents
+        FROM orders o
+        JOIN (SELECT l_orderkey, sum(round(l_extendedprice * 100)::BIGINT) AS s
+              FROM lineitem GROUP BY l_orderkey) l
+          ON o.o_orderkey = l.l_orderkey
+        WHERE abs(round(o.o_totalprice * 100)::BIGINT - l.s) > 1
+        ORDER BY o.o_orderkey
+    """
+
+    # ---- joins -----------------------------------------------------------
+    sql["customers_without_orders"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey
+    """
+
+    sql["customers_with_orders"] = """
+        SELECT c_custkey, c_nationkey FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        ORDER BY c_custkey
+    """
+
+    sql["customer_nation_lookup"] = """
+        SELECT c_custkey, n_name
+        FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY c_custkey
+    """
+
+    sql["asof_click_view"] = """
+        WITH v AS (
+          SELECT * FROM (
+            SELECT event_id, user_id, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id) AS rn
+            FROM events WHERE event_type = 'view') WHERE rn = 1),
+        c AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click')
+        SELECT c.event_id,
+               coalesce(v.event_id, -1)::BIGINT AS view_id,
+               coalesce(round(v.value * 100)::BIGINT, -1) AS view_value_cents
+        FROM c LEFT JOIN v
+          ON c.user_id = v.user_id AND v.ts <= c.ts
+             AND epoch(c.ts) - epoch(v.ts) <= 600
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                   ORDER BY v.ts DESC NULLS LAST) = 1
+        ORDER BY c.event_id
+    """
+
+    # ---- aggregations / windows ------------------------------------------
+    sql["window_customer_total"] = """
+        SELECT o_orderkey, o_custkey,
+               sum(round(o_totalprice * 100)::BIGINT)
+                   OVER (PARTITION BY o_custkey) AS cust_total_cents
+        FROM orders ORDER BY o_orderkey
+    """
+
+    sql["three_sigma_prices"] = """
+        WITH s AS (SELECT avg(l_extendedprice) AS m,
+                          stddev_samp(l_extendedprice) AS sd,
+                          count(*)::BIGINT AS n FROM lineitem)
+        SELECT s.n AS n,
+               (SELECT count(*)::BIGINT FROM lineitem, s
+                WHERE l_extendedprice < s.m - 3 * s.sd
+                   OR l_extendedprice > s.m + 3 * s.sd) AS n_outliers,
+               ((SELECT count(*)::DOUBLE FROM lineitem, s
+                 WHERE l_extendedprice < s.m - 3 * s.sd
+                    OR l_extendedprice > s.m + 3 * s.sd) / s.n < 0.05)
+                   AS passed
+        FROM s
+    """
+
+    sql["top20_prices"] = """
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+    """
+
+    sql["distinct_flag_status"] = """
+        SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+    sql["order_status_distribution"] = """
+        SELECT o_orderstatus, count(*)::BIGINT AS n FROM orders
+        GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """
+
+    sql["event_gap_breaks"] = """
+        WITH g AS (
+          SELECT user_id,
+                 epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts)) AS gap
+          FROM events)
+        SELECT user_id,
+               count(*) FILTER (abs(gap) > 600)::BIGINT AS n_breaks
+        FROM g GROUP BY user_id ORDER BY user_id
+    """
+
+    sql["consecutive_event_runs"] = """
+        WITH r AS (
+          SELECT user_id, event_id,
+                 event_id - ROW_NUMBER() OVER (PARTITION BY user_id
+                                               ORDER BY event_id) AS island
+          FROM events)
+        SELECT user_id, max(event_id) AS event_id
+        FROM r GROUP BY user_id, island ORDER BY user_id, event_id
+    """
+
+    sql["unpivot_orders"] = """
+        SELECT o_orderkey, attr, value FROM (
+          UNPIVOT (SELECT o_orderkey, o_orderstatus, o_orderpriority
+                   FROM orders)
+          ON o_orderstatus, o_orderpriority INTO NAME attr VALUE value)
+        ORDER BY o_orderkey, attr
+    """
+
+    sql["sessionize_events"] = """
+        WITH g AS (
+          SELECT user_id,
+                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          IS NULL
+                      OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                         ORDER BY ts)) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events)
+        SELECT user_id, sum(new_sess)::BIGINT AS n_sessions
+        FROM g GROUP BY user_id ORDER BY user_id
+    """
+
+    sql["tumbling_hour_counts"] = """
+        SELECT user_id,
+               (floor(epoch(ts))::BIGINT // 3600) * 3600 AS window_start,
+               count(*)::BIGINT AS n,
+               sum(round(value * 100)::BIGINT) AS sum_value_cents
+        FROM events GROUP BY user_id, window_start
+        ORDER BY user_id, window_start
+    """
+
+    # ---- documents -------------------------------------------------------
+    sql["doc_token_stats"] = r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
+               (len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                + len(regexp_extract_all(text, '[^A-Za-z0-9_\s]')))::BIGINT
+                   AS bpe_ish_tokens
+        FROM documents ORDER BY doc_id
+    """
+
+    sql["doc_quality_scores"] = r"""
+        WITH c AS (
+          SELECT doc_id,
+                 length(text)::DOUBLE AS n_chars,
+                 len(regexp_extract_all(text, '[A-Za-z0-9_]+'))::DOUBLE AS n_words,
+                 len(regexp_extract_all(text,
+                     '\b(the|and|of|to|a|in|is|that|for|it)\b'))::DOUBLE AS n_stop,
+                 len(regexp_extract_all(text, '[^A-Za-z0-9_\s]'))::DOUBLE AS n_punct,
+                 length(regexp_replace(text, '[^A-Za-z0-9_]', '', 'g'))::DOUBLE
+                     AS word_chars
+          FROM documents)
+        SELECT doc_id,
+               n_punct / greatest(n_chars, 1.0) AS punct_ratio,
+               n_stop / greatest(n_words, 1.0) AS stopword_ratio,
+               word_chars / greatest(n_words, 1.0) AS mean_word_len,
+               (CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 0.25 ELSE 0 END
+                + CASE WHEN n_punct / greatest(n_chars, 1.0) < 0.3 THEN 0.25 ELSE 0 END
+                + CASE WHEN n_stop / greatest(n_words, 1.0) > 0.01 THEN 0.25 ELSE 0 END
+                + CASE WHEN word_chars / greatest(n_words, 1.0) >= 2
+                        AND word_chars / greatest(n_words, 1.0) <= 12
+                       THEN 0.25 ELSE 0 END)::DOUBLE AS quality_score
+        FROM c ORDER BY doc_id
+    """
+
+    sql["doc_lang_heuristic"] = rf"""
+        WITH c AS (
+          SELECT doc_id, text,
+                 len(regexp_extract_all(text, '{_MARK_EN}')) AS en_c,
+                 len(regexp_extract_all(text, '{_MARK_DE}')) AS de_c,
+                 len(regexp_extract_all(text, '{_MARK_FR}')) AS fr_c
+          FROM documents)
+        SELECT doc_id,
+               CASE WHEN len(regexp_extract_all(text, '\p{{Han}}'))::DOUBLE
+                         / greatest(length(text), 1) > 0.05 THEN 'zh'
+                    WHEN greatest(en_c, de_c, fr_c) < 2 THEN 'unknown'
+                    WHEN en_c >= de_c AND en_c >= fr_c THEN 'en'
+                    WHEN de_c >= fr_c THEN 'de'
+                    ELSE 'fr' END AS heur_lang
+        FROM c ORDER BY doc_id
+    """
+
+    sql["doc_exact_dedup"] = """
+        SELECT min(doc_id)::BIGINT AS doc_id FROM documents
+        GROUP BY text ORDER BY doc_id
+    """
+
+    # ---- embeddings ------------------------------------------------------
+    sql["embedding_topk"] = """
+        SELECT a.vec_id AS query_id, b.vec_id,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 5) AS cosine
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id < 5
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY a.vec_id
+            ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]) DESC,
+                     b.vec_id) <= 10
+        ORDER BY query_id, b.vec_id
+    """
+
+    return sql

@@ -40,7 +40,7 @@ from ..stages.scrubber import scrub_kernel
 SLIM_COLUMNS = ["repo", "path", "commit", "sha_pre", "r_null_empty"]
 
 RESULT_COLUMNS = [
-    "repo", "path", "commit", "lang", "content", "content_sha256",
+    "repo", "path", "commit", "lang", "content", "sha_pre", "content_sha256",
     "char_len", "alnum_ratio", "heur_lang", "langid_lang", "langid_score",
     "perplexity", "scrub_hits", "matched_status", "group_conflict",
     "r_null_empty", "r_line_len", "r_alnum_ratio", "r_lang_enum",

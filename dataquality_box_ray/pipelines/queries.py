@@ -1,0 +1,536 @@
+"""Driver-facing query battery: one callable per operator family.
+
+Every callable takes ``sf_dir`` (a /root/testdata/sf* directory) and returns a
+small pandas DataFrame or a Ray Dataset. Each has a DuckDB oracle in
+``oracles.py`` under the same key (or is rows-only where SQL can't express the
+op). Column names/types match the oracle exactly; float-valued outputs either
+derive from integer arithmetic (price *cents* sums) or are identical IEEE
+operations on both sides, so the driver's value-hash comparison is stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .. import config
+from ..corpus import corpus_path
+from ..ops import aggregates as agg
+from ..ops import dedup, joins, similarity, text
+from ..ops.two_tier import two_tier_match
+from ..rules.engine import Rule, grouped_aggregate, run_filter_rule
+from ..stages.heuristics import heuristics_kernel
+from ..stages.reconcile import ApplyReconcileLabels, compute_label_tables
+from . import quality_filter as qf
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(x):
+    """round-half-away price→cents, matching DuckDB's round()."""
+    return np.floor(np.abs(x) * 100 + 0.5).astype(np.int64) * np.sign(x).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# corpus pipeline queries
+# ---------------------------------------------------------------------------
+
+def corpus_heuristics(sf_dir: str) -> "ray.data.Dataset":
+    """Fused heuristic rule flags over the synthetic corpus (M3-M5 analogue)."""
+    path = corpus_path(sf_dir)
+    ds = ray.data.read_parquet(path)
+    ds = ds.map_batches(heuristics_kernel, batch_format="pyarrow",
+                        batch_size=config.DEFAULT_BATCH_SIZE)
+    return ds.select_columns(["repo", "path", "commit", "char_len",
+                              "max_line_len", "r_null_empty", "r_line_len",
+                              "r_alnum_ratio", "r_lang_enum"])
+
+
+def corpus_rule_hit_counts(sf_dir: str) -> pd.DataFrame:
+    """Per-rule hit counts (the reference's rule-results scoreboard,
+    report_writer.py:106-171)."""
+    ds = corpus_heuristics(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({r: [pc.sum(pc.cast(t[f"r_{r}"], pa.int64())).as_py() or 0]
+                         for r in ("null_empty", "line_len", "alnum_ratio",
+                                   "lang_enum")})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    out = pd.DataFrame({"rule_id": [f"R_{k}" for k in parts.index],
+                        "hits": parts.to_numpy(dtype=np.int64)})
+    return out.sort_values("rule_id").reset_index(drop=True)
+
+
+def corpus_reconcile_labels(sf_dir: str) -> "ray.data.Dataset":
+    """Reconciliation + exact-dedup labels over corpus keys — the model-free
+    part of the flagship (groupby over repo+path, sha dedup)."""
+    path = corpus_path(sf_dir)
+    ds = ray.data.read_parquet(path)
+    scored = ds.map_batches(heuristics_kernel, batch_format="pyarrow",
+                            batch_size=config.DEFAULT_BATCH_SIZE)
+    slim = scored.select_columns(qf.SLIM_COLUMNS)
+    labels_pdf, losers_pdf = compute_label_tables(slim, n_buckets=32)
+    import ray as _ray
+    labeled = slim.map_batches(
+        ApplyReconcileLabels, batch_format="pandas",
+        batch_size=config.DEFAULT_BATCH_SIZE, concurrency=(1, 4),
+        fn_constructor_args=(_ray.put(labels_pdf), _ray.put(losers_pdf)))
+    return labeled.select_columns(["repo", "path", "commit", "matched_status",
+                                   "r_stale_commit", "r_exact_dup"])
+
+
+def corpus_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Flagship end-to-end (rows-only check: langid/perplexity actor pools are
+    not SQL-expressible). Returns the slim label table."""
+    import tempfile
+    path = corpus_path(sf_dir)
+    with tempfile.TemporaryDirectory(prefix="qf_query_") as work:
+        ds = qf.quality_filter_dataset(path, work, n_buckets=32)
+        out = ds.select_columns(
+            ["repo", "path", "commit", "keep", "severity", "matched_status",
+             "langid_lang", "content_sha256", "scrub_hits"]).to_pandas()
+    return out
+
+
+def corpus_scoreboard(sf_dir: str) -> pd.DataFrame:
+    """Run-level scoreboard (rows-only; A9/A10 analogue)."""
+    import tempfile
+    path = corpus_path(sf_dir)
+    with tempfile.TemporaryDirectory(prefix="qf_sb_") as work:
+        ds = qf.quality_filter_dataset(path, work, n_buckets=32)
+        sb = qf.scoreboard(ds)
+    return pd.DataFrame([sb])
+
+
+# ---------------------------------------------------------------------------
+# rule engine over TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def filter_rule_hits(sf_dir: str) -> "ray.data.Dataset":
+    """M3 predicate rule with M4 pre-compute, YAML-defined."""
+    rule = Rule.from_dict({
+        "meta": {"rule_id": "R_qty_ratio", "severity": "P0"},
+        "target_entity": "lineitem",
+        "logic": {"type": "filter",
+                  "pre_compute": [{
+                      "name": "disc_cents",
+                      "expr": "col('l_discount') * lit(100)"}],
+                  "predicate": "(col('l_quantity') >= lit(45)) & "
+                               "(col('disc_cents') >= lit(5))"}})
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"])
+    hits = run_filter_rule(ds, rule)
+    return hits.map_batches(
+        lambda df: df[["l_orderkey", "l_linenumber", "l_quantity", "_rule_id",
+                       "_severity"]],
+        batch_format="pandas")
+
+
+def aggregate_rule_having(sf_dir: str) -> pd.DataFrame:
+    """A3 GROUP BY + HAVING via partial/combiner aggregation."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        price_cents = pa.array(_cents(t["l_extendedprice"].to_numpy()))
+        disc_cents = pa.array(_cents(t["l_discount"].to_numpy()))
+        return (t.append_column("price_cents", price_cents)
+                 .append_column("disc_cents", disc_cents))
+
+    ds = ds.map_batches(pre, batch_format="pyarrow")
+    out = grouped_aggregate(ds, ["l_returnflag", "l_linestatus"], [
+        {"name": "sum_qty", "agg": "sum", "col": "l_quantity"},
+        {"name": "sum_price_cents", "agg": "sum", "col": "price_cents"},
+        {"name": "sum_disc_cents", "agg": "sum", "col": "disc_cents"},
+        {"name": "n", "agg": "count"},
+    ])
+    out = out[out["sum_qty"] > 100]
+    out["sum_qty"] = out["sum_qty"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_price_cents"] = out["sum_price_cents"].astype(np.int64)
+    out["sum_disc_cents"] = out["sum_disc_cents"].astype(np.int64)
+    return (out.sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+
+
+def cross_check_totalprice(sf_dir: str) -> pd.DataFrame:
+    """J8/three-way analogue: o_totalprice vs recomputed lineitem sum in exact
+    integer cents; violations where |diff| > 1 cent."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "price_cents", pa.array(_cents(t["l_extendedprice"].to_numpy())))
+
+    rec = grouped_aggregate(li.map_batches(pre, batch_format="pyarrow"),
+                            ["l_orderkey"],
+                            [{"name": "recomputed_cents", "agg": "sum",
+                              "col": "price_cents"}])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    joined = joins.broadcast_lookup_join(
+        orders, rec, "o_orderkey", "l_orderkey", ["recomputed_cents"])
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["recomputed_cents"].notna()].copy()
+        df["total_cents"] = _cents(df["o_totalprice"].to_numpy())
+        df["diff_cents"] = (df["total_cents"]
+                            - df["recomputed_cents"].astype(np.int64))
+        return df.loc[df["diff_cents"].abs() > 1,
+                      ["o_orderkey", "total_cents", "diff_cents"]]
+
+    out = joined.map_batches(flag, batch_format="pandas").to_pandas()
+    out["diff_cents"] = out["diff_cents"].astype(np.int64)
+    out["total_cents"] = out["total_cents"].astype(np.int64)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """J1 anti-join completeness."""
+    res = joins.completeness_check(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"]),
+        _read(sf_dir, "orders", ["o_custkey"]),
+        "c_custkey", source_on="o_custkey")
+    out = res["missing_ds"].to_pandas()
+    if "c_custkey" not in out.columns:        # empty result → schema lost
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
+                            "c_name": pd.Series([], dtype=str)})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def customers_with_orders(sf_dir: str) -> pd.DataFrame:
+    """J7/D3 broadcast semi-join."""
+    orders_keys = set(_read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    out = joins.broadcast_semi_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        orders_keys, "c_custkey").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def customer_nation_lookup(sf_dir: str) -> pd.DataFrame:
+    """J9 chained-adapter broadcast lookup join."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    out = joins.broadcast_lookup_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        nation, "c_nationkey", "n_nationkey", ["n_name"]).to_pandas()
+    return (out[["c_custkey", "n_name"]]
+            .sort_values("c_custkey").reset_index(drop=True))
+
+
+def asof_click_view(sf_dir: str) -> pd.DataFrame:
+    """J4 as-of join: for each click, the most recent view of the same user
+    within 600 s (backward asof; right side deduped on (user, ts) by min id
+    for a deterministic oracle)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type",
+                                  "value"])
+    clicks = ev.map_batches(lambda df: df[df.event_type == "click"]
+                            [["event_id", "user_id", "ts"]],
+                            batch_format="pandas")
+    views = ev.map_batches(lambda df: df[df.event_type == "view"]
+                           [["event_id", "user_id", "ts", "value"]],
+                           batch_format="pandas")
+    views_pdf = views.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    views_pdf = views_pdf[~views_pdf.duplicated(["user_id", "ts"], keep="first")]
+    vds = ray.data.from_pandas(views_pdf.reset_index(drop=True)
+                               .rename(columns={"event_id": "view_id"}))
+    out = joins.asof_join(clicks, vds, by="user_id", on="ts",
+                          tolerance=pd.Timedelta(seconds=600),
+                          direction="backward").to_pandas()
+    res = out[["event_id", "view_id_r", "value_r"]].rename(
+        columns={"view_id_r": "view_id", "value_r": "view_value_cents"})
+    # unmatched → -1 sentinels (int-stable for the value-hash; avoids NaN/NULL
+    # ambiguity between pandas and SQL)
+    res["view_id"] = res["view_id"].astype("float64").fillna(-1).astype(np.int64)
+    vc = res["view_value_cents"].astype("float64")
+    res["view_value_cents"] = np.where(vc.isna(), -1, _cents(vc.fillna(0.0)
+                                                             .to_numpy()))
+    res["view_value_cents"] = res["view_value_cents"].astype(np.int64)
+    res["event_id"] = res["event_id"].astype(np.int64)
+    return res.sort_values("event_id").reset_index(drop=True)
+
+
+def two_tier_events(sf_dir: str) -> pd.DataFrame:
+    """Two-tier reconciliation on event-shaped sides (rows-only: the
+    contention/keep-first semantics are iterative, not SQL-expressible).
+    Returns the matched-status distribution."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def mk_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.event_type == "purchase"]
+        return pd.DataFrame({
+            "key": df.event_id, "group": df.user_id.astype(str),
+            "t_start": df.ts, "t_end": df.ts,
+            "big_item": pd.Series(["x"] * len(df), index=df.index),
+            "small_items": pd.Series([["x"]] * len(df), index=df.index,
+                                     dtype=object)})
+
+    def mk_right(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.event_type == "click"]
+        return pd.DataFrame({
+            "id": df.event_id, "group": df.user_id.astype(str), "t": df.ts,
+            "item1": pd.Series(["x"] * len(df), index=df.index),
+            "item2": pd.Series([None] * len(df), index=df.index, dtype=object),
+            "item3": pd.Series([None] * len(df), index=df.index, dtype=object)})
+
+    left = ev.map_batches(mk_left, batch_format="pandas")
+    right = ev.map_batches(mk_right, batch_format="pandas")
+    out = two_tier_match(left, right, strict_tol_s=300,
+                         loose_tol_s=3600).to_pandas()
+    dist = (out.groupby("matched_status").size().rename("n").reset_index())
+    dist["matched_status"] = dist["matched_status"].astype(np.int64)
+    dist["n"] = dist["n"].astype(np.int64)
+    return dist.sort_values("matched_status").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# aggregations / windows / ordering
+# ---------------------------------------------------------------------------
+
+def window_customer_total(sf_dir: str) -> pd.DataFrame:
+    """A5 group-broadcast aggregate."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.append_column("price_cents",
+                               pa.array(_cents(t["o_totalprice"].to_numpy())))
+
+    ds = orders.map_batches(pre, batch_format="pyarrow")
+    out = agg.window_aggregate(ds, "o_custkey", [
+        {"name": "cust_total_cents", "agg": "sum", "col": "price_cents"}]) \
+        .to_pandas()
+    out = out[["o_orderkey", "o_custkey", "cust_total_cents"]]
+    out["cust_total_cents"] = out["cust_total_cents"].astype(np.int64)
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def three_sigma_prices(sf_dir: str) -> pd.DataFrame:
+    """O7 3σ outlier detection — counts only (integer-stable)."""
+    res = agg.three_sigma_outliers(_read(sf_dir, "lineitem",
+                                         ["l_extendedprice"]),
+                                   "l_extendedprice")
+    return pd.DataFrame({"n": [np.int64(res["n"])],
+                         "n_outliers": [np.int64(res["n_outliers"])],
+                         "passed": [bool(res["passed"])]})
+
+
+def top20_prices(sf_dir: str) -> pd.DataFrame:
+    """O3 top-k with explicit tie-break."""
+    out = agg.top_k(_read(sf_dir, "lineitem",
+                          ["l_orderkey", "l_linenumber", "l_extendedprice"]),
+                    "l_extendedprice", 20, ["l_orderkey", "l_linenumber"])
+    return out[["l_orderkey", "l_linenumber", "l_extendedprice"]]
+
+
+def distinct_flag_status(sf_dir: str) -> pd.DataFrame:
+    """D1 distinct pairs (via the combiner groupby, no raw-row shuffle)."""
+    out = grouped_aggregate(_read(sf_dir, "lineitem",
+                                  ["l_returnflag", "l_linestatus"]),
+                            ["l_returnflag", "l_linestatus"],
+                            [{"name": "n", "agg": "count"}])
+    out = out[["l_returnflag", "l_linestatus"]]
+    return (out.sort_values(["l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+
+
+def order_status_distribution(sf_dir: str) -> pd.DataFrame:
+    """A8 status distribution."""
+    d = agg.status_distribution(_read(sf_dir, "orders", ["o_orderstatus"]),
+                                "o_orderstatus")
+    out = pd.DataFrame({"o_orderstatus": list(d), "n": list(d.values())})
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def event_gap_breaks(sf_dir: str) -> pd.DataFrame:
+    """O5/O6 lag + chain continuity: per user, count of >600 s gaps between
+    consecutive events."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+    chained = agg.chain_continuity(ds, "user_id", "ts", "ts", 600.0)
+    out = grouped_aggregate(
+        chained.map_batches(
+            lambda df: df.assign(brk=df["chain_break"].astype(np.int64)),
+            batch_format="pandas"),
+        ["user_id"], [{"name": "n_breaks", "agg": "sum", "col": "brk"}])
+    out["n_breaks"] = out["n_breaks"].astype(np.int64)
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def consecutive_event_runs(sf_dir: str) -> pd.DataFrame:
+    """M14 consecutive-run filter: last event_id of each adjacent-id run."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+    out = agg.consecutive_runs_keep_last(ds, "user_id", "event_id").to_pandas()
+    out = out[["user_id", "event_id"]].astype(np.int64)
+    return out.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def unpivot_orders(sf_dir: str) -> pd.DataFrame:
+    """M10 wide→long."""
+    out = agg.unpivot(_read(sf_dir, "orders",
+                            ["o_orderkey", "o_orderstatus", "o_orderpriority"]),
+                      ["o_orderkey"], ["o_orderstatus", "o_orderpriority"]) \
+        .to_pandas()
+    return out.sort_values(["o_orderkey", "attr"]).reset_index(drop=True)
+
+
+def sessionize_events(sf_dir: str) -> pd.DataFrame:
+    """Session windows (30-min inactivity gap) per user — the micro-batch
+    streaming analogue (SURVEY.md §2.9): groupby(user).map_groups over
+    ts-sorted groups."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        gap = df.groupby("user_id", sort=False)["ts"].diff()
+        new_sess = gap.isna() | (gap > pd.Timedelta(minutes=30))
+        df["n_sessions"] = new_sess
+        out = df.groupby("user_id", sort=False)["n_sessions"].sum().reset_index()
+        return out
+
+    parts = agg._bucketed_groups(ds, "user_id", fn, 16).to_pandas()
+    parts["n_sessions"] = parts["n_sessions"].astype(np.int64)
+    parts["user_id"] = parts["user_id"].astype(np.int64)
+    return parts.sort_values("user_id").reset_index(drop=True)
+
+
+def tumbling_hour_counts(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-h event-time windows per user (streaming window analogue):
+    row-local window assignment + combiner groupby — no per-key shuffle of raw
+    rows."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        epoch = (df["ts"] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+        df["window_start"] = (epoch // 3600) * 3600
+        df["value_cents"] = _cents(df["value"].to_numpy())
+        return df[["user_id", "window_start", "value_cents"]]
+
+    out = grouped_aggregate(ds.map_batches(pre, batch_format="pandas"),
+                            ["user_id", "window_start"],
+                            [{"name": "n", "agg": "count"},
+                             {"name": "sum_value_cents", "agg": "sum",
+                              "col": "value_cents"}])
+    for c in ("user_id", "window_start", "n", "sum_value_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# documents / text analysis
+# ---------------------------------------------------------------------------
+
+def doc_token_stats(sf_dir: str) -> pd.DataFrame:
+    out = text.token_stats(_read(sf_dir, "documents", ["doc_id", "text"])) \
+        .to_pandas()
+    out = out[["doc_id", "ws_tokens", "bpe_ish_tokens"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_quality_scores(sf_dir: str) -> pd.DataFrame:
+    out = text.quality_scores(_read(sf_dir, "documents", ["doc_id", "text"])) \
+        .to_pandas()
+    out = out[["doc_id", "punct_ratio", "stopword_ratio", "mean_word_len",
+               "quality_score"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_lang_heuristic(sf_dir: str) -> pd.DataFrame:
+    from ..stages.heuristics import content_lang_heuristic
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        heur = content_lang_heuristic(pc.fill_null(txt, ""))
+        return pa.table({"doc_id": t["doc_id"],
+                         "heur_lang": pa.array(heur, type=pa.string())})
+
+    out = ds.map_batches(fn, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    out = dedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                            "text", "doc_id").to_pandas()
+    out = out[["doc_id"]].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup dedup (rows-only: sketch algebra not in SQL)."""
+    kept = dedup.minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                               "text", "doc_id", threshold=0.9)
+    out = kept.to_pandas()[["doc_id"]].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup candidate pairs (rows-only)."""
+    pairs = dedup.simhash_candidates(
+        _read(sf_dir, "documents", ["doc_id", "text"]), "text", "doc_id")
+    if len(pairs):
+        pairs = pairs.astype({"id_a": np.int64, "id_b": np.int64})
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Rolling-hash fingerprints (rows-only)."""
+    out = text.fingerprints(_read(sf_dir, "documents", ["doc_id", "text"])) \
+        .to_pandas()
+    return (out[["doc_id", "fingerprint"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# embeddings / similarity
+# ---------------------------------------------------------------------------
+
+def embedding_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 for query vectors vec_id 0..4."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (ds.map_batches(lambda df: df[df.vec_id < 5], batch_format="pandas")
+           .to_pandas().sort_values("vec_id"))
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = similarity.brute_force_topk(ds, "embedding", "vec_id", queries, k=10)
+    out["query_id"] = qdf["vec_id"].to_numpy()[out["query_id"].to_numpy()]
+    out["cosine"] = out["cosine"].round(5)
+    out = out.astype({"query_id": np.int64, "vec_id": np.int64})
+    return (out.sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+
+
+def embedding_lsh_topk(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed approximate top-k (rows-only; recall/probe trade-off)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (ds.map_batches(lambda df: df[df.vec_id < 5], batch_format="pandas")
+           .to_pandas().sort_values("vec_id"))
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = similarity.lsh_topk(ds, "embedding", "vec_id", queries, k=10,
+                              n_planes=8, probe_hamming=2)
+    out["query_id"] = qdf["vec_id"].to_numpy()[out["query_id"].to_numpy()]
+    out["cosine"] = out["cosine"].round(5)
+    out = out.astype({"query_id": np.int64, "vec_id": np.int64})
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
+def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs at 0.99 (rows-only)."""
+    pairs = dedup.embedding_near_dup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        "embedding", "vec_id", threshold=0.99, n_planes=8)
+    pairs = pairs[["id_a", "id_b"]]
+    if len(pairs):
+        pairs = pairs.astype({"id_a": np.int64, "id_b": np.int64})
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)

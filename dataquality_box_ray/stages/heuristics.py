@@ -65,6 +65,26 @@ def max_line_lengths(content: pa.Array) -> np.ndarray:
     return out
 
 
+def content_lang_heuristic(content: pa.Array) -> np.ndarray:
+    """Content-derived language view (third leg of the three-way cross-check):
+    CJK-char ratio > 5% → zh; else argmax of marker-word counts (first max
+    wins on ties, order en→de→fr); fewer than 2 markers → unknown.
+    Fully vectorized RE2 count kernels."""
+    n = len(content)
+    han = pc.count_substring_regex(content, _HAN_RE).to_numpy(zero_copy_only=False)
+    clen = pc.utf8_length(content).to_numpy(zero_copy_only=False).astype(np.float64)
+    marker = np.zeros((len(_MARKERS), n), dtype=np.int64)
+    langs = list(_MARKERS)
+    for i, lg in enumerate(langs):
+        marker[i] = pc.count_substring_regex(content, _MARKERS[lg]).to_numpy(zero_copy_only=False)
+    best = marker.argmax(axis=0)
+    best_cnt = marker.max(axis=0)
+    heur = np.array(langs, dtype=object)[best]
+    heur[best_cnt < 2] = "unknown"
+    heur[han / np.maximum(clen, 1.0) > 0.05] = "zh"
+    return heur
+
+
 def heuristics_kernel(batch: pa.Table) -> pa.Table:
     """Append char_len, alnum_ratio, heur_lang, sha_pre and rule flags.
 
@@ -91,19 +111,7 @@ def heuristics_kernel(batch: pa.Table) -> pa.Table:
     lang = pc.fill_null(batch["lang"], "")
     r_lang_enum = pc.invert(pc.is_in(lang, value_set=pa.array(sorted(config.LANG_ENUM))))
 
-    # content-derived language (vectorized marker counting)
-    n = len(content)
-    han = pc.count_substring_regex(content, _HAN_RE).to_numpy(zero_copy_only=False)
-    clen = char_len.to_numpy(zero_copy_only=False).astype(np.float64)
-    marker = np.zeros((len(_MARKERS), n), dtype=np.int64)
-    langs = list(_MARKERS)
-    for i, lg in enumerate(langs):
-        marker[i] = pc.count_substring_regex(content, _MARKERS[lg]).to_numpy(zero_copy_only=False)
-    best = marker.argmax(axis=0)
-    best_cnt = marker.max(axis=0)
-    heur = np.array(langs, dtype=object)[best]
-    heur[best_cnt < 2] = "unknown"
-    heur[han / np.maximum(clen, 1.0) > 0.05] = "zh"
+    heur = content_lang_heuristic(content)
 
     return (batch
             .append_column("char_len", pc.cast(char_len, pa.int64()))

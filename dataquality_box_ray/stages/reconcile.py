@@ -41,7 +41,7 @@ import ray
 
 from .. import config
 
-SEP = "\x00"
+SEP = "\x01"  # NB: pandas Series str-concat silently DROPS "\x00"; \x01 survives
 
 
 def _key_series(df: pd.DataFrame) -> pd.Series:

@@ -1,0 +1,127 @@
+"""Local driver-mimic: run every queries() entry at sf0.01 side by side with
+its DuckDB oracle; compare row count, column-name set, and an
+order-insensitive value hash (columns sorted by name, rows sorted).
+
+Usage: python scripts/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import ray
+
+SF = "/root/testdata/sf0.01"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def to_pandas(res) -> pd.DataFrame:
+    if isinstance(res, pd.DataFrame):
+        return res
+    try:
+        import pyarrow as pa
+        if isinstance(res, pa.Table):
+            return res.to_pandas()
+    except ImportError:
+        pass
+    return res.to_pandas()   # Ray Dataset
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == bool or str(df[c].dtype) == "boolean":
+            df[c] = df[c].astype(bool)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype("int64")
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].astype("float64").round(9)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main(only: list[str]) -> int:
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    DataContext.get_current().enable_tensor_extension_casting = False
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF}/{t}.parquet')")
+
+    qs = e.queries()
+    sqls = e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            got = to_pandas(fn(SF))
+        except Exception as ex:
+            print(f"FAIL {name}: query raised {type(ex).__name__}: {ex}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        if name not in sqls:
+            print(f"ok   {name}: rows={len(got)} (rows-only) [{dt:.1f}s]")
+            if len(got) == 0 and name != "doc_simhash_pairs":
+                print(f"WARN {name}: empty result")
+            continue
+        try:
+            exp = con.execute(sqls[name]).fetchdf()
+        except Exception as ex:
+            print(f"FAIL {name}: oracle SQL raised {ex}")
+            failures += 1
+            continue
+        g, x = canon(got), canon(exp)
+        if set(g.columns) != set(x.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(x.columns)}")
+            failures += 1
+            continue
+        if len(g) != len(x):
+            print(f"FAIL {name}: rows {len(g)} vs {len(x)}")
+            failures += 1
+            continue
+        same = True
+        for c in g.columns:
+            a, b = g[c], x[c]
+            if np.issubdtype(a.dtype, np.floating):
+                eq = np.allclose(a, b, rtol=0, atol=1e-9, equal_nan=True)
+            else:
+                eq = (a == b).all()
+            if not eq:
+                bad = (a != b) if not np.issubdtype(a.dtype, np.floating) \
+                    else ~np.isclose(a, b, rtol=0, atol=1e-9, equal_nan=True)
+                i = int(np.argmax(bad.to_numpy()))
+                print(f"FAIL {name}: column {c} differs; first at row {i}: "
+                      f"{a.iloc[i]!r} vs {b.iloc[i]!r}")
+                same = False
+                break
+        if same:
+            print(f"ok   {name}: rows={len(g)} MATCH [{dt:.1f}s]")
+        else:
+            failures += 1
+    print(f"\n{failures} failures")
+    ray.shutdown()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

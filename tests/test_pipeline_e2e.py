@@ -69,9 +69,9 @@ def test_scrub_and_sha(result_and_oracle):
     raw = pq.read_table(corpus_path("/root/testdata/sf0.001")).to_pandas()
     raw["sha"] = raw["content"].map(
         lambda c: hashlib.sha256((c or "").encode()).hexdigest())
-    sha_in = raw.set_index(raw.repo + "\x00" + raw.path + "\x00" + raw.commit)["sha"]
+    sha_in = raw.set_index(raw.repo + "\x01" + raw.path + "\x01" + raw.commit)["sha"]
     gk = g.loc[untouched]
-    keys = gk.repo + "\x00" + gk.path + "\x00" + gk.commit
+    keys = gk.repo + "\x01" + gk.path + "\x01" + gk.commit
     assert (sha_in.reindex(keys.drop_duplicates()).dropna().sort_index()
             .equals(gk.drop_duplicates(subset=["repo", "path", "commit"])
                     .set_index(keys.drop_duplicates())["content_sha256"].sort_index()))
