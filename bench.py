@@ -43,6 +43,17 @@ def run_bench() -> dict:
     import pathlib
     for f in pathlib.Path(corpus).glob("*.parquet"):
         pq.read_table(f)
+    # warm the Ray worker pool: first heavy execution otherwise pays a
+    # num_cpus-wide python-worker spawn + import storm (~20-40 s once per
+    # process) that a long-running cluster job amortizes to zero
+    import time as _t
+
+    def _warm(df):
+        _t.sleep(0.3)
+        return df
+
+    ray.data.range(num_cpus * 2, override_num_blocks=num_cpus * 2) \
+        .map_batches(_warm, batch_format="pandas").count()
 
     n_files = rows_for_sf_dir(sf_dir)
     t0 = time.time()

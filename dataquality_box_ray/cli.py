@@ -1,0 +1,64 @@
+"""CLI entrypoint — the `ray job submit` surface of the engine.
+
+On a real cluster:
+    ray job submit --working-dir . -- python -m dataquality_box_ray.cli run \
+        --input /data/corpus --out /data/run1 --partitions 64
+
+In this sandbox Ray runs local-mode; the same entrypoint works with
+``--num-cpus``. The job is resumable: re-submitting with the same --out
+skips committed partitions (pipelines/manifest.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="dataquality_box_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    run = sub.add_parser("run", help="run the corpus quality filter")
+    run.add_argument("--input", required=True, help="input Parquet directory")
+    run.add_argument("--out", required=True, help="output/checkpoint directory")
+    run.add_argument("--partitions", type=int, default=1)
+    run.add_argument("--no-resume", action="store_true")
+    run.add_argument("--buckets", type=int, default=None)
+    run.add_argument("--num-cpus", type=int, default=None,
+                     help="local-mode only; on a cluster omit this")
+
+    args = ap.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        kw = {"include_dashboard": False, "ignore_reinit_error": True,
+              "logging_level": "ERROR"}
+        if args.num_cpus:
+            kw["num_cpus"] = args.num_cpus
+            kw["address"] = "local"
+        ray.init(**kw)
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+
+    from . import config
+    from .pipelines.manifest import run_quality_filter
+
+    manifest = run_quality_filter(
+        args.input, args.out, partitions=args.partitions,
+        resume=not args.no_resume,
+        n_buckets=args.buckets or config.RECONCILE_BUCKETS)
+    total = sum(e["rows"] for e in manifest["partitions"].values())
+    kept = sum(e["kept"] for e in manifest["partitions"].values())
+    print(json.dumps({"partitions": len(manifest["partitions"]),
+                      "rows": total, "kept": kept,
+                      "keep_rate": round(kept / total, 4) if total else 0.0}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

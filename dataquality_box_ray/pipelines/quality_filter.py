@@ -59,14 +59,25 @@ def scored_dataset(input_path: str | list[str],
                    scorer_batch_size: int = config.SCORER_BATCH_SIZE,
                    ) -> "ray.data.Dataset":
     """Pass 1: row-local scoring (heuristics + actor-pool models)."""
+    from ..corpus import training_text
+    from ..stages import ngram
+    from ..stages.langid import build_tables
+
     ds = ray.data.read_parquet(input_path)
     ds = ds.map_batches(heuristics_kernel, batch_format="pyarrow",
                         batch_size=batch_size)
     conc = _scorer_concurrency()
+    # build the models ONCE on the driver, broadcast via the object store —
+    # actors fetch a ref instead of re-deriving the tables (per-actor builds
+    # serialize pool spin-up and waste cpus × build_time)
+    langid_ref = ray.put(build_tables())
+    ppl_ref = ray.put(ngram.CondTrigramLM(training_text()))
     ds = ds.map_batches(LangIdScorer, batch_format="pyarrow",
-                        batch_size=scorer_batch_size, concurrency=conc)
+                        batch_size=scorer_batch_size, concurrency=conc,
+                        fn_constructor_args=(langid_ref,))
     ds = ds.map_batches(PerplexityScorer, batch_format="pyarrow",
-                        batch_size=scorer_batch_size, concurrency=conc)
+                        batch_size=scorer_batch_size, concurrency=conc,
+                        fn_constructor_args=(ppl_ref,))
     return ds
 
 

@@ -35,16 +35,27 @@ MAX_CHARS = 1000   # per-row cost bound: score at most this many chars
 _COUNT_CAP = 200   # softmax sharpness cap
 
 
+def build_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(l3, l2) stacked log tables for all languages — deterministic."""
+    l3, l2 = [], []
+    for lg in LANGS:
+        lm = ngram.CondTrigramLM(lang_content_text(lg))
+        l3.append(lm.l3)
+        l2.append(lm.l2)
+    return np.stack(l3), np.stack(l2)
+
+
 class LangIdScorer:
-    def __init__(self) -> None:
+    def __init__(self, tables_ref=None) -> None:
+        """tables_ref: optional ray.put((l3, l2)) — build the model once on
+        the driver and broadcast it, instead of per-actor construction (the
+        reference's load-once client pattern, plus Ray's broadcast idiom)."""
         self.langs = list(LANGS)
-        l3, l2 = [], []
-        for lg in self.langs:
-            lm = ngram.CondTrigramLM(lang_content_text(lg))
-            l3.append(lm.l3)
-            l2.append(lm.l2)
-        self.l3 = np.stack(l3)     # (n_langs, N_BUCKETS)
-        self.l2 = np.stack(l2)
+        if tables_ref is not None:
+            import ray
+            self.l3, self.l2 = ray.get(tables_ref)
+        else:
+            self.l3, self.l2 = build_tables()
 
     def predict(self, text: str) -> tuple[str, float]:
         tri, pre = ngram.tri_and_prefix_codes(text or "", MAX_CHARS)

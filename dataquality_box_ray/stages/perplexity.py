@@ -30,8 +30,14 @@ MAX_CHARS = 4000   # per-row cost bound
 
 
 class PerplexityScorer:
-    def __init__(self) -> None:
-        self.lm = ngram.CondTrigramLM(training_text())
+    def __init__(self, lm_ref=None) -> None:
+        """lm_ref: optional ray.put(CondTrigramLM) — driver-built, broadcast
+        once per node instead of per-actor construction."""
+        if lm_ref is not None:
+            import ray
+            self.lm = ray.get(lm_ref)
+        else:
+            self.lm = ngram.CondTrigramLM(training_text())
 
     def score(self, text: str) -> float:
         tri, pre = ngram.tri_and_prefix_codes(text or "", MAX_CHARS)
