@@ -292,14 +292,18 @@ def rows_for_sf_dir(sf_dir: str) -> int:
     return _SF_ROWS.get(sf, 20_000)
 
 
-def corpus_path(sf_dir: str, seed: int = 42, n_files: int = 8) -> str:
+def corpus_path(sf_dir: str, seed: int = 42, n_files: int | None = None) -> str:
     """Materialize (once) and return the Parquet directory for this scale.
 
-    Written as `n_files` part files so the Ray read parallelizes and the
-    checkpointed pipeline has multiple input fragments to partition over.
+    Written as many part files with small row groups so the Ray read produces
+    enough blocks to keep every core busy (a map stage's parallelism is
+    bounded by its input block count) and the checkpointed pipeline has
+    fragments to partition over.
     """
     n_rows = rows_for_sf_dir(sf_dir)
-    out = pathlib.Path(CACHE_ROOT) / f"n{n_rows}_s{seed}"
+    if n_files is None:
+        n_files = min(64, max(8, n_rows // 3000))
+    out = pathlib.Path(CACHE_ROOT) / f"n{n_rows}_s{seed}_f{n_files}"
     done = out / "_SUCCESS"
     if done.exists():
         return str(out)
@@ -314,7 +318,8 @@ def corpus_path(sf_dir: str, seed: int = 42, n_files: int = 8) -> str:
     for f in range(n_files):
         part = tbl.slice(f * step, step)
         if part.num_rows:
-            pq.write_table(part, tmp / f"part-{f:05d}.parquet", compression="zstd")
+            pq.write_table(part, tmp / f"part-{f:05d}.parquet",
+                           compression="zstd", row_group_size=4096)
     os.makedirs(out.parent, exist_ok=True)
     tmp.rename(out)
     (out / "_SUCCESS").touch()

@@ -89,20 +89,31 @@ class MinHasher:
         return v.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        """Explode each doc to (band, band_hash, id) rows — the slim LSH table."""
-        out_band, out_hash, out_id = [], [], []
+        """Explode each doc to (band, band_hash, id) rows — the slim LSH table.
+
+        Vectorized across the WHOLE batch: one (num_perm × total_shingles)
+        affine transform over the concatenated shingle stream, then per-doc
+        minima via np.minimum.reduceat at the doc offsets — no per-doc loop in
+        the heavy math."""
+        shingle_lists = [_shingle_hashes(t or "", self.k)
+                         for t in df[self.text_col]]
+        counts = np.array([len(s) for s in shingle_lists])
+        n = len(df)
+        sigs = np.zeros((n, self.num_perm), dtype=np.uint64)
+        nonempty = counts > 0
+        if nonempty.any():
+            sh = np.concatenate([s for s in shingle_lists if len(s)])
+            v = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _P
+            offsets = np.concatenate([[0], np.cumsum(counts[nonempty])[:-1]])
+            sigs[nonempty] = np.minimum.reduceat(v, offsets, axis=1).T
         r = self.rows_per_band
-        for doc_id, text in zip(df[self.id_col], df[self.text_col]):
-            sig = self.signature(text or "")
-            bh = sig.reshape(self.bands, r)
-            hashes = (bh * (_SHINGLE_MUL ** np.arange(r, dtype=np.uint64))
-                      ).sum(axis=1, dtype=np.uint64)
-            out_band.extend(range(self.bands))
-            out_hash.extend(hashes.tolist())
-            out_id.extend([doc_id] * self.bands)
-        return pd.DataFrame({"band": np.array(out_band, dtype=np.int32),
-                             "band_hash": np.array(out_hash, dtype=np.uint64),
-                             "id": out_id})
+        bh = sigs.reshape(n, self.bands, r)
+        pw = _SHINGLE_MUL ** np.arange(r, dtype=np.uint64)
+        hashes = (bh * pw).sum(axis=2, dtype=np.uint64)        # (n, bands)
+        return pd.DataFrame({
+            "band": np.tile(np.arange(self.bands, dtype=np.int32), n),
+            "band_hash": hashes.ravel(),
+            "id": np.repeat(df[self.id_col].to_numpy(), self.bands)})
 
 
 def minhash_lsh_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,

@@ -129,13 +129,6 @@ def two_tier_match(left: "ray.data.Dataset", right: "ray.data.Dataset",
     # not be force-cast to the tensor extension (which requires rectangularity)
     ray.data.DataContext.get_current().enable_tensor_extension_casting = False
 
-    def tag(side: str, cols: list[str]):
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["__side"] = side
-            return df
-        return fn
-
     def add_bucket(t: pa.Table) -> pa.Table:
         s = pd.Series(t.column("group").to_pandas())
         return t.append_column("__bucket", pa.array(bucket_of(s, n_buckets)))

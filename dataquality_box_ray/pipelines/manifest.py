@@ -75,21 +75,32 @@ class CommittedIndexCorrections:
         else:
             self._winner = pd.Series(dtype=object)
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Arrow in / Arrow out — only slim columns pulled to pandas."""
+        status = batch.column("matched_status").to_numpy(zero_copy_only=False) \
+            .astype(np.int32)
+        stale = batch.column("r_stale_commit").to_numpy(zero_copy_only=False)
+        dup = batch.column("r_exact_dup").to_numpy(zero_copy_only=False)
         if self._shas:
-            dup = (df["sha_pre"].isin(self._shas)
-                   & ~df["r_stale_commit"] & ~df["r_null_empty"])
-            df.loc[dup, "r_exact_dup"] = True
-            df.loc[dup, "matched_status"] = config.STATUS_DUPLICATE
+            sha = pd.Series(batch.column("sha_pre").to_pandas())
+            null_empty = batch.column("r_null_empty").to_numpy(zero_copy_only=False)
+            dup_new = sha.isin(self._shas).to_numpy() & ~stale & ~null_empty
+            dup = dup | dup_new
+            status = np.where(dup_new, config.STATUS_DUPLICATE, status)
         if len(self._winner):
-            prior = self._winner.reindex(
-                (df["repo"] + SEP + df["path"]).to_numpy(dtype=object))
-            stale = prior.notna().to_numpy() & \
-                (df["commit"].to_numpy() < prior.fillna("").to_numpy())
-            df.loc[stale, "r_stale_commit"] = True
-            df.loc[stale, "matched_status"] = config.STATUS_SUPERSEDED
-        return df
+            rp = (pd.Series(batch.column("repo").to_pandas())
+                  + SEP + batch.column("path").to_pandas())
+            prior = self._winner.reindex(rp.to_numpy(dtype=object))
+            commit = np.asarray(batch.column("commit").to_pandas(), dtype=object)
+            stale_new = prior.notna().to_numpy() & \
+                (commit < prior.fillna("").to_numpy())
+            stale = stale | stale_new
+            status = np.where(stale_new, config.STATUS_SUPERSEDED, status)
+        for name, arr in (("matched_status", pa.array(status.astype(np.int32))),
+                          ("r_stale_commit", pa.array(stale)),
+                          ("r_exact_dup", pa.array(dup))):
+            batch = batch.set_column(batch.schema.get_field_index(name), name, arr)
+        return batch
 
 
 def _partition_chunks(files: list[str], partitions: int) -> list[list[str]]:
@@ -148,9 +159,11 @@ def run_quality_filter(input_path: str, out_dir: str, *,
         result_ds.write_parquet(str(tmp_dir / "result"), compression="zstd")
 
         res = ray.data.read_parquet(str(tmp_dir / "result"))
-        kept_slim = res.map_batches(
-            lambda df: df.loc[df["keep"], INDEX_COLUMNS],
-            batch_format="pandas").to_pandas()
+        kept_slim = ray.data.read_parquet(
+            str(tmp_dir / "result"), columns=INDEX_COLUMNS + ["keep"]) \
+            .map_batches(lambda t: t.filter(t.column("keep"))
+                         .select(INDEX_COLUMNS), batch_format="pyarrow") \
+            .to_pandas()
         kept_slim.to_parquet(tmp_dir / "index.parquet", index=False)
         sb = qf.scoreboard(res)
 
@@ -180,7 +193,7 @@ def _run_partition(files: list[str], tmp_dir: str, committed: pd.DataFrame,
     qf.scored_dataset(files).write_parquet(str(stage), compression="zstd")
 
     from ..stages.decide import decide_kernel
-    from ..stages.reconcile import ApplyReconcileLabels, compute_label_tables
+    from ..stages.reconcile import compute_label_tables, make_apply_labels
     from ..stages.scrubber import scrub_kernel
 
     slim = ray.data.read_parquet(str(stage), columns=qf.SLIM_COLUMNS)
@@ -198,15 +211,19 @@ def _run_partition(files: list[str], tmp_dir: str, committed: pd.DataFrame,
         newer = merged[merged["new_commit"] > merged["commit"]]
         superseded = sorted(newer["rp"] + SEP + newer["commit"])
 
+    holder: dict = {}
+
+    def corrections(batch):
+        if "c" not in holder:
+            holder["c"] = CommittedIndexCorrections(index_ref)
+        return holder["c"](batch)
+
     ds = ray.data.read_parquet(str(stage))
-    ds = ds.map_batches(ApplyReconcileLabels, batch_format="pandas",
-                        batch_size=config.DEFAULT_BATCH_SIZE,
-                        concurrency=qf._scorer_concurrency(),
-                        fn_constructor_args=(labels_ref, losers_ref))
-    ds = ds.map_batches(CommittedIndexCorrections, batch_format="pandas",
-                        batch_size=config.DEFAULT_BATCH_SIZE,
-                        concurrency=(1, 4),
-                        fn_constructor_args=(index_ref,))
+    ds = ds.map_batches(make_apply_labels(labels_ref, losers_ref),
+                        batch_format="pyarrow",
+                        batch_size=config.DEFAULT_BATCH_SIZE)
+    ds = ds.map_batches(corrections, batch_format="pyarrow",
+                        batch_size=config.DEFAULT_BATCH_SIZE)
     ds = ds.map_batches(scrub_kernel, batch_format="pyarrow",
                         batch_size=config.DEFAULT_BATCH_SIZE)
     ds = ds.map_batches(decide_kernel, batch_format="pyarrow",

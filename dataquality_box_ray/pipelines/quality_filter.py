@@ -32,9 +32,8 @@ import ray.data
 from .. import config
 from ..stages.decide import decide_kernel
 from ..stages.heuristics import heuristics_kernel
-from ..stages.langid import LangIdScorer
-from ..stages.perplexity import PerplexityScorer
-from ..stages.reconcile import ApplyReconcileLabels, compute_label_tables
+from ..stages.reconcile import (ApplyReconcileLabels, compute_label_tables,
+                                make_apply_labels)
 from ..stages.scrubber import scrub_kernel
 
 SLIM_COLUMNS = ["repo", "path", "commit", "sha_pre", "r_null_empty"]
@@ -49,11 +48,6 @@ RESULT_COLUMNS = [
 ]
 
 
-def _scorer_concurrency() -> tuple[int, int]:
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    return (1, max(2, cpus // 2))
-
-
 def scored_dataset(input_path: str | list[str],
                    batch_size: int = config.DEFAULT_BATCH_SIZE,
                    scorer_batch_size: int = config.SCORER_BATCH_SIZE,
@@ -62,22 +56,27 @@ def scored_dataset(input_path: str | list[str],
     from ..corpus import training_text
     from ..stages import ngram
     from ..stages.langid import build_tables
+    from ..stages.scorers import FusedScorers
 
-    ds = ray.data.read_parquet(input_path)
+    cpus_total = int(ray.cluster_resources().get("CPU", 8))
+    # enough read blocks that every downstream map stage can use every core
+    # (map parallelism is bounded by block count; splitting respects parquet
+    # row-group boundaries, so the corpus cache writes small row groups)
+    ds = ray.data.read_parquet(input_path,
+                               override_num_blocks=cpus_total * 3)
     ds = ds.map_batches(heuristics_kernel, batch_format="pyarrow",
                         batch_size=batch_size)
-    conc = _scorer_concurrency()
     # build the models ONCE on the driver, broadcast via the object store —
     # actors fetch a ref instead of re-deriving the tables (per-actor builds
-    # serialize pool spin-up and waste cpus × build_time)
+    # serialize pool spin-up and waste cpus × build_time). One FUSED pool
+    # (langid + perplexity share the decode/hash) instead of two.
     langid_ref = ray.put(build_tables())
     ppl_ref = ray.put(ngram.CondTrigramLM(training_text()))
-    ds = ds.map_batches(LangIdScorer, batch_format="pyarrow",
-                        batch_size=scorer_batch_size, concurrency=conc,
-                        fn_constructor_args=(langid_ref,))
-    ds = ds.map_batches(PerplexityScorer, batch_format="pyarrow",
-                        batch_size=scorer_batch_size, concurrency=conc,
-                        fn_constructor_args=(ppl_ref,))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    pool = max(2, cpus // 2)
+    ds = ds.map_batches(FusedScorers, batch_format="pyarrow",
+                        batch_size=scorer_batch_size, concurrency=pool,
+                        fn_constructor_args=(langid_ref, ppl_ref))
     return ds
 
 
@@ -94,11 +93,12 @@ def finalize_dataset(stage_path: str,
     labels_ref = ray.put(labels_pdf)
     losers_ref = ray.put(losers_pdf)
 
-    ds = ray.data.read_parquet(stage_path)
-    ds = ds.map_batches(ApplyReconcileLabels, batch_format="pandas",
-                        batch_size=config.DEFAULT_BATCH_SIZE,
-                        concurrency=_scorer_concurrency(),
-                        fn_constructor_args=(labels_ref, losers_ref))
+    cpus_total = int(ray.cluster_resources().get("CPU", 8))
+    ds = ray.data.read_parquet(stage_path,
+                               override_num_blocks=cpus_total * 3)
+    ds = ds.map_batches(make_apply_labels(labels_ref, losers_ref),
+                        batch_format="pyarrow",
+                        batch_size=config.DEFAULT_BATCH_SIZE)
     ds = ds.map_batches(scrub_kernel, batch_format="pyarrow",
                         batch_size=config.DEFAULT_BATCH_SIZE)
     ds = ds.map_batches(decide_kernel, batch_format="pyarrow",

@@ -24,7 +24,7 @@ from ..ops import dedup, joins, similarity, text
 from ..ops.two_tier import two_tier_match
 from ..rules.engine import Rule, grouped_aggregate, run_filter_rule
 from ..stages.heuristics import heuristics_kernel
-from ..stages.reconcile import ApplyReconcileLabels, compute_label_tables
+from ..stages.reconcile import compute_label_tables, make_apply_labels
 from . import quality_filter as qf
 
 
@@ -79,9 +79,8 @@ def corpus_reconcile_labels(sf_dir: str) -> "ray.data.Dataset":
     labels_pdf, losers_pdf = compute_label_tables(slim, n_buckets=32)
     import ray as _ray
     labeled = slim.map_batches(
-        ApplyReconcileLabels, batch_format="pandas",
-        batch_size=config.DEFAULT_BATCH_SIZE, concurrency=(1, 4),
-        fn_constructor_args=(_ray.put(labels_pdf), _ray.put(losers_pdf)))
+        make_apply_labels(_ray.put(labels_pdf), _ray.put(losers_pdf)),
+        batch_format="pyarrow", batch_size=config.DEFAULT_BATCH_SIZE)
     return labeled.select_columns(["repo", "path", "commit", "matched_status",
                                    "r_stale_commit", "r_exact_dup"])
 

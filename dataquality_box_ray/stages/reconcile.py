@@ -87,17 +87,51 @@ def _add_bucket(key_fn, n_buckets: int):
     return add
 
 
+def _label_tables_driver(slim_pdf: pd.DataFrame
+                         ) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Driver-side label computation with the SAME kernels as the shuffle
+    path (one bucket = everything). Right answer when the slim projection is
+    small: at 200k rows it is ~12 MB and a distributed sort would spend 10×
+    its compute in task overhead."""
+    labeled = reconcile_group_kernel(slim_pdf)
+    exc = labeled[(labeled["matched_status"] != config.STATUS_STRICT)
+                  | labeled["group_conflict"]]
+    labels_pdf = exc[["repo", "path", "commit", "matched_status",
+                      "r_stale_commit", "group_conflict"]].reset_index(drop=True)
+    cand = labeled[~labeled["r_stale_commit"] & ~labeled["r_null_empty"]]
+    losers_pdf = dedup_group_kernel(cand).reset_index(drop=True)
+    if not len(losers_pdf):
+        losers_pdf = pd.DataFrame({"repo": [], "path": [], "commit": []},
+                                  dtype=object)
+    return labels_pdf, losers_pdf
+
+
+# below this row count the slim table is computed on the driver; above it the
+# bucketed shuffle path runs (on a real cluster, size ≈ rows × 60 B)
+DRIVER_LABEL_MAX_ROWS = 2_000_000
+
+
 def compute_label_tables(slim: "ray.data.Dataset",
                          n_buckets: int = config.RECONCILE_BUCKETS,
+                         mode: str = "auto",
                          ) -> tuple[pd.DataFrame, pd.DataFrame]:
-    """Two chained slim shuffles → (exception labels, dedup loser keys).
+    """(exception labels, dedup loser keys) from the slim projection.
 
     ``slim`` must have columns repo, path, commit, sha_pre, r_null_empty —
-    a ~60 B/row projection, so the shuffles move 20-50× less data than the
-    corpus. Shuffle 1 buckets by hash(repo,path) (reconciliation); shuffle 2
-    buckets the survivors by hash(sha_pre) (exact dedup). The labeled slim
-    dataset is materialized once (small) and feeds both outputs.
+    a ~60 B/row projection, so this never touches `content`.
+
+    mode='auto': driver-side pandas (same kernels) when the table is under
+    ``DRIVER_LABEL_MAX_ROWS``; otherwise — and always under mode='shuffle' —
+    two chained bucketed shuffles: shuffle 1 by hash(repo,path)
+    (reconciliation), shuffle 2 over survivors by hash(sha_pre) (exact
+    dedup). The labeled slim dataset is materialized once (small) and feeds
+    both outputs.
     """
+    if mode == "auto":
+        n = slim.count()
+        mode = "driver" if n <= DRIVER_LABEL_MAX_ROWS else "shuffle"
+    if mode == "driver":
+        return _label_tables_driver(slim.to_pandas())
     s1 = slim.map_batches(
         _add_bucket(lambda t: pd.Series(t.column("repo").to_pandas()
                                         + SEP + t.column("path").to_pandas()),
@@ -155,19 +189,40 @@ class ApplyReconcileLabels:
             (losers["repo"] + SEP + losers["path"] + SEP + losers["commit"]).tolist()) \
             if len(losers) else frozenset()
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        key = _key_series(batch)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        """Arrow in / Arrow out: only the three slim key columns are pulled
+        into pandas for the index lookup — `content` stays zero-copy."""
+        key = (pd.Series(batch.column("repo").to_pandas())
+               + SEP + batch.column("path").to_pandas()
+               + SEP + batch.column("commit").to_pandas())
         lab = self._labels.reindex(key.to_numpy(dtype=object))
-        batch = batch.copy()
-        batch["matched_status"] = (
-            lab["matched_status"].fillna(config.STATUS_STRICT).astype(np.int32).to_numpy())
-        batch["r_stale_commit"] = lab["r_stale_commit"].fillna(False).astype(bool).to_numpy()
-        batch["group_conflict"] = lab["group_conflict"].fillna(False).astype(bool).to_numpy()
-        dup = key.isin(self._losers).to_numpy() & ~batch["r_stale_commit"].to_numpy() \
-            & ~batch["r_null_empty"].to_numpy()
-        batch["r_exact_dup"] = dup
-        batch.loc[dup, "matched_status"] = config.STATUS_DUPLICATE
-        return batch
+        status = (lab["matched_status"].fillna(config.STATUS_STRICT)
+                  .astype(np.int32).to_numpy())
+        stale = lab["r_stale_commit"].fillna(False).astype(bool).to_numpy()
+        conflict = lab["group_conflict"].fillna(False).astype(bool).to_numpy()
+        null_empty = batch.column("r_null_empty").to_numpy(zero_copy_only=False)
+        dup = key.isin(self._losers).to_numpy() & ~stale & ~null_empty
+        status = np.where(dup, config.STATUS_DUPLICATE, status).astype(np.int32)
+        return (batch
+                .append_column("matched_status", pa.array(status))
+                .append_column("r_stale_commit", pa.array(stale))
+                .append_column("group_conflict", pa.array(conflict))
+                .append_column("r_exact_dup", pa.array(dup)))
+
+
+def make_apply_labels(labels_ref, losers_ref):
+    """Task-pool form of ApplyReconcileLabels: a plain function whose closure
+    lazily builds the label index once per WORKER PROCESS (cached in the
+    module-level holder) — broadcast without an actor-pool spin-up; tasks
+    reuse the already-warm Ray workers."""
+    holder: dict = {}
+
+    def apply(batch: pa.Table) -> pa.Table:
+        if "a" not in holder:
+            holder["a"] = ApplyReconcileLabels(labels_ref, losers_ref)
+        return holder["a"](batch)
+
+    return apply
 
 
 def reconcile_full(ds: "ray.data.Dataset",

@@ -1,0 +1,78 @@
+"""Fused model-scoring actor stage: language-ID + perplexity in one pass.
+
+The two models are independent (langid.py / perplexity.py keep their own
+classes and tests), but the flagship pipeline runs them FUSED in a single
+actor pool: one UTF-32 decode + one trigram hashing per row feeds both
+models, and one pool spin-up replaces two (actor-pool startup is a fixed cost
+per job; at bench scale it was the dominant wall-clock item).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import config
+from ..corpus import LANGS
+from . import ngram
+from .langid import _COUNT_CAP, MAX_CHARS as LANGID_MAX_CHARS
+from .perplexity import MAX_CHARS as PPL_MAX_CHARS
+
+
+class FusedScorers:
+    def __init__(self, langid_tables_ref, ppl_lm_ref) -> None:
+        import ray
+        self.l3, self.l2 = ray.get(langid_tables_ref)
+        self.lm: ngram.CondTrigramLM = ray.get(ppl_lm_ref)
+        self.langs = list(LANGS)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        content = pc.fill_null(batch["content"], "")
+        n = len(content)
+        preds = np.empty(n, dtype=object)
+        scores = np.zeros(n, dtype=np.float64)
+        ppl = np.zeros(n, dtype=np.float64)
+        for i, text in enumerate(content.to_pylist()):
+            tri, pre = ngram.tri_and_prefix_codes(text or "", PPL_MAX_CHARS)
+            if len(tri) == 0:
+                preds[i] = "unknown"
+                continue
+            ppl[i] = float(np.exp(-(np.take(self.lm.l3, tri)
+                                    - np.take(self.lm.l2, pre)).mean()))
+            # langid scores over the (shorter) langid window: the trigrams of
+            # text[:LANGID_MAX_CHARS] are exactly the first
+            # min(len, MAX) - 2 trigrams — identical to LangIdScorer.predict
+            n_l = max(0, min(len(text), LANGID_MAX_CHARS) - 2)
+            tri_l, pre_l = tri[:n_l], pre[:n_l]
+            if len(tri_l) < 8:
+                preds[i] = "unknown"
+                continue
+            means = (np.take(self.l3, tri_l, axis=1)
+                     - np.take(self.l2, pre_l, axis=1)).mean(axis=1)
+            kk = min(len(tri_l), _COUNT_CAP)
+            z = means * kk
+            z = np.exp(z - z.max())
+            p = z / z.sum()
+            best = int(p.argmax())
+            scores[i] = float(p[best])
+            preds[i] = self.langs[best] if scores[i] >= config.LANGID_MIN_SCORE \
+                else "unknown"
+
+        langid = pa.array(preds, type=pa.string())
+        ppl_arr = pa.array(ppl)
+        declared = pc.fill_null(batch["lang"], "")
+        heur = batch["heur_lang"]
+        real = pc.is_in(declared, value_set=pa.array(list(LANGS)))
+        agree = pc.and_(pc.equal(langid, heur),
+                        pc.invert(pc.equal(langid, "unknown")))
+        mismatch = pc.and_(pc.and_(real, agree),
+                           pc.invert(pc.equal(declared, langid)))
+        r_ppl = pc.and_(pc.greater(ppl_arr, config.PPL_THRESHOLD),
+                        pc.invert(batch["r_null_empty"]))
+        return (batch
+                .append_column("langid_lang", langid)
+                .append_column("langid_score", pa.array(scores))
+                .append_column("r_lang_mismatch", mismatch)
+                .append_column("perplexity", ppl_arr)
+                .append_column("r_ppl", r_ppl))

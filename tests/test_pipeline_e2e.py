@@ -77,6 +77,29 @@ def test_scrub_and_sha(result_and_oracle):
                     .set_index(keys.drop_duplicates())["content_sha256"].sort_index()))
 
 
+def test_label_modes_agree(tmp_path):
+    """Driver-side and bucketed-shuffle label paths produce identical tables
+    (same kernels, different distribution)."""
+    import ray.data
+    from dataquality_box_ray.pipelines.quality_filter import (
+        SLIM_COLUMNS, scored_dataset)
+    from dataquality_box_ray.stages.reconcile import compute_label_tables
+
+    path = corpus_path("/root/testdata/sf0.001")
+    stage = tmp_path / "entity"
+    scored_dataset(path).write_parquet(str(stage))
+    slim = ray.data.read_parquet(str(stage), columns=SLIM_COLUMNS)
+    la, lo = compute_label_tables(slim, 16, mode="driver")
+    lb, lob = compute_label_tables(slim, 16, mode="shuffle")
+    key = ["repo", "path", "commit"]
+
+    def norm(df):
+        return df.sort_values(key, kind="mergesort").reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(la), norm(lb))
+    pd.testing.assert_frame_equal(norm(lo).astype(str), norm(lob).astype(str))
+
+
 def test_scoreboard(result_and_oracle, tmp_path):
     path = corpus_path("/root/testdata/sf0.001")
     ds = quality_filter_dataset(path, str(tmp_path), n_buckets=16)
