@@ -42,7 +42,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_reconcile_labels": q.corpus_reconcile_labels,
         "corpus_quality_filter": q.corpus_quality_filter,          # rows-only
         "corpus_scoreboard": q.corpus_scoreboard,                  # rows-only
-        # YAML rule engine over TPC-H-ish tables
+        # YAML rule engine over TPC-H-ish tables + governance DAG
+        "governance_rule_results": q.governance_rule_results,
         "filter_rule_hits": q.filter_rule_hits,
         "aggregate_rule_having": q.aggregate_rule_having,
         "cross_check_totalprice": q.cross_check_totalprice,

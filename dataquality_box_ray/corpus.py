@@ -286,6 +286,36 @@ _SF_ROWS = {"0.001": 2_000, "0.01": 20_000, "0.1": 200_000}
 CACHE_ROOT = "/tmp/dq_corpus_cache"
 
 
+def scaling_corpus_path(total_rows: int = 1_600_000, seed: int = 42,
+                        shard_rows: int = 200_000) -> str:
+    """Large corpus for the scaling benchmark, generated as deterministic
+    shards IN PARALLEL via Ray tasks (shard i uses seed seed+1000i+7; the
+    result is a fixed function of (total_rows, seed, shard_rows)). Cached."""
+    import ray
+
+    n_shards = (total_rows + shard_rows - 1) // shard_rows
+    out = pathlib.Path(CACHE_ROOT) / f"scale_n{total_rows}_s{seed}"
+    if (out / "_SUCCESS").exists():
+        return str(out)
+    tmp = pathlib.Path(str(out) + ".tmp")
+    if tmp.exists():
+        import shutil
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True, exist_ok=True)
+
+    @ray.remote
+    def gen(i: int) -> None:
+        rows = min(shard_rows, total_rows - i * shard_rows)
+        tbl = generate_corpus(rows, seed=seed + 1000 * i + 7)
+        pq.write_table(tbl, tmp / f"part-{i:05d}.parquet",
+                       compression="zstd", row_group_size=4096)
+
+    ray.get([gen.remote(i) for i in range(n_shards)])
+    tmp.rename(out)
+    (out / "_SUCCESS").touch()
+    return str(out)
+
+
 def rows_for_sf_dir(sf_dir: str) -> int:
     name = pathlib.Path(sf_dir).name           # e.g. "sf0.01"
     sf = name.removeprefix("sf")

@@ -1,0 +1,156 @@
+"""End-to-end governance pipeline — the reference's dynamic DAG
+(`gov_daily_cycle_etl`, SURVEY.md §3.1) as one Ray Data program:
+
+1. **Loader** (reference `UniversalLoaderOperator`,
+   `plugins/operators/loader.py:70-363`): a topo-sorted DAG of extractions
+   where an upstream result parameterizes downstream reads — the funnel
+   pattern. Ray form: upstream dimension Dataset → distinct key set →
+   broadcast IN-filter pushed into the downstream read.
+2. **Adapter** (reference `DomainAdapterOperator`,
+   `plugins/operators/adapter.py:68-233`): chained broadcast joins of raw
+   tables onto the primary source + a declarative field-mapping projection
+   compiled by the sandboxed expression compiler.
+3. **Rules** (reference `GenericRuleOperator` ×17): a YAML pack executed by
+   rules/engine.py — filter rules FUSED into one pass over the entity, plus
+   aggregate and cross-entity rules.
+4. **Aggregator** (reference `ContextAggregatorOperator`,
+   `plugins/operators/aggregator.py:75-435`): P0 hits → alerts; P1 hits →
+   assets; P2 hits → violations minus the exemption whitelist.
+5. **Report writer** (reference `plugins/operators/report_writer.py:
+   106-265`): per-rule results + run summary written as Parquet (the
+   idempotent-sink analogue).
+
+Business errors in one rule are caught and recorded FAILED without failing
+the run (reference error split, `rule_engine.py:541-571`).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import time
+from typing import Any
+
+import pandas as pd
+
+import ray.data
+
+from ..ops.joins import broadcast_lookup_join, broadcast_semi_join
+from ..rules import engine
+from ..rules.expressions import compile_expr
+
+
+def load_entities(sf_dir: str) -> dict[str, "ray.data.Dataset"]:
+    """Loader stage: the funnel — orders are read first, and lineitem is
+    IN-filtered by the distinct order keys that actually exist upstream
+    (dependent-extraction pushdown, loader.py:290-309 batch mode)."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    order_keys = set(orders.select_columns(["o_orderkey"]).unique("o_orderkey"))
+    lineitem = broadcast_semi_join(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        order_keys, "l_orderkey")
+    customer = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
+    return {"orders": orders, "lineitem": lineitem, "customer": customer,
+            "nation": nation}
+
+
+ADAPTER_FIELDS = [
+    # reference-style field mapping: {target, source_expr} evaluated by the
+    # sandboxed compiler (adapter.py:171-233)
+    {"target": "order_key", "expr": "col('o_orderkey')"},
+    {"target": "cust_key", "expr": "col('o_custkey')"},
+    {"target": "status", "expr": "col('o_orderstatus')"},
+    {"target": "total_cents", "expr": "(col('o_totalprice') * lit(100)).round(0)"},
+    {"target": "priority_class",
+     "expr": "when(col('o_orderpriority').str.startswith('1'), lit('urgent'), lit('normal'))"},
+    {"target": "nation_name", "expr": "col('n_name')"},
+]
+
+
+def build_entity(datasets: dict[str, "ray.data.Dataset"]) -> "ray.data.Dataset":
+    """Adapter stage: chained broadcast joins + compiled projection."""
+    cust = datasets["customer"].to_pandas()
+    nat = datasets["nation"].to_pandas()
+    ds = broadcast_lookup_join(datasets["orders"], cust,
+                               "o_custkey", "c_custkey", ["c_nationkey"])
+    ds = broadcast_lookup_join(ds, nat, "c_nationkey", "n_nationkey",
+                               ["n_name"])
+    fns = [(f["target"], compile_expr(f["expr"])) for f in ADAPTER_FIELDS]
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({name: fn(df) for name, fn in fns})
+
+    return ds.map_batches(project, batch_format="pandas")
+
+
+def run_governance(sf_dir: str, out_dir: str | None = None,
+                   rule_pack: str | None = None,
+                   exemptions: set[str] | None = None) -> dict[str, Any]:
+    """Full governance run; returns the context summary (rule results,
+    alerts, assets, violations)."""
+    pack_dir = rule_pack or str(
+        pathlib.Path(__file__).parent.parent / "rules" / "packs" / "tpch")
+    rules = engine.load_rule_pack(pack_dir)
+    datasets = load_entities(sf_dir)
+
+    rule_results: list[dict[str, Any]] = []
+    hits_by_rule: dict[str, pd.DataFrame] = {}
+    for rule in rules:
+        t0 = time.time()
+        try:
+            if rule.logic["type"] == "filter":
+                hits = engine.run_filter_rule(
+                    datasets[rule.target_entity], rule).to_pandas()
+            elif rule.logic["type"] == "aggregate":
+                hits = engine.run_aggregate_rule(
+                    datasets[rule.target_entity], rule)
+            else:
+                hits = engine.run_cross_entity_rule(datasets, rule)
+            hits_by_rule[rule.rule_id] = hits
+            rule_results.append({
+                "rule_id": rule.rule_id, "severity": rule.severity,
+                "status": "SUCCESS", "hit_count": len(hits),
+                "exec_seconds": round(time.time() - t0, 3), "error": None})
+        except KeyError as e:
+            # business error → recorded FAILED, run continues
+            # (system errors like ray.exceptions would re-raise)
+            rule_results.append({
+                "rule_id": rule.rule_id, "severity": rule.severity,
+                "status": "FAILED", "hit_count": 0,
+                "exec_seconds": round(time.time() - t0, 3), "error": str(e)})
+
+    # aggregator: severity routing + exemption whitelist (aggregator.py:340-435)
+    exempt = exemptions or set()
+    alerts = {r: h for r, h in hits_by_rule.items()
+              if _sev(rule_results, r) == "P0" and len(h)}
+    assets = {r: h for r, h in hits_by_rule.items()
+              if _sev(rule_results, r) == "P1" and len(h)}
+    violations = {r: h for r, h in hits_by_rule.items()
+                  if _sev(rule_results, r) == "P2" and len(h) and r not in exempt}
+
+    summary = {
+        "rules_total": len(rules),
+        "rules_failed": sum(1 for r in rule_results if r["status"] == "FAILED"),
+        "alerts": {r: len(h) for r, h in alerts.items()},
+        "assets": {r: len(h) for r, h in assets.items()},
+        "violations": {r: len(h) for r, h in violations.items()},
+    }
+    results_df = pd.DataFrame(rule_results)
+
+    if out_dir:
+        out = pathlib.Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        results_df.to_parquet(out / "governance_rule_results.parquet",
+                              index=False)
+        pd.DataFrame([{"run_summary": str(summary)}]).to_parquet(
+            out / "governance_run_summary.parquet", index=False)
+        for rid, h in hits_by_rule.items():
+            if len(h):
+                h.to_parquet(out / f"hits_{rid}.parquet", index=False)
+
+    return {"summary": summary, "rule_results": results_df,
+            "alerts": alerts, "assets": assets, "violations": violations}
+
+
+def _sev(rule_results: list[dict], rid: str) -> str:
+    return next(r["severity"] for r in rule_results if r["rule_id"] == rid)

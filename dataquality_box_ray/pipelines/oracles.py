@@ -139,6 +139,35 @@ def build() -> dict[str, str]:
         ORDER BY o.o_orderkey
     """
 
+    sql["governance_rule_results"] = """
+        WITH li AS (SELECT * FROM lineitem
+                    WHERE l_orderkey IN (SELECT o_orderkey FROM orders))
+        SELECT * FROM (
+          SELECT 'R_discount_band' AS rule_id, 'P1' AS severity,
+                 'SUCCESS' AS status,
+                 (SELECT count(*) FROM li
+                  WHERE l_discount > 0.09
+                    AND l_discount / (l_tax + 0.001) > 2)::BIGINT AS hit_count
+          UNION ALL
+          SELECT 'R_order_no_customer', 'P0', 'SUCCESS',
+                 (SELECT count(*) FROM orders
+                  WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT
+          UNION ALL
+          SELECT 'R_order_qty_sum', 'P1', 'SUCCESS',
+                 (SELECT count(*) FROM (
+                    SELECT l_orderkey FROM li GROUP BY l_orderkey
+                    HAVING sum(l_quantity) > 150))::BIGINT
+          UNION ALL
+          SELECT 'R_status_enum', 'P2', 'SUCCESS',
+                 (SELECT count(*) FROM orders
+                  WHERE o_orderstatus NOT IN ('F','O','P'))::BIGINT
+          UNION ALL
+          SELECT 'R_zero_qty_nonzero_price', 'P0', 'SUCCESS',
+                 (SELECT count(*) FROM li
+                  WHERE l_quantity <= 0 AND l_extendedprice > 0)::BIGINT)
+        ORDER BY rule_id
+    """
+
     # ---- joins -----------------------------------------------------------
     sql["customers_without_orders"] = """
         SELECT c_custkey, c_name FROM customer

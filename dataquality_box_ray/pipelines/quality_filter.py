@@ -115,7 +115,9 @@ def quality_filter_dataset(input_path: str | list[str],
     if stage.exists():
         import shutil
         shutil.rmtree(stage)
-    scored_dataset(input_path).write_parquet(str(stage), compression="zstd")
+    # lz4 for the TRANSIENT stage (cheap cpu, re-read once); durable RESULT
+    # output stays zstd
+    scored_dataset(input_path).write_parquet(str(stage), compression="lz4")
     return finalize_dataset(str(stage), n_buckets)
 
 

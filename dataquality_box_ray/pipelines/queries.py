@@ -191,6 +191,16 @@ def cross_check_totalprice(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def governance_rule_results(sf_dir: str) -> pd.DataFrame:
+    """Full governance DAG (loader→adapter→rule pack→aggregator→report):
+    per-rule scoreboard."""
+    from .governance import run_governance
+    res = run_governance(sf_dir)["rule_results"]
+    out = res[["rule_id", "severity", "status", "hit_count"]].copy()
+    out["hit_count"] = out["hit_count"].astype(np.int64)
+    return out.sort_values("rule_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # joins
 # ---------------------------------------------------------------------------

@@ -1,0 +1,38 @@
+import pandas as pd
+
+from dataquality_box_ray.pipelines.governance import run_governance
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_governance_end_to_end(tmp_path):
+    res = run_governance(SF, out_dir=str(tmp_path))
+    rr = res["rule_results"]
+    assert len(rr) == 5
+    assert (rr["status"] == "SUCCESS").all()
+    # pandas-verified hit counts
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    li = li[li.l_orderkey.isin(orders.o_orderkey)]
+    exp_band = ((li.l_discount > 0.09)
+                & (li.l_discount / (li.l_tax + 0.001) > 2)).sum()
+    got = rr.set_index("rule_id")["hit_count"]
+    assert got["R_discount_band"] == exp_band
+    exp_qty = (li.groupby("l_orderkey").l_quantity.sum() > 150).sum()
+    assert got["R_order_qty_sum"] == exp_qty
+    # severity routing: P0 → alerts, P1 → assets, P2 → violations
+    for rid, n in res["summary"]["alerts"].items():
+        assert got[rid] == n
+        assert rr.set_index("rule_id").loc[rid, "severity"] == "P0"
+    assert set(res["summary"]["assets"]) <= {"R_discount_band", "R_order_qty_sum"}
+    # report files written
+    assert (tmp_path / "governance_rule_results.parquet").exists()
+    assert (tmp_path / "governance_run_summary.parquet").exists()
+
+
+def test_governance_exemption_whitelist(tmp_path):
+    res_all = run_governance(SF)
+    if res_all["summary"]["violations"]:
+        rid = next(iter(res_all["summary"]["violations"]))
+        res_ex = run_governance(SF, exemptions={rid})
+        assert rid not in res_ex["summary"]["violations"]
