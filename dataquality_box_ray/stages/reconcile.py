@@ -224,26 +224,56 @@ class ApplyReconcileLabels:
             raise ValueError(
                 "label table too large to broadcast; run reconcile in mode='full' "
                 "(full-row shuffle) instead")
+        # labels keyed by deterministic 64-bit siphash of (repo,path,commit)
+        # held as SORTED numpy arrays: per-batch lookup is a vectorized
+        # binary search, per-worker setup is one np.sort — no pandas string
+        # index (whose build+reindex grew superlinearly with the label table)
         labels = labels.loc[~_key_series(labels).duplicated()]
-        self._labels = labels.set_index(
-            labels["repo"] + SEP + labels["path"] + SEP + labels["commit"])
-        self._losers = frozenset(
-            (losers["repo"] + SEP + losers["path"] + SEP + losers["commit"]).tolist()) \
-            if len(losers) else frozenset()
+        h = pd.util.hash_array(_key_series(labels).to_numpy(dtype=object),
+                               categorize=False)
+        order = np.argsort(h, kind="stable")
+        self._lab_hash = h[order]
+        self._lab_status = labels["matched_status"].to_numpy(np.int32)[order]
+        self._lab_stale = labels["r_stale_commit"].to_numpy(bool)[order]
+        self._lab_conflict = labels["group_conflict"].to_numpy(bool)[order]
+        if len(losers):
+            self._loser_hash = np.sort(pd.util.hash_array(
+                _key_series(losers).to_numpy(dtype=object), categorize=False))
+        else:
+            self._loser_hash = np.empty(0, dtype=np.uint64)
+
+    def _lookup(self, key_hash: np.ndarray
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        n = len(key_hash)
+        status = np.full(n, config.STATUS_STRICT, dtype=np.int32)
+        stale = np.zeros(n, dtype=bool)
+        conflict = np.zeros(n, dtype=bool)
+        if len(self._lab_hash):
+            pos = np.searchsorted(self._lab_hash, key_hash)
+            pos_c = np.minimum(pos, len(self._lab_hash) - 1)
+            hit = self._lab_hash[pos_c] == key_hash
+            status[hit] = self._lab_status[pos_c[hit]]
+            stale[hit] = self._lab_stale[pos_c[hit]]
+            conflict[hit] = self._lab_conflict[pos_c[hit]]
+        return status, stale, conflict
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Arrow in / Arrow out: only the three slim key columns are pulled
-        into pandas for the index lookup — `content` stays zero-copy."""
+        into pandas for hashing — `content` stays zero-copy."""
         key = (pd.Series(batch.column("repo").to_pandas())
                + SEP + batch.column("path").to_pandas()
                + SEP + batch.column("commit").to_pandas())
-        lab = self._labels.reindex(key.to_numpy(dtype=object))
-        status = (lab["matched_status"].fillna(config.STATUS_STRICT)
-                  .astype(np.int32).to_numpy())
-        stale = lab["r_stale_commit"].fillna(False).astype(bool).to_numpy()
-        conflict = lab["group_conflict"].fillna(False).astype(bool).to_numpy()
+        key_hash = pd.util.hash_array(key.to_numpy(dtype=object),
+                                      categorize=False)
+        status, stale, conflict = self._lookup(key_hash)
         null_empty = batch.column("r_null_empty").to_numpy(zero_copy_only=False)
-        dup = key.isin(self._losers).to_numpy() & ~stale & ~null_empty
+        if len(self._loser_hash):
+            pos = np.searchsorted(self._loser_hash, key_hash)
+            pos_c = np.minimum(pos, len(self._loser_hash) - 1)
+            is_loser = self._loser_hash[pos_c] == key_hash
+        else:
+            is_loser = np.zeros(len(key_hash), dtype=bool)
+        dup = is_loser & ~stale & ~null_empty
         status = np.where(dup, config.STATUS_DUPLICATE, status).astype(np.int32)
         return (batch
                 .append_column("matched_status", pa.array(status))

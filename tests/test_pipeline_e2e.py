@@ -100,6 +100,29 @@ def test_label_modes_agree(tmp_path):
     pd.testing.assert_frame_equal(norm(lo).astype(str), norm(lob).astype(str))
 
 
+def test_reconcile_full_mode(tmp_path):
+    """mode='full' (content moves through the shuffle once) produces the same
+    reconciliation labels as the slim broadcast path."""
+    import ray.data
+    from dataquality_box_ray.pipelines.quality_filter import (
+        SLIM_COLUMNS, scored_dataset)
+    from dataquality_box_ray.stages.reconcile import (
+        compute_label_tables, reconcile_full)
+
+    path = corpus_path("/root/testdata/sf0.001")
+    stage = tmp_path / "entity"
+    scored_dataset(path).write_parquet(str(stage))
+    full = reconcile_full(ray.data.read_parquet(str(stage)), 16).to_pandas()
+    slim = ray.data.read_parquet(str(stage), columns=SLIM_COLUMNS)
+    labels, _ = compute_label_tables(slim, 16, mode="driver")
+    key = ["repo", "path", "commit"]
+    merged = full.merge(labels, on=key, how="left", suffixes=("", "_x"))
+    exp_status = merged["matched_status_x"].fillna(1).astype(int)
+    assert (merged["matched_status"].to_numpy() == exp_status.to_numpy()).all()
+    assert (merged["r_stale_commit"]
+            == merged["r_stale_commit_x"].fillna(False)).all()
+
+
 def test_scoreboard(result_and_oracle, tmp_path):
     path = corpus_path("/root/testdata/sf0.001")
     ds = quality_filter_dataset(path, str(tmp_path), n_buckets=16)
