@@ -193,13 +193,13 @@ def _run_partition(files: list[str], tmp_dir: str, committed: pd.DataFrame,
     qf.scored_dataset(files).write_parquet(str(stage), compression="zstd")
 
     from ..stages.decide import decide_kernel
-    from ..stages.reconcile import compute_label_tables, make_apply_labels
+    from ..stages.reconcile import (compute_label_tables, make_apply_labels,
+                                    pack_labels)
     from ..stages.scrubber import scrub_kernel
 
     slim = ray.data.read_parquet(str(stage), columns=qf.SLIM_COLUMNS)
     labels_pdf, losers_pdf = compute_label_tables(slim, n_buckets)
-    labels_ref = ray.put(labels_pdf)
-    losers_ref = ray.put(losers_pdf)
+    packed_ref = ray.put(pack_labels(labels_pdf, losers_pdf))
     index_ref = ray.put(committed)
 
     # lineage: committed keys that a newer arriving commit supersedes
@@ -219,7 +219,7 @@ def _run_partition(files: list[str], tmp_dir: str, committed: pd.DataFrame,
         return holder["c"](batch)
 
     ds = ray.data.read_parquet(str(stage))
-    ds = ds.map_batches(make_apply_labels(labels_ref, losers_ref),
+    ds = ds.map_batches(make_apply_labels(packed_ref),
                         batch_format="pyarrow",
                         batch_size=config.DEFAULT_BATCH_SIZE)
     ds = ds.map_batches(corrections, batch_format="pyarrow",

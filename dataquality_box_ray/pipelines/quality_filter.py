@@ -32,8 +32,8 @@ import ray.data
 from .. import config
 from ..stages.decide import decide_kernel
 from ..stages.heuristics import heuristics_kernel
-from ..stages.reconcile import (ApplyReconcileLabels, compute_label_tables,
-                                make_apply_labels)
+from ..stages.reconcile import (compute_label_tables, make_apply_labels,
+                                pack_labels)
 from ..stages.scrubber import scrub_kernel
 
 SLIM_COLUMNS = ["repo", "path", "commit", "sha_pre", "r_null_empty"]
@@ -90,13 +90,12 @@ def finalize_dataset(stage_path: str,
     if extra_losers is not None and len(extra_losers):
         import pandas as pd
         losers_pdf = pd.concat([losers_pdf, extra_losers], ignore_index=True)
-    labels_ref = ray.put(labels_pdf)
-    losers_ref = ray.put(losers_pdf)
+    packed_ref = ray.put(pack_labels(labels_pdf, losers_pdf))
 
     cpus_total = int(ray.cluster_resources().get("CPU", 8))
     ds = ray.data.read_parquet(stage_path,
                                override_num_blocks=cpus_total * 3)
-    ds = ds.map_batches(make_apply_labels(labels_ref, losers_ref),
+    ds = ds.map_batches(make_apply_labels(packed_ref),
                         batch_format="pyarrow",
                         batch_size=config.DEFAULT_BATCH_SIZE)
     ds = ds.map_batches(scrub_kernel, batch_format="pyarrow",

@@ -78,8 +78,9 @@ def corpus_reconcile_labels(sf_dir: str) -> "ray.data.Dataset":
     slim = scored.select_columns(qf.SLIM_COLUMNS)
     labels_pdf, losers_pdf = compute_label_tables(slim, n_buckets=32)
     import ray as _ray
+    from ..stages.reconcile import pack_labels
     labeled = slim.map_batches(
-        make_apply_labels(_ray.put(labels_pdf), _ray.put(losers_pdf)),
+        make_apply_labels(_ray.put(pack_labels(labels_pdf, losers_pdf))),
         batch_format="pyarrow", batch_size=config.DEFAULT_BATCH_SIZE)
     return labeled.select_columns(["repo", "path", "commit", "matched_status",
                                    "r_stale_commit", "r_exact_dup"])

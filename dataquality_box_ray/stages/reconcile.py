@@ -211,36 +211,44 @@ def compute_label_tables(slim: "ray.data.Dataset",
     return labels_pdf, losers_pdf
 
 
+def pack_labels(labels: pd.DataFrame, losers: pd.DataFrame) -> dict:
+    """Compact broadcast form of the label tables: sorted 64-bit key hashes +
+    parallel value arrays (~15 B per exception row vs ~150 B as a pandas
+    frame). Built ONCE on the driver so workers do zero setup — per-batch
+    lookup is a vectorized binary search."""
+    if max(len(labels), len(losers)) > config.MAX_BROADCAST_LABELS:
+        raise ValueError(
+            "label table too large to broadcast; run reconcile in mode='full' "
+            "(full-row shuffle) instead")
+    labels = labels.loc[~_key_series(labels).duplicated()]
+    h = pd.util.hash_array(_key_series(labels).to_numpy(dtype=object),
+                           categorize=False)
+    order = np.argsort(h, kind="stable")
+    loser_hash = (np.sort(pd.util.hash_array(
+        _key_series(losers).to_numpy(dtype=object), categorize=False))
+        if len(losers) else np.empty(0, dtype=np.uint64))
+    return {
+        "lab_hash": h[order],
+        "status": labels["matched_status"].to_numpy(np.int32)[order],
+        "stale": labels["r_stale_commit"].to_numpy(bool)[order],
+        "conflict": labels["group_conflict"].to_numpy(bool)[order],
+        "loser_hash": loser_hash,
+    }
+
+
 class ApplyReconcileLabels:
     """map_batches stage merging broadcast exception labels back onto full rows.
 
-    `labels_ref` / `losers_ref` are ``ray.put`` object refs fetched once per
-    actor (broadcast — shipped to each node once, not per batch)."""
+    `packed_ref` is a ``ray.put`` ref of ``pack_labels(...)`` — fetched once
+    per worker (broadcast: shipped to each node once, not per batch)."""
 
-    def __init__(self, labels_ref, losers_ref) -> None:
-        labels: pd.DataFrame = ray.get(labels_ref)
-        losers: pd.DataFrame = ray.get(losers_ref)
-        if max(len(labels), len(losers)) > config.MAX_BROADCAST_LABELS:
-            raise ValueError(
-                "label table too large to broadcast; run reconcile in mode='full' "
-                "(full-row shuffle) instead")
-        # labels keyed by deterministic 64-bit siphash of (repo,path,commit)
-        # held as SORTED numpy arrays: per-batch lookup is a vectorized
-        # binary search, per-worker setup is one np.sort — no pandas string
-        # index (whose build+reindex grew superlinearly with the label table)
-        labels = labels.loc[~_key_series(labels).duplicated()]
-        h = pd.util.hash_array(_key_series(labels).to_numpy(dtype=object),
-                               categorize=False)
-        order = np.argsort(h, kind="stable")
-        self._lab_hash = h[order]
-        self._lab_status = labels["matched_status"].to_numpy(np.int32)[order]
-        self._lab_stale = labels["r_stale_commit"].to_numpy(bool)[order]
-        self._lab_conflict = labels["group_conflict"].to_numpy(bool)[order]
-        if len(losers):
-            self._loser_hash = np.sort(pd.util.hash_array(
-                _key_series(losers).to_numpy(dtype=object), categorize=False))
-        else:
-            self._loser_hash = np.empty(0, dtype=np.uint64)
+    def __init__(self, packed_ref) -> None:
+        packed: dict = ray.get(packed_ref)
+        self._lab_hash = packed["lab_hash"]
+        self._lab_status = packed["status"]
+        self._lab_stale = packed["stale"]
+        self._lab_conflict = packed["conflict"]
+        self._loser_hash = packed["loser_hash"]
 
     def _lookup(self, key_hash: np.ndarray
                 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -282,16 +290,15 @@ class ApplyReconcileLabels:
                 .append_column("r_exact_dup", pa.array(dup)))
 
 
-def make_apply_labels(labels_ref, losers_ref):
+def make_apply_labels(packed_ref):
     """Task-pool form of ApplyReconcileLabels: a plain function whose closure
-    lazily builds the label index once per WORKER PROCESS (cached in the
-    module-level holder) — broadcast without an actor-pool spin-up; tasks
-    reuse the already-warm Ray workers."""
+    caches the fetched label arrays once per WORKER PROCESS — broadcast
+    without an actor-pool spin-up; tasks reuse the already-warm workers."""
     holder: dict = {}
 
     def apply(batch: pa.Table) -> pa.Table:
         if "a" not in holder:
-            holder["a"] = ApplyReconcileLabels(labels_ref, losers_ref)
+            holder["a"] = ApplyReconcileLabels(packed_ref)
         return holder["a"](batch)
 
     return apply

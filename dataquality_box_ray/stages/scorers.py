@@ -27,37 +27,70 @@ class FusedScorers:
         self.lm: ngram.CondTrigramLM = ray.get(ppl_lm_ref)
         self.langs = list(LANGS)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        content = pc.fill_null(batch["content"], "")
-        n = len(content)
-        preds = np.empty(n, dtype=object)
+    def _score_batch(self, texts: list[str]
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Whole-batch vectorized scoring: one concatenated code-point stream,
+        rolling trigram hashes with cross-row positions masked out, per-row
+        means via np.bincount. Bit-identical to the per-row path (the oracle
+        runs the unfused per-row scorers; e2e tests assert equality)."""
+        n = len(texts)
+        preds = np.full(n, "unknown", dtype=object)
         scores = np.zeros(n, dtype=np.float64)
         ppl = np.zeros(n, dtype=np.float64)
-        for i, text in enumerate(content.to_pylist()):
-            tri, pre = ngram.tri_and_prefix_codes(text or "", PPL_MAX_CHARS)
-            if len(tri) == 0:
-                preds[i] = "unknown"
-                continue
-            ppl[i] = float(np.exp(-(np.take(self.lm.l3, tri)
-                                    - np.take(self.lm.l2, pre)).mean()))
-            # langid scores over the (shorter) langid window: the trigrams of
-            # text[:LANGID_MAX_CHARS] are exactly the first
-            # min(len, MAX) - 2 trigrams — identical to LangIdScorer.predict
-            n_l = max(0, min(len(text), LANGID_MAX_CHARS) - 2)
-            tri_l, pre_l = tri[:n_l], pre[:n_l]
-            if len(tri_l) < 8:
-                preds[i] = "unknown"
-                continue
-            means = (np.take(self.l3, tri_l, axis=1)
-                     - np.take(self.l2, pre_l, axis=1)).mean(axis=1)
-            kk = min(len(tri_l), _COUNT_CAP)
-            z = means * kk
-            z = np.exp(z - z.max())
-            p = z / z.sum()
-            best = int(p.argmax())
-            scores[i] = float(p[best])
-            preds[i] = self.langs[best] if scores[i] >= config.LANGID_MIN_SCORE \
-                else "unknown"
+        enc = [(t or "")[:PPL_MAX_CHARS].encode("utf-32-le", "surrogatepass")
+               for t in texts]
+        lens = np.array([len(e) >> 2 for e in enc], dtype=np.int64)
+        if lens.sum() < 3:
+            return preds, scores, ppl
+        cp = np.frombuffer(b"".join(enc), dtype=np.uint32).astype(np.uint64)
+        if len(cp) < 3:
+            return preds, scores, ppl
+        pre = cp[:-2] * ngram._MUL + cp[1:-1]
+        tri = pre * ngram._MUL + cp[2:]
+        nb = np.uint64(ngram.N_BUCKETS)
+        tri = (tri % nb).astype(np.int64)
+        pre_codes = (pre % nb).astype(np.int64)
+
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        row_of = np.repeat(np.arange(n), lens)          # per code point
+        p_row = row_of[: len(tri)]                       # row of position p
+        valid = p_row == row_of[2:]                      # trigram within a row
+        offset = np.arange(len(tri)) - starts[p_row]     # index within row
+
+        rows_v = p_row[valid]
+        vals = (np.take(self.lm.l3, tri[valid])
+                - np.take(self.lm.l2, pre_codes[valid]))
+        cnt = np.bincount(rows_v, minlength=n)
+        sums = np.bincount(rows_v, weights=vals, minlength=n)
+        has = cnt > 0
+        ppl[has] = np.exp(-sums[has] / cnt[has])
+
+        # langid window: first min(len, LANGID_MAX_CHARS) - 2 trigrams per row
+        win = np.minimum(lens, LANGID_MAX_CHARS) - 2
+        valid_l = valid & (offset < win[p_row])
+        rows_l = p_row[valid_l]
+        cnt_l = np.bincount(rows_l, minlength=n)
+        means = np.zeros((len(self.langs), n), dtype=np.float64)
+        for li in range(len(self.langs)):
+            v = (np.take(self.l3[li], tri[valid_l])
+                 - np.take(self.l2[li], pre_codes[valid_l]))
+            s = np.bincount(rows_l, weights=v, minlength=n)
+            np.divide(s, cnt_l, out=means[li], where=cnt_l > 0)
+        ok = cnt_l >= 8
+        kk = np.minimum(cnt_l, _COUNT_CAP)
+        z = means * kk                                   # (L, n)
+        z = np.exp(z - z.max(axis=0, keepdims=True))
+        p = z / z.sum(axis=0, keepdims=True)
+        best = p.argmax(axis=0)
+        best_p = p[best, np.arange(n)]
+        confident = ok & (best_p >= config.LANGID_MIN_SCORE)
+        preds[confident] = np.array(self.langs, dtype=object)[best[confident]]
+        scores[ok] = best_p[ok]
+        return preds, scores, ppl
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        content = pc.fill_null(batch["content"], "")
+        preds, scores, ppl = self._score_batch(content.to_pylist())
 
         langid = pa.array(preds, type=pa.string())
         ppl_arr = pa.array(ppl)
