@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embeddings / similarity
         "embedding_topk": q.embedding_topk,
         "embedding_lsh_topk": q.embedding_lsh_topk,                # rows-only
+        "embedding_ivf_topk": q.embedding_ivf_topk,                # rows-only
         "embedding_near_dup_pairs": q.embedding_near_dup_pairs,    # rows-only
     }
 

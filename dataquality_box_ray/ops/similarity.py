@@ -56,6 +56,78 @@ def brute_force_topk(ds: "ray.data.Dataset", emb_col: str, id_col: str,
     return parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
 
 
+def build_ivf_centroids(ds: "ray.data.Dataset", emb_col: str,
+                        n_clusters: int = 16, sample_rows: int = 4096,
+                        iters: int = 8, seed: int = 13) -> np.ndarray:
+    """IVF coarse quantizer: k-means on a driver-side sample (Lloyd's, fixed
+    iterations, deterministic seed). The sample is small by design — the
+    clustering only has to be good enough to partition the space."""
+    sample = ds.limit(sample_rows).to_pandas()   # deterministic block prefix
+    x = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                cent[c] = v / nv if nv else cent[c]
+    return cent
+
+
+def ivf_topk(ds: "ray.data.Dataset", emb_col: str, id_col: str,
+             queries: np.ndarray, k: int = 10, n_clusters: int = 16,
+             n_probe: int = 4, seed: int = 13) -> pd.DataFrame:
+    """IVF approximate top-k: vectors are assigned to their nearest centroid
+    (row-local, centroids broadcast); each query probes only its `n_probe`
+    nearest lists. Touched fraction ≈ n_probe/n_clusters; exact within the
+    probed lists. Same output shape as brute_force_topk."""
+    cent = build_ivf_centroids(ds, emb_col, n_clusters, seed=seed)
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    q_lists = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]   # (nq, n_probe)
+    probed: dict[int, list[int]] = {}
+    for qi, lists in enumerate(q_lists):
+        for c in lists:
+            probed.setdefault(int(c), []).append(qi)
+    refs = ray.put((qn, probed, cent))
+
+    class Partial:
+        def __init__(self) -> None:
+            self.q, self.probed, self.cent = ray.get(refs)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+            assign = (m @ self.cent.T).argmax(axis=1)
+            ids = df[id_col].to_numpy()
+            frames = []
+            for c in np.unique(assign):
+                qis = self.probed.get(int(c))
+                if not qis:
+                    continue
+                sel = assign == c
+                sims = self.q[qis] @ m[sel].T
+                sub_ids = ids[sel]
+                kk = min(k, sims.shape[1])
+                idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+                frames.append(pd.DataFrame({
+                    "query_id": np.repeat(qis, kk),
+                    "vec_id": sub_ids[idx].ravel(),
+                    "cosine": np.take_along_axis(sims, idx, axis=1).ravel()}))
+            if not frames:
+                return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                     "vec_id": pd.Series([], dtype=np.int64),
+                                     "cosine": pd.Series([], dtype=np.float64)})
+            return pd.concat(frames, ignore_index=True)
+
+    parts = ds.map_batches(Partial, batch_format="pandas",
+                           concurrency=(1, 8)).to_pandas()
+    parts = parts.sort_values(["query_id", "cosine", "vec_id"],
+                              ascending=[True, False, True], kind="mergesort")
+    return parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+
+
 def lsh_topk(ds: "ray.data.Dataset", emb_col: str, id_col: str,
              queries: np.ndarray, k: int = 10, n_planes: int = 8,
              probe_hamming: int = 1, seed: int = 11) -> pd.DataFrame:

@@ -535,6 +535,20 @@ def embedding_lsh_topk(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
+def embedding_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF-partitioned approximate top-k (rows-only; kmeans quantizer)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qdf = (ds.map_batches(lambda df: df[df.vec_id < 5], batch_format="pandas")
+           .to_pandas().sort_values("vec_id"))
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = similarity.ivf_topk(ds, "embedding", "vec_id", queries, k=10,
+                              n_clusters=16, n_probe=4)
+    out["query_id"] = qdf["vec_id"].to_numpy()[out["query_id"].to_numpy()]
+    out["cosine"] = out["cosine"].round(5)
+    out = out.astype({"query_id": np.int64, "vec_id": np.int64})
+    return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+
+
 def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs at 0.99 (rows-only)."""
     pairs = dedup.embedding_near_dup(

@@ -77,6 +77,24 @@ def test_embedding_near_dup_and_topk():
         assert rows.iloc[0].cosine > 0.999
 
 
+def test_ivf_topk_recall():
+    rng = np.random.default_rng(2)
+    emb = rng.standard_normal((300, 24))
+    df = pd.DataFrame({"vec_id": np.arange(300),
+                       "embedding": list(emb.astype(np.float32))})
+    ds = ray.data.from_pandas(df)
+    queries = emb[:5]
+    exact = similarity.brute_force_topk(ds, "embedding", "vec_id", queries, k=5)
+    approx = similarity.ivf_topk(ds, "embedding", "vec_id", queries, k=5,
+                                 n_clusters=8, n_probe=3)
+    hits = 0
+    for qi in range(5):
+        assert qi in set(approx[approx.query_id == qi].vec_id)  # self found
+        hits += len(set(exact[exact.query_id == qi].vec_id)
+                    & set(approx[approx.query_id == qi].vec_id))
+    assert hits / 25 >= 0.5
+
+
 def test_lsh_topk_recall():
     rng = np.random.default_rng(1)
     emb = rng.standard_normal((300, 24))
