@@ -61,16 +61,15 @@ def run_bench() -> dict:
         .map_batches(_warm, batch_format="pandas").count()
 
     n_files = scaling_rows or rows_for_sf_dir(sf_dir)
-    # intermediate ENTITY stage on tmpfs: measures the engine, not /tmp's
-    # disk — on a real cluster this directory is the shared store
-    work_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    # object-store staging (work_dir=None): the non-checkpointed fast path;
+    # `python -m dataquality_box_ray.cli run` exercises the durable
+    # parquet-staged + manifest path
     t0 = time.time()
-    with tempfile.TemporaryDirectory(prefix="bench_qf_", dir=work_root) as work:
-        ds = quality_filter_dataset(corpus, work, n_buckets=max(32, num_cpus * 2))
-        out = ds.map_batches(
-            lambda df: df[["keep"]].assign(n=1).groupby("keep", as_index=False)
-            .sum(), batch_format="pandas").to_pandas()
-        kept = int(out.loc[out.keep, "n"].sum())
+    ds = quality_filter_dataset(corpus, None, n_buckets=max(32, num_cpus * 2))
+    out = ds.map_batches(
+        lambda df: df[["keep"]].assign(n=1).groupby("keep", as_index=False)
+        .sum(), batch_format="pandas").to_pandas()
+    kept = int(out.loc[out.keep, "n"].sum())
     headline = time.time() - t0
 
     timings: dict[str, float] = {}

@@ -80,24 +80,32 @@ def scored_dataset(input_path: str | list[str],
     return ds
 
 
-def finalize_dataset(stage_path: str,
+def finalize_dataset(stage: "str | ray.data.Dataset",
                      n_buckets: int = config.RECONCILE_BUCKETS,
                      extra_losers=None,
                      ) -> "ray.data.Dataset":
-    """Passes 2+3 given an ENTITY-stage Parquet directory."""
-    slim = ray.data.read_parquet(stage_path, columns=SLIM_COLUMNS)
+    """Passes 2+3 given an ENTITY stage: either a Parquet directory (the
+    durable, resumable form — manifest runs use this) or a MATERIALIZED
+    scored Dataset (object-store staging: skips the parquet round-trip; right
+    for non-checkpointed runs whose working set fits the cluster's object
+    store, which spills to disk past that)."""
+    if isinstance(stage, str):
+        slim = ray.data.read_parquet(stage, columns=SLIM_COLUMNS)
+        cpus_total = int(ray.cluster_resources().get("CPU", 8))
+        full = ray.data.read_parquet(stage,
+                                     override_num_blocks=cpus_total * 3)
+    else:
+        slim = stage.select_columns(SLIM_COLUMNS)
+        full = stage
     labels_pdf, losers_pdf = compute_label_tables(slim, n_buckets)
     if extra_losers is not None and len(extra_losers):
         import pandas as pd
         losers_pdf = pd.concat([losers_pdf, extra_losers], ignore_index=True)
     packed_ref = ray.put(pack_labels(labels_pdf, losers_pdf))
 
-    cpus_total = int(ray.cluster_resources().get("CPU", 8))
-    ds = ray.data.read_parquet(stage_path,
-                               override_num_blocks=cpus_total * 3)
-    ds = ds.map_batches(make_apply_labels(packed_ref),
-                        batch_format="pyarrow",
-                        batch_size=config.DEFAULT_BATCH_SIZE)
+    ds = full.map_batches(make_apply_labels(packed_ref),
+                          batch_format="pyarrow",
+                          batch_size=config.DEFAULT_BATCH_SIZE)
     ds = ds.map_batches(scrub_kernel, batch_format="pyarrow",
                         batch_size=config.DEFAULT_BATCH_SIZE)
     ds = ds.map_batches(decide_kernel, batch_format="pyarrow",
@@ -106,16 +114,21 @@ def finalize_dataset(stage_path: str,
 
 
 def quality_filter_dataset(input_path: str | list[str],
-                           work_dir: str,
+                           work_dir: str | None = None,
                            n_buckets: int = config.RECONCILE_BUCKETS,
                            ) -> "ray.data.Dataset":
-    """Full pipeline returning the RESULT dataset (used by tests/queries)."""
+    """Full pipeline returning the RESULT dataset (used by tests/queries).
+
+    work_dir=None stages the scored dataset in the object store
+    (materialize — fastest, non-durable); a path stages durable Parquet
+    (lz4: transient, re-read once; durable RESULT output stays zstd)."""
+    if work_dir is None:
+        return finalize_dataset(scored_dataset(input_path).materialize(),
+                                n_buckets)
     stage = pathlib.Path(work_dir) / "entity"
     if stage.exists():
         import shutil
         shutil.rmtree(stage)
-    # lz4 for the TRANSIENT stage (cheap cpu, re-read once); durable RESULT
-    # output stays zstd
     scored_dataset(input_path).write_parquet(str(stage), compression="lz4")
     return finalize_dataset(str(stage), n_buckets)
 

@@ -100,6 +100,18 @@ def test_label_modes_agree(tmp_path):
     pd.testing.assert_frame_equal(norm(lo).astype(str), norm(lob).astype(str))
 
 
+def test_memory_vs_parquet_staging(result_and_oracle):
+    """work_dir=None (object-store staging) produces the same result as the
+    durable parquet-staged path."""
+    got_parquet, _ = result_and_oracle
+    path = corpus_path("/root/testdata/sf0.001")
+    got_mem = quality_filter_dataset(path, None, n_buckets=16).to_pandas()
+    g, e = _aligned(got_mem, got_parquet)
+    assert (g["keep"] == e["keep"]).all()
+    assert (g["matched_status"] == e["matched_status"]).all()
+    assert (g["content_sha256"] == e["content_sha256"]).all()
+
+
 def test_reconcile_full_mode(tmp_path):
     """mode='full' (content moves through the shuffle once) produces the same
     reconciliation labels as the slim broadcast path."""
