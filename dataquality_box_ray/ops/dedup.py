@@ -121,12 +121,18 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
                            shingle_k: int = 5) -> pd.DataFrame:
     """Candidate near-dup pairs via MinHash+LSH: shingle→minhash→band→bucket
     groupby (the slim shuffle carries only (band, hash, id))."""
-    sig = ds.map_batches(MinHasher, batch_format="pandas",
-                         concurrency=(1, 8),
-                         fn_constructor_kwargs=dict(
-                             text_col=text_col, id_col=id_col,
-                             num_perm=num_perm, shingle_k=shingle_k,
-                             bands=bands))
+    holder: dict = {}
+
+    def sig_fn(df: pd.DataFrame) -> pd.DataFrame:
+        # task-pool form: the (cheap, deterministic) permutation params are
+        # built once per worker; an actor pool's spin-up isn't worth it here
+        if "m" not in holder:
+            holder["m"] = MinHasher(text_col=text_col, id_col=id_col,
+                                    num_perm=num_perm, shingle_k=shingle_k,
+                                    bands=bands)
+        return holder["m"](df)
+
+    sig = ds.map_batches(sig_fn, batch_format="pandas")
 
     def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
         dup = df[df.duplicated(["band", "band_hash"], keep=False)]
@@ -230,9 +236,14 @@ def simhash_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
     """SimHash near-dup candidates: band the 64-bit hash into 4×16-bit keys
     (any pair within hamming distance 3 shares ≥1 exact band) → slim groupby
     per band → verify hamming distance."""
-    hashed = ds.map_batches(SimHasher, batch_format="pandas",
-                            concurrency=(1, 8),
-                            fn_constructor_kwargs=dict(text_col=text_col))
+    holder: dict = {}
+
+    def hash_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if "h" not in holder:
+            holder["h"] = SimHasher(text_col=text_col)
+        return holder["h"](df)
+
+    hashed = ds.map_batches(hash_fn, batch_format="pandas")
     slim = hashed.select_columns([id_col, "simhash"])
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -278,20 +289,16 @@ def embedding_near_dup(ds: "ray.data.Dataset", emb_col: str, id_col: str,
     planes = rng.standard_normal((dim, n_planes)).astype(np.float32)
     planes_ref = ray.put(planes)
 
-    class Bucketize:
-        def __init__(self) -> None:
-            self.planes = ray.get(planes_ref)
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        planes_l = ray.get(planes_ref)          # worker-local after first get
+        m = np.stack(df[emb_col].to_numpy())
+        signs = (m @ planes_l) > 0
+        bucket = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+        return pd.DataFrame({id_col: df[id_col],
+                             "bucket": bucket.astype(np.int64),
+                             emb_col: df[emb_col]})
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = np.stack(df[emb_col].to_numpy())
-            signs = (m @ self.planes) > 0
-            bucket = (signs * (1 << np.arange(n_planes))).sum(axis=1)
-            return pd.DataFrame({id_col: df[id_col],
-                                 "bucket": bucket.astype(np.int64),
-                                 emb_col: df[emb_col]})
-
-    bucketed = ds.map_batches(Bucketize, batch_format="pandas",
-                              concurrency=(1, 8))
+    bucketed = ds.map_batches(bucketize, batch_format="pandas")
 
     def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:

@@ -28,36 +28,34 @@ import ray.data
 from ..stages.reconcile import bucket_of
 
 
+def _broadcast_filter(ds: "ray.data.Dataset", keys, on: str, keep: bool
+                      ) -> "ray.data.Dataset":
+    """Semi/anti filter against a ray.put key set. Task pool, not actors:
+    the broadcast ref is fetched once per worker (object-store local cache),
+    so there is no pool spin-up to amortize."""
+    key_set = keys if isinstance(keys, (set, frozenset)) else set(keys[on])
+    ref = ray.put(frozenset(key_set))
+    holder: dict = {}
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if "k" not in holder:
+            holder["k"] = ray.get(ref)
+        m = df[on].isin(holder["k"])
+        return df[m] if keep else df[~m]
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def broadcast_semi_join(ds: "ray.data.Dataset", keys: pd.DataFrame | set,
                         on: str) -> "ray.data.Dataset":
     """Keep rows whose `on` value appears in the broadcast key set (J7/D3)."""
-    key_set = keys if isinstance(keys, (set, frozenset)) else set(keys[on])
-    ref = ray.put(frozenset(key_set))
-
-    class Filter:
-        def __init__(self) -> None:
-            self.keys = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df[df[on].isin(self.keys)]
-
-    return ds.map_batches(Filter, batch_format="pandas", concurrency=(1, 8))
+    return _broadcast_filter(ds, keys, on, keep=True)
 
 
 def broadcast_anti_join(ds: "ray.data.Dataset", keys: pd.DataFrame | set,
                         on: str) -> "ray.data.Dataset":
     """Drop rows whose `on` value appears in the broadcast key set (J1 form)."""
-    key_set = keys if isinstance(keys, (set, frozenset)) else set(keys[on])
-    ref = ray.put(frozenset(key_set))
-
-    class Filter:
-        def __init__(self) -> None:
-            self.keys = ray.get(ref)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df[~df[on].isin(self.keys)]
-
-    return ds.map_batches(Filter, batch_format="pandas", concurrency=(1, 8))
+    return _broadcast_filter(ds, keys, on, keep=False)
 
 
 def completeness_check(target: "ray.data.Dataset", source: "ray.data.Dataset",
@@ -87,16 +85,15 @@ def broadcast_lookup_join(ds: "ray.data.Dataset", small: pd.DataFrame,
     cols = columns or [c for c in small.columns if c != right_on]
     slim = small[[right_on] + cols].drop_duplicates(subset=[right_on])
     ref = ray.put(slim)
+    holder: dict = {}
 
-    class Join:
-        def __init__(self) -> None:
-            self.small = ray.get(ref)
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        if "s" not in holder:
+            holder["s"] = ray.get(ref)
+        return df.merge(holder["s"], left_on=left_on, right_on=right_on,
+                        how="left")
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df.merge(self.small, left_on=left_on, right_on=right_on,
-                            how="left")
-
-    return ds.map_batches(Join, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(join, batch_format="pandas")
 
 
 def inner_join_compare(left: "ray.data.Dataset", right_small: pd.DataFrame,

@@ -34,23 +34,19 @@ def brute_force_topk(ds: "ray.data.Dataset", emb_col: str, id_col: str,
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     q_ref = ray.put(qn)
 
-    class Partial:
-        def __init__(self) -> None:
-            self.q = ray.get(q_ref)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)                       # worker-local after first get
+        m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+        sims = q @ m.T                           # (nq, batch)
+        ids = df[id_col].to_numpy()
+        kk = min(k, sims.shape[1])
+        idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        rows = {"query_id": np.repeat(np.arange(len(q)), kk),
+                "vec_id": ids[idx].ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=1).ravel()}
+        return pd.DataFrame(rows)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
-            sims = self.q @ m.T                     # (nq, batch)
-            ids = df[id_col].to_numpy()
-            kk = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows = {"query_id": np.repeat(np.arange(len(self.q)), kk),
-                    "vec_id": ids[idx].ravel(),
-                    "cosine": np.take_along_axis(sims, idx, axis=1).ravel()}
-            return pd.DataFrame(rows)
-
-    parts = ds.map_batches(Partial, batch_format="pandas",
-                           concurrency=(1, 8)).to_pandas()
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     parts = parts.sort_values(["query_id", "cosine", "vec_id"],
                               ascending=[True, False, True], kind="mergesort")
     return parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
@@ -93,36 +89,32 @@ def ivf_topk(ds: "ray.data.Dataset", emb_col: str, id_col: str,
             probed.setdefault(int(c), []).append(qi)
     refs = ray.put((qn, probed, cent))
 
-    class Partial:
-        def __init__(self) -> None:
-            self.q, self.probed, self.cent = ray.get(refs)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q, probed_l, cent_l = ray.get(refs)
+        m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+        assign = (m @ cent_l.T).argmax(axis=1)
+        ids = df[id_col].to_numpy()
+        frames = []
+        for c in np.unique(assign):
+            qis = probed_l.get(int(c))
+            if not qis:
+                continue
+            sel = assign == c
+            sims = q[qis] @ m[sel].T
+            sub_ids = ids[sel]
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            frames.append(pd.DataFrame({
+                "query_id": np.repeat(qis, kk),
+                "vec_id": sub_ids[idx].ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=1).ravel()}))
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "vec_id": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
-            assign = (m @ self.cent.T).argmax(axis=1)
-            ids = df[id_col].to_numpy()
-            frames = []
-            for c in np.unique(assign):
-                qis = self.probed.get(int(c))
-                if not qis:
-                    continue
-                sel = assign == c
-                sims = self.q[qis] @ m[sel].T
-                sub_ids = ids[sel]
-                kk = min(k, sims.shape[1])
-                idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-                frames.append(pd.DataFrame({
-                    "query_id": np.repeat(qis, kk),
-                    "vec_id": sub_ids[idx].ravel(),
-                    "cosine": np.take_along_axis(sims, idx, axis=1).ravel()}))
-            if not frames:
-                return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                                     "vec_id": pd.Series([], dtype=np.int64),
-                                     "cosine": pd.Series([], dtype=np.float64)})
-            return pd.concat(frames, ignore_index=True)
-
-    parts = ds.map_batches(Partial, batch_format="pandas",
-                           concurrency=(1, 8)).to_pandas()
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     parts = parts.sort_values(["query_id", "cosine", "vec_id"],
                               ascending=[True, False, True], kind="mergesort")
     return parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
@@ -157,36 +149,32 @@ def lsh_topk(ds: "ray.data.Dataset", emb_col: str, id_col: str,
             probed.setdefault(b, []).append(qi)
     refs = ray.put((qn, probed, planes))
 
-    class Partial:
-        def __init__(self) -> None:
-            self.q, self.probed, self.planes = ray.get(refs)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q, probed_l, planes_l = ray.get(refs)
+        m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+        buckets = ((m @ planes_l) > 0) @ (1 << np.arange(n_planes))
+        ids = df[id_col].to_numpy()
+        frames = []
+        for b in np.unique(buckets):
+            qis = probed_l.get(int(b))
+            if not qis:
+                continue
+            sel = buckets == b
+            sims = q[qis] @ m[sel].T
+            sub_ids = ids[sel]
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            frames.append(pd.DataFrame({
+                "query_id": np.repeat(qis, kk),
+                "vec_id": sub_ids[idx].ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=1).ravel()}))
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "vec_id": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
-            buckets = ((m @ self.planes) > 0) @ (1 << np.arange(n_planes))
-            ids = df[id_col].to_numpy()
-            frames = []
-            for b in np.unique(buckets):
-                qis = self.probed.get(int(b))
-                if not qis:
-                    continue
-                sel = buckets == b
-                sims = self.q[qis] @ m[sel].T
-                sub_ids = ids[sel]
-                kk = min(k, sims.shape[1])
-                idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-                frames.append(pd.DataFrame({
-                    "query_id": np.repeat(qis, kk),
-                    "vec_id": sub_ids[idx].ravel(),
-                    "cosine": np.take_along_axis(sims, idx, axis=1).ravel()}))
-            if not frames:
-                return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
-                                     "vec_id": pd.Series([], dtype=np.int64),
-                                     "cosine": pd.Series([], dtype=np.float64)})
-            return pd.concat(frames, ignore_index=True)
-
-    parts = ds.map_batches(Partial, batch_format="pandas",
-                           concurrency=(1, 8)).to_pandas()
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     parts = parts.sort_values(["query_id", "cosine", "vec_id"],
                               ascending=[True, False, True], kind="mergesort")
     return parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)

@@ -246,6 +246,50 @@ def compute_new_winners(labels_pdf: pd.DataFrame, files: list[str],
     return (parts.groupby("rp", sort=False)["new_commit"].max().reset_index())
 
 
+def gc_old_runs(runs_root: str, max_age_days: float = 7.0,
+                now: float | None = None) -> list[str]:
+    """Retention sweep (reference `dags/maintenance_dag.py:21,156-209`:
+    Parquet stages garbage-collected after 7 days): remove run directories
+    (must contain a manifest.json) whose manifest is older than the cutoff.
+    Returns the removed paths. `now` injectable for tests."""
+    import time as _time
+    cutoff = (now if now is not None else _time.time()) - max_age_days * 86400
+    removed = []
+    root = pathlib.Path(runs_root)
+    if not root.exists():
+        return removed
+    for run in sorted(root.iterdir()):
+        man = run / "manifest.json"
+        if man.exists() and man.stat().st_mtime < cutoff:
+            shutil.rmtree(run)
+            removed.append(str(run))
+    return removed
+
+
+def render_report(manifest: dict[str, Any]) -> str:
+    """Severity-grouped text report of a run (reference
+    `NotificationDispatcherOperator`, `plugins/operators/dispatcher.py:46-81`
+    renders severity-grouped HTML email; here: plain text, same grouping)."""
+    lines = [f"run over {manifest.get('input_path', '?')} — "
+             f"{len(manifest['partitions'])} partitions"]
+    tot_rows = sum(e.get("rows", 0) for e in manifest["partitions"].values())
+    tot_kept = sum(e.get("kept", 0) for e in manifest["partitions"].values())
+    lines.append(f"rows={tot_rows} kept={tot_kept} "
+                 f"keep_rate={tot_kept / tot_rows:.4f}" if tot_rows else "empty")
+    hits: dict[str, int] = {}
+    for e in manifest["partitions"].values():
+        for k, v in e.get("rule_hits", {}).items():
+            hits[k] = hits.get(k, 0) + int(v)
+    from .. import config
+    for sev, rules in (("P0", config.P0_RULES), ("P1", config.P1_RULES),
+                       ("P2", config.P2_RULES)):
+        fired = {f"r_{r[2:].lower()}": hits.get(f"r_{r[2:].lower()}", 0)
+                 for r in rules}
+        lines.append(f"[{sev}] " + "  ".join(f"{k}={v}"
+                                             for k, v in fired.items()))
+    return "\n".join(lines)
+
+
 def verify_lineage_coverage(out_dir: str, input_path: str) -> bool:
     """Every input fragment appears in exactly one committed partition."""
     manifest = load_manifest(out_dir)

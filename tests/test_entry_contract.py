@@ -1,0 +1,30 @@
+"""Driver-contract smoke: import __ray_entry__ with Ray already initialised
+(as the driver does), run entry(), sanity-check queries()/oracle_sql()."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import __ray_entry__ as entry_mod
+
+
+def test_entry_runs_and_has_rows():
+    ds = entry_mod.entry()
+    n = ds.count()
+    assert n > 0
+    schema_names = set(ds.schema().names)
+    assert {"repo", "path", "commit", "keep", "matched_status",
+            "content_sha256"} <= schema_names
+    assert "content" not in schema_names          # dropped from smoke result
+
+
+def test_queries_and_oracles_aligned():
+    qs = entry_mod.queries()
+    sqls = entry_mod.oracle_sql()
+    assert len(qs) >= 30
+    # every oracle key must have a query
+    assert set(sqls) <= set(qs)
+    # at least 2/3 of queries are SQL-checked
+    assert len(sqls) >= 2 * len(qs) // 3
+    for name, fn in qs.items():
+        assert callable(fn), name

@@ -1,0 +1,41 @@
+import json
+import os
+import time
+
+from dataquality_box_ray.pipelines.manifest import gc_old_runs, render_report
+
+
+def _mk_run(root, name, age_days):
+    d = root / name
+    d.mkdir(parents=True)
+    man = d / "manifest.json"
+    man.write_text(json.dumps({"partitions": {}}))
+    old = time.time() - age_days * 86400
+    os.utime(man, (old, old))
+
+
+def test_gc_old_runs(tmp_path):
+    _mk_run(tmp_path, "run_old", 10)
+    _mk_run(tmp_path, "run_new", 1)
+    (tmp_path / "not_a_run").mkdir()       # no manifest → untouched
+    removed = gc_old_runs(str(tmp_path), max_age_days=7)
+    assert removed == [str(tmp_path / "run_old")]
+    assert (tmp_path / "run_new").exists()
+    assert (tmp_path / "not_a_run").exists()
+
+
+def test_render_report():
+    manifest = {
+        "input_path": "/data/x",
+        "partitions": {
+            "p0": {"rows": 100, "kept": 80,
+                   "rule_hits": {"r_null_empty": 3, "r_pii": 5}},
+            "p1": {"rows": 50, "kept": 40,
+                   "rule_hits": {"r_null_empty": 1, "r_lang_enum": 2}},
+        },
+    }
+    txt = render_report(manifest)
+    assert "rows=150 kept=120" in txt
+    assert "[P0]" in txt and "r_null_empty=4" in txt
+    assert "[P1]" in txt and "r_pii=5" in txt
+    assert "[P2]" in txt and "r_lang_enum=2" in txt

@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis): the rule-expression null truth table and
+the reconciliation kernels against naive reference implementations
+(SURVEY.md §7.4 item 2: decision-equivalence re-specified and property-tested)."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from dataquality_box_ray.rules.expressions import compile_predicate
+from dataquality_box_ray.stages.reconcile import (
+    SEP, dedup_group_kernel, reconcile_group_kernel)
+
+finite = st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False,
+                                        width=32))
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(finite, min_size=1, max_size=20),
+       st.floats(allow_nan=False, allow_infinity=False, width=32))
+def test_predicate_null_semantics(values, threshold):
+    """Comparisons against null NEVER hit (reference Polars filtered-out
+    semantics)."""
+    df = pd.DataFrame({"a": pd.array(values, dtype="float64")})
+    mask = compile_predicate(f"col('a') > lit({threshold})")(df)
+    for v, m in zip(values, mask):
+        if v is None:
+            assert not m
+        else:
+            assert m == (float(np.float32(v)) > float(np.float32(threshold)))
+
+
+keys = st.tuples(st.integers(0, 4), st.integers(0, 6))
+commits = st.text(alphabet="0123456789abcdef", min_size=1, max_size=8)
+shas = st.integers(0, 8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(keys, commits, shas), min_size=1, max_size=60))
+def test_reconcile_kernel_vs_naive(rows):
+    df = pd.DataFrame({
+        "repo": [f"r{k[0]}" for k, _, _ in rows],
+        "path": [f"p{k[1]}" for k, _, _ in rows],
+        "commit": [c for _, c, _ in rows],
+        "sha_pre": [f"s{s}" for _, _, s in rows],
+        "r_null_empty": [False] * len(rows),
+    })
+    out = reconcile_group_kernel(df)
+    # naive per-group reference
+    g = df.groupby(["repo", "path"], sort=False)
+    for (repo, path), grp in g:
+        sub = out[(out.repo == repo) & (out.path == path)]
+        winner = max(grp["commit"])
+        if len(grp) == 1:
+            assert (sub.matched_status == 1).all()
+        else:
+            assert set(sub.loc[sub.commit == winner, "matched_status"]) == {4}
+            assert (sub.loc[sub.commit != winner, "matched_status"] == 3).all()
+        assert sub.group_conflict.iloc[0] == (grp.sha_pre.nunique() > 1)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(keys, commits, shas), min_size=1, max_size=60,
+                unique_by=lambda r: (r[0], r[1])))
+def test_dedup_kernel_vs_naive(rows):
+    df = pd.DataFrame({
+        "repo": [f"r{k[0]}" for k, _, _ in rows],
+        "path": [f"p{k[1]}" for k, _, _ in rows],
+        "commit": [c for _, c, _ in rows],
+        "sha_pre": [f"s{s}" for _, _, s in rows],
+    })
+    losers = dedup_group_kernel(df)
+    key = df.repo + SEP + df.path + SEP + df.commit
+    canon = key.groupby(df.sha_pre).transform("min")
+    exp = df.loc[key != canon, ["repo", "path", "commit"]]
+    assert losers.reset_index(drop=True).equals(exp.reset_index(drop=True))
