@@ -64,13 +64,18 @@ def run_bench() -> dict:
     # object-store staging (work_dir=None): the non-checkpointed fast path;
     # `python -m dataquality_box_ray.cli run` exercises the durable
     # parquet-staged + manifest path
-    t0 = time.time()
-    ds = quality_filter_dataset(corpus, None, n_buckets=max(32, num_cpus * 2))
-    out = ds.map_batches(
-        lambda df: df[["keep"]].assign(n=1).groupby("keep", as_index=False)
-        .sum(), batch_format="pandas").to_pandas()
-    kept = int(out.loc[out.keep, "n"].sum())
-    headline = time.time() - t0
+    def run_headline() -> tuple[float, int]:
+        t0 = time.time()
+        ds = quality_filter_dataset(corpus, None,
+                                    n_buckets=max(32, num_cpus * 2))
+        out = ds.map_batches(
+            lambda df: df[["keep"]].assign(n=1).groupby("keep", as_index=False)
+            .sum(), batch_format="pandas").to_pandas()
+        return time.time() - t0, int(out.loc[out.keep, "n"].sum())
+
+    # min of 2: short walls swing ±40% with ambient VM noise
+    (t_a, kept), (t_b, _) = run_headline(), run_headline()
+    headline = min(t_a, t_b)
 
     timings: dict[str, float] = {}
     if not scaling_rows:        # scaling mode times the headline job only
