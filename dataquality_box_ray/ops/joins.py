@@ -111,6 +111,49 @@ def inner_join_compare(left: "ray.data.Dataset", right_small: pd.DataFrame,
     return joined.map_batches(flag, batch_format="pandas")
 
 
+def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              left_on: str, right_on: str, how: str = "inner",
+              num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Large-large join. Uses the native hash-partitioned ``Dataset.join``
+    where this Ray version ships it; otherwise falls back to an explicit
+    bucketed hash join (add bucket = hash(key) % B to both sides, tag,
+    union, per-bucket pandas merge — the portable pattern). Prefer the
+    broadcast joins above whenever one side is small: they do no shuffle."""
+    import ray as _ray
+
+    n = num_partitions or max(
+        16, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+    if hasattr(left, "join"):
+        return left.join(right, join_type=how, num_partitions=n,
+                         on=(left_on,), right_on=(right_on,))
+
+    lcols = [c for c in left.schema().names]
+    rcols = [c for c in right.schema().names]
+    all_cols = sorted(set(lcols) | set(rcols)) + ["__side"]
+
+    def widen(side: str, cols: list[str]):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            for c in all_cols:
+                if c not in df.columns:
+                    df[c] = None if c != "__side" else side
+            return df[all_cols]
+        return fn
+
+    lt = _with_bucket(left.map_batches(widen("L", lcols),
+                                       batch_format="pandas"), left_on, n)
+    rt = _with_bucket(right.map_batches(widen("R", rcols),
+                                        batch_format="pandas"), right_on, n)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df.loc[df["__side"] == "L", lcols]
+        r = df.loc[df["__side"] == "R", rcols]
+        return l.merge(r, left_on=left_on, right_on=right_on, how=how)
+
+    return lt.union(rt).groupby("__bucket").map_groups(
+        per_bucket, batch_format="pandas")
+
+
 def _with_bucket(ds: "ray.data.Dataset", key: str, n_buckets: int):
     def add(t: pa.Table) -> pa.Table:
         s = pd.Series(t.column(key).to_pandas().astype(str))

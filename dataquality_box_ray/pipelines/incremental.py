@@ -1,0 +1,79 @@
+"""Watermark-driven incremental scanning (SURVEY.md §2.9).
+
+The reference's scanner (`dags/scanner_cactus_monitor.py:36-189`) polls
+`MAX(last_modified)`, advances a cursor by at most `batch_limit` per run
+(8-hour windows), skips when nothing moved, and commits the watermark only
+after successful dispatch. Identical micro-batch model here over an
+event-time column:
+
+- watermark state = a JSON file, atomically replaced (the Airflow Variable
+  analogue);
+- each `scan_once` selects rows with ``wm < ts ≤ min(wm + window, max_ts)``
+  via a vectorized pushdown filter, hands the micro-batch Dataset to the
+  caller's process_fn, then advances the watermark;
+- late data: rows at or before the watermark are by definition already
+  processed; re-processing policy belongs to the caller's sink (the
+  reference re-selects rows whose `sync_status` moved — here, the manifest's
+  committed-index corrections play that role).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+from typing import Any, Callable
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def load_watermark(path: str | pathlib.Path) -> pd.Timestamp | None:
+    p = pathlib.Path(path)
+    if not p.exists():
+        return None
+    v = json.loads(p.read_text()).get("watermark")
+    return pd.Timestamp(v) if v else None
+
+
+def save_watermark(path: str | pathlib.Path, wm: pd.Timestamp) -> None:
+    p = pathlib.Path(path)
+    tmp = p.with_suffix(".tmp")
+    tmp.write_text(json.dumps({"watermark": str(wm)}))
+    os.replace(tmp, p)
+
+
+def scan_once(source_path: str, ts_col: str, watermark_file: str,
+              process_fn: Callable[["ray.data.Dataset"], Any],
+              window: pd.Timedelta = pd.Timedelta(hours=8),
+              ) -> dict[str, Any]:
+    """One scanner tick: select (wm, wm+window] rows, process, advance.
+
+    Returns {"processed": n, "watermark": new_wm, "skipped": bool}."""
+    ds = ray.data.read_parquet(source_path)
+    max_ts = ds.max(ts_col)
+    if max_ts is None:
+        return {"processed": 0, "watermark": None, "skipped": True}
+    max_ts = pd.Timestamp(max_ts)
+    wm = load_watermark(watermark_file)
+    if wm is not None and max_ts <= wm:
+        return {"processed": 0, "watermark": wm, "skipped": True}
+
+    lo = wm
+    hi = min(max_ts, (wm + window) if wm is not None else max_ts)
+
+    def in_window(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        mask = pc.less_equal(ts, pa.scalar(hi.to_pydatetime()))
+        if lo is not None:
+            mask = pc.and_(mask, pc.greater(ts, pa.scalar(lo.to_pydatetime())))
+        return t.filter(mask)
+
+    batch = ds.map_batches(in_window, batch_format="pyarrow")
+    result = process_fn(batch)
+    n = result if isinstance(result, int) else batch.count()
+    save_watermark(watermark_file, hi)          # commit AFTER dispatch
+    return {"processed": n, "watermark": hi, "skipped": False}

@@ -1,0 +1,52 @@
+"""Source registry: format/type → Ray Data reader factory.
+
+The reference's extractor registry maps a `source_type` string to an
+extractor class (`plugins/infra/extractors/__init__.py:13-38`, subclasses of
+`BaseExtractor` registered in `_REGISTRY`). Ray Data already ships the
+readers; this registry keeps the same user-extension surface — register a
+name, get it from source-config YAML — without re-wrapping the engine.
+
+A generic SQL source (reference `MySQLExtractor`, S1) maps to
+``ray.data.read_sql(query, connection_factory)``; there is no DB in this
+sandbox, so it is registered but exercised only through its signature.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import ray.data
+
+_REGISTRY: dict[str, Callable[..., "ray.data.Dataset"]] = {}
+
+
+def register_source(name: str, factory: Callable[..., "ray.data.Dataset"],
+                    ) -> None:
+    """Register a reader factory (the reference's extractor registration)."""
+    if name in _REGISTRY:
+        raise ValueError(f"source type {name!r} already registered")
+    _REGISTRY[name] = factory
+
+
+def get_source(name: str) -> Callable[..., "ray.data.Dataset"]:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"unknown source type {name!r}; "
+                       f"known: {sorted(_REGISTRY)}") from None
+
+
+def read(name: str, *args, **kwargs) -> "ray.data.Dataset":
+    return get_source(name)(*args, **kwargs)
+
+
+register_source("parquet", ray.data.read_parquet)
+register_source("csv", ray.data.read_csv)
+register_source("json", ray.data.read_json)
+register_source("text", ray.data.read_text)
+register_source("binary", ray.data.read_binary_files)
+register_source("items", ray.data.from_items)
+register_source("pandas", ray.data.from_pandas)
+register_source("arrow", ray.data.from_arrow)
+if hasattr(ray.data, "read_sql"):
+    register_source("sql", ray.data.read_sql)

@@ -1,0 +1,78 @@
+import pandas as pd
+import pytest
+
+from dataquality_box_ray import sources
+from dataquality_box_ray.ops.joins import hash_join
+from dataquality_box_ray.pipelines.incremental import load_watermark, scan_once
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_source_registry(tmp_path):
+    ds = sources.read("parquet", f"{SF}/nation.parquet")
+    assert ds.count() == pd.read_parquet(f"{SF}/nation.parquet").shape[0]
+    pd.DataFrame({"a": [1, 2]}).to_csv(tmp_path / "x.csv", index=False)
+    assert sources.read("csv", str(tmp_path / "x.csv")).count() == 2
+    with pytest.raises(KeyError, match="unknown source type"):
+        sources.read("influxdb", "x")
+    with pytest.raises(ValueError, match="already registered"):
+        sources.register_source("parquet", lambda: None)
+
+
+def test_hash_join_native():
+    cust = sources.read("parquet", f"{SF}/customer.parquet")
+    orders = sources.read("parquet", f"{SF}/orders.parquet")
+    out = hash_join(orders, cust, "o_custkey", "c_custkey",
+                    how="inner", num_partitions=8).to_pandas()
+    o = pd.read_parquet(f"{SF}/orders.parquet")
+    c = pd.read_parquet(f"{SF}/customer.parquet")
+    exp = o.merge(c, left_on="o_custkey", right_on="c_custkey", how="inner")
+    assert len(out) == len(exp)
+    assert out.o_totalprice.sum() == pytest.approx(exp.o_totalprice.sum())
+
+
+def test_incremental_scan(tmp_path):
+    wm_file = str(tmp_path / "wm.json")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    span = ev.ts.max() - ev.ts.min()
+    window = span / 3
+
+    seen = []
+
+    def process(ds):
+        n = ds.count()
+        seen.append(n)
+        return n
+
+    total = 0
+    # first tick has no watermark → processes everything up to max_ts
+    r = scan_once(f"{SF}/events.parquet", "ts", wm_file, process,
+                  window=window)
+    assert not r["skipped"]
+    assert r["processed"] == len(ev)
+    # second tick: nothing moved → skip, watermark unchanged
+    r2 = scan_once(f"{SF}/events.parquet", "ts", wm_file, process,
+                   window=window)
+    assert r2["skipped"]
+    assert load_watermark(wm_file) == ev.ts.max()
+
+
+def test_incremental_windows(tmp_path):
+    """With a pre-seeded old watermark, ticks advance by ≤ window and cover
+    every event exactly once (the reference's 8-hour batch_limit walk)."""
+    from dataquality_box_ray.pipelines.incremental import save_watermark
+    wm_file = str(tmp_path / "wm.json")
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    start = ev.ts.min() - pd.Timedelta(seconds=1)
+    save_watermark(wm_file, start)
+    window = (ev.ts.max() - ev.ts.min()) / 3 + pd.Timedelta(seconds=1)
+
+    counts = []
+    for _ in range(10):
+        r = scan_once(f"{SF}/events.parquet", "ts", wm_file,
+                      lambda ds: ds.count(), window=window)
+        if r["skipped"]:
+            break
+        counts.append(r["processed"])
+    assert sum(counts) == len(ev)
+    assert len(counts) >= 3          # walked in ≥3 bounded windows
