@@ -19,14 +19,11 @@ from typing import Any
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
-    import tempfile
-
     from dataquality_box_ray.corpus import corpus_path
     from dataquality_box_ray.pipelines.quality_filter import quality_filter_dataset
 
     path = corpus_path("/root/testdata/sf0.001")
-    work = tempfile.mkdtemp(prefix="qf_entry_")
-    ds = quality_filter_dataset(path, work, n_buckets=16)
+    ds = quality_filter_dataset(path, None, n_buckets=16)  # object-store staged
     # drop the wide content column from the smoke-check result; labels +
     # hashes are the pipeline's contract
     return ds.drop_columns(["content"])
