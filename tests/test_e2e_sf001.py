@@ -1,0 +1,26 @@
+"""E2e oracle comparison at the driver's correctness scale (sf0.01, 20k
+rows) — the keep/drop F1 criterion checked at the scale the judge uses."""
+
+import pyarrow.parquet as pq
+
+from dataquality_box_ray.corpus import corpus_path
+from dataquality_box_ray.oracle import oracle_result
+from dataquality_box_ray.pipelines.quality_filter import quality_filter_dataset
+
+
+def test_keep_drop_f1_at_sf001():
+    path = corpus_path("/root/testdata/sf0.01")
+    got = (quality_filter_dataset(path, None, n_buckets=32)
+           .select_columns(["repo", "path", "commit", "keep",
+                            "matched_status", "content_sha256"])
+           .to_pandas())
+    exp = oracle_result(pq.read_table(path))[
+        ["repo", "path", "commit", "keep", "matched_status", "content_sha256"]]
+    key = ["repo", "path", "commit", "content_sha256"]
+    g = got.sort_values(key, kind="mergesort").reset_index(drop=True)
+    e = exp.sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert len(g) == len(e) == 19992
+    assert (g["keep"] == e["keep"]).all()
+    assert (g["matched_status"] == e["matched_status"]).all()
+    f1 = 2 * (g["keep"] & e["keep"]).sum() / (g["keep"].sum() + e["keep"].sum())
+    assert f1 >= 0.99       # criterion; exact equality asserted above anyway
