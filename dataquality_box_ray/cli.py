@@ -29,7 +29,24 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--num-cpus", type=int, default=None,
                      help="local-mode only; on a cluster omit this")
 
+    rep = sub.add_parser("report", help="render a run's severity report")
+    rep.add_argument("--out", required=True)
+
+    gc = sub.add_parser("gc", help="retention sweep over a runs directory")
+    gc.add_argument("--root", required=True)
+    gc.add_argument("--max-age-days", type=float, default=7.0)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "report":
+        from .pipelines.manifest import load_manifest, render_report
+        print(render_report(load_manifest(args.out)))
+        return 0
+    if args.cmd == "gc":
+        from .pipelines.manifest import gc_old_runs
+        removed = gc_old_runs(args.root, args.max_age_days)
+        print(json.dumps({"removed": removed}))
+        return 0
 
     import ray
     if not ray.is_initialized():

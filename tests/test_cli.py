@@ -1,0 +1,28 @@
+"""CLI end-to-end in a fresh process — the `ray job submit` surface."""
+
+import json
+import subprocess
+import sys
+
+from dataquality_box_ray.corpus import corpus_path
+
+
+def test_cli_run_and_report(tmp_path):
+    src = corpus_path("/root/testdata/sf0.001")
+    out = tmp_path / "run"
+    env_cmd = [sys.executable, "-m", "dataquality_box_ray.cli", "run",
+               "--input", src, "--out", str(out), "--partitions", "2",
+               "--num-cpus", "4"]
+    res = subprocess.run(env_cmd, capture_output=True, text=True, timeout=300,
+                         cwd="/root/repo")
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["partitions"] == 2
+    assert summary["rows"] > 0 and 0.5 < summary["keep_rate"] < 0.95
+
+    rep = subprocess.run([sys.executable, "-m", "dataquality_box_ray.cli",
+                          "report", "--out", str(out)],
+                         capture_output=True, text=True, timeout=60,
+                         cwd="/root/repo")
+    assert rep.returncode == 0
+    assert "[P0]" in rep.stdout and "keep_rate" in rep.stdout
