@@ -39,7 +39,12 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     if args.cmd == "report":
+        import pathlib
+
         from .pipelines.manifest import load_manifest, render_report
+        if not (pathlib.Path(args.out) / "manifest.json").exists():
+            print(f"error: no manifest.json under {args.out!r}", file=sys.stderr)
+            return 2
         print(render_report(load_manifest(args.out)))
         return 0
     if args.cmd == "gc":

@@ -129,6 +129,10 @@ def run_quality_filter(input_path: str, out_dir: str, *,
     manifest = load_manifest(out)
 
     files = sorted(str(p) for p in pathlib.Path(input_path).glob("*.parquet"))
+    if not files:
+        raise FileNotFoundError(
+            f"no *.parquet files found in {input_path!r} "
+            f"(directory {'exists' if pathlib.Path(input_path).is_dir() else 'does not exist'})")
     chunks = _partition_chunks(files, partitions)
     manifest["input_path"] = input_path
     manifest["partitions_total"] = len(chunks)
