@@ -21,4 +21,25 @@ see SURVEY.md) as a code-corpus quality filter over Parquet tables
 Everything is built on public Ray Data / Apache Arrow APIs only.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def _configure_data_context() -> None:
+    """Engine-wide Ray Data defaults.
+
+    Tensor-extension casting is disabled because the engine's list-typed
+    columns (item lists, shingle sets, embeddings) are plain Arrow lists /
+    object columns, not tensors; with the flag on, pandas block concatenation
+    dies on ragged list columns (``_cast_ndarray_columns_to_tensor_extension``).
+    Safe before ``ray.init``: DataContext is a process-local singleton captured
+    by each Dataset at creation time.
+    """
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_tensor_extension_casting = False
+    except Exception:  # pragma: no cover - ray absent/ancient
+        pass
+
+
+_configure_data_context()

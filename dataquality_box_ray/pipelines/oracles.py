@@ -23,6 +23,14 @@ def corpus_glob() -> str:
     return corpus_path(_CORRECTNESS_SF_DIR) + "/*.parquet"
 
 
+def _cents_sql(col: str) -> str:
+    """price→cents in SQL with the IDENTICAL arithmetic as queries._cents
+    (``floor(abs(x)*100 + 0.5) * sign(x)``). DuckDB's ``round()`` can diverge
+    from this by one cent on ties at larger scales, which poisons value-hash
+    sums — so the oracle mirrors the exact expression instead."""
+    return f"(floor(abs({col}) * 100 + 0.5) * sign({col}))::BIGINT"
+
+
 _MARK_EN = r"\b(the|and|while|every|because)\b"
 _MARK_DE = r"\b(der|die|und|während|jeder|weil)\b"
 _MARK_FR = r"\b(le|la|et|dans|que|chaque|parce)\b"
@@ -115,11 +123,11 @@ def build() -> dict[str, str]:
         WHERE l_quantity >= 45 AND l_discount * 100 >= 5
     """
 
-    sql["aggregate_rule_having"] = """
+    sql["aggregate_rule_having"] = f"""
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity)::BIGINT AS sum_qty,
-               sum(round(l_extendedprice * 100)::BIGINT) AS sum_price_cents,
-               sum(round(l_discount * 100)::BIGINT) AS sum_disc_cents,
+               sum({_cents_sql("l_extendedprice")})::BIGINT AS sum_price_cents,
+               sum({_cents_sql("l_discount")})::BIGINT AS sum_disc_cents,
                count(*)::BIGINT AS n
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
@@ -127,15 +135,15 @@ def build() -> dict[str, str]:
         ORDER BY l_returnflag, l_linestatus
     """
 
-    sql["cross_check_totalprice"] = """
+    sql["cross_check_totalprice"] = f"""
         SELECT o.o_orderkey,
-               round(o.o_totalprice * 100)::BIGINT AS total_cents,
-               round(o.o_totalprice * 100)::BIGINT - l.s AS diff_cents
+               {_cents_sql("o.o_totalprice")} AS total_cents,
+               ({_cents_sql("o.o_totalprice")} - l.s)::BIGINT AS diff_cents
         FROM orders o
-        JOIN (SELECT l_orderkey, sum(round(l_extendedprice * 100)::BIGINT) AS s
+        JOIN (SELECT l_orderkey, sum({_cents_sql("l_extendedprice")})::BIGINT AS s
               FROM lineitem GROUP BY l_orderkey) l
           ON o.o_orderkey = l.l_orderkey
-        WHERE abs(round(o.o_totalprice * 100)::BIGINT - l.s) > 1
+        WHERE abs({_cents_sql("o.o_totalprice")} - l.s) > 1
         ORDER BY o.o_orderkey
     """
 
@@ -187,7 +195,7 @@ def build() -> dict[str, str]:
         ORDER BY c_custkey
     """
 
-    sql["asof_click_view"] = """
+    sql["asof_click_view"] = f"""
         WITH v AS (
           SELECT * FROM (
             SELECT event_id, user_id, ts, value,
@@ -198,7 +206,7 @@ def build() -> dict[str, str]:
               WHERE event_type = 'click')
         SELECT c.event_id,
                coalesce(v.event_id, -1)::BIGINT AS view_id,
-               coalesce(round(v.value * 100)::BIGINT, -1) AS view_value_cents
+               coalesce({_cents_sql("v.value")}, -1) AS view_value_cents
         FROM c LEFT JOIN v
           ON c.user_id = v.user_id AND v.ts <= c.ts
              AND epoch(c.ts) - epoch(v.ts) <= 600
@@ -208,10 +216,10 @@ def build() -> dict[str, str]:
     """
 
     # ---- aggregations / windows ------------------------------------------
-    sql["window_customer_total"] = """
+    sql["window_customer_total"] = f"""
         SELECT o_orderkey, o_custkey,
-               sum(round(o_totalprice * 100)::BIGINT)
-                   OVER (PARTITION BY o_custkey) AS cust_total_cents
+               sum({_cents_sql("o_totalprice")})
+                   OVER (PARTITION BY o_custkey)::BIGINT AS cust_total_cents
         FROM orders ORDER BY o_orderkey
     """
 
@@ -287,11 +295,11 @@ def build() -> dict[str, str]:
         FROM g GROUP BY user_id ORDER BY user_id
     """
 
-    sql["tumbling_hour_counts"] = """
+    sql["tumbling_hour_counts"] = f"""
         SELECT user_id,
                (floor(epoch(ts))::BIGINT // 3600) * 3600 AS window_start,
                count(*)::BIGINT AS n,
-               sum(round(value * 100)::BIGINT) AS sum_value_cents
+               sum({_cents_sql("value")})::BIGINT AS sum_value_cents
         FROM events GROUP BY user_id, window_start
         ORDER BY user_id, window_start
     """

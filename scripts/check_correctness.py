@@ -2,7 +2,11 @@
 its DuckDB oracle; compare row count, column-name set, and an
 order-insensitive value hash (columns sorted by name, rows sorted).
 
-Usage: python scripts/check_correctness.py [name ...]
+Usage: python scripts/check_correctness.py [--sf 0.1] [name ...]
+
+Float columns are compared EXACTLY (the driver hashes values; only identical
+IEEE operations on both sides survive) — pass --atol for a looser compare
+while iterating.
 """
 
 from __future__ import annotations
@@ -45,13 +49,27 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif np.issubdtype(df[c].dtype, np.integer):
             df[c] = df[c].astype("int64")
         elif np.issubdtype(df[c].dtype, np.floating):
-            df[c] = df[c].astype("float64").round(9)
+            df[c] = df[c].astype("float64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+ATOL = 0.0
+
+
 def main(only: list[str]) -> int:
+    global SF, ATOL
+    if "--sf" in only:
+        i = only.index("--sf")
+        SF = f"/root/testdata/sf{only[i + 1]}"
+        del only[i:i + 2]
+    if "--atol" in only:
+        i = only.index("--atol")
+        ATOL = float(only[i + 1])
+        del only[i:i + 2]
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as e
+    from dataquality_box_ray.pipelines import oracles
+    oracles._CORRECTNESS_SF_DIR = SF
 
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -103,12 +121,12 @@ def main(only: list[str]) -> int:
         for c in g.columns:
             a, b = g[c], x[c]
             if np.issubdtype(a.dtype, np.floating):
-                eq = np.allclose(a, b, rtol=0, atol=1e-9, equal_nan=True)
+                eq = np.allclose(a, b, rtol=0, atol=ATOL, equal_nan=True)
             else:
                 eq = (a == b).all()
             if not eq:
                 bad = (a != b) if not np.issubdtype(a.dtype, np.floating) \
-                    else ~np.isclose(a, b, rtol=0, atol=1e-9, equal_nan=True)
+                    else ~np.isclose(a, b, rtol=0, atol=ATOL, equal_nan=True)
                 i = int(np.argmax(bad.to_numpy()))
                 print(f"FAIL {name}: column {c} differs; first at row {i}: "
                       f"{a.iloc[i]!r} vs {b.iloc[i]!r}")
