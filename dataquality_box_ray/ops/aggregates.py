@@ -27,11 +27,32 @@ from ..stages.reconcile import bucket_of
 
 
 def window_aggregate(ds: "ray.data.Dataset", key: str,
-                     aggregates: list[dict[str, str]]) -> "ray.data.Dataset":
-    """`agg(x).over(key)` broadcast back to rows (A5): distributed partial
-    groupby → small result broadcast-joined back onto every row."""
-    small = grouped_aggregate(ds, [key], aggregates)
-    return broadcast_lookup_join(ds, small, key, key)
+                     aggregates: list[dict[str, str]],
+                     mode: str = "auto",
+                     max_broadcast_rows: int = 300_000) -> "ray.data.Dataset":
+    """`agg(x).over(key)` broadcast back to rows (A5), cardinality-aware:
+
+    - few distinct keys (≤ ``max_broadcast_rows`` partial rows): distributed
+      partial groupby → small driver combine → ray.put broadcast join back
+      (no shuffle of the wide rows);
+    - key cardinality ∝ data: the final combine runs as a bucketed shuffle of
+      SLIM partials and the join-back is a hash-partitioned join — no
+      O(keys) driver frame, no O(keys) broadcast (the same auto-mode pattern
+      as the reconcile label tables, stages/reconcile.py:149-176).
+    """
+    from ..rules.engine import (_agg_specs, _bucketed_combine,
+                                _combine_partials, _make_partial)
+    from .joins import hash_join
+
+    specs = _agg_specs(aggregates)
+    partials_ds = ds.map_batches(_make_partial([key], specs),
+                                 batch_format="pandas").materialize()
+    small_enough = partials_ds.count() <= max_broadcast_rows
+    if mode == "broadcast" or (mode == "auto" and small_enough):
+        small = _combine_partials(partials_ds.to_pandas(), [key], specs)
+        return broadcast_lookup_join(ds, small, key, key)
+    combined = _bucketed_combine(partials_ds, [key], specs)
+    return hash_join(ds, combined, key, key, how="left_outer")
 
 
 def global_stats(ds: "ray.data.Dataset", col: str) -> dict[str, float]:

@@ -4,8 +4,14 @@ embedding-cosine near-dup.
 All variants follow one scale shape:
   1. row-local signature computation in ``map_batches`` (vectorized numpy);
   2. a SLIM shuffle of (signature-part, id) rows — never the text;
-  3. candidate verification / keep-first selection inside hash buckets;
-  4. survivors selected by broadcast anti-join on loser ids.
+  3. candidate verification inside hash buckets, with per-bucket pair caps so
+     a degenerate hot bucket (boilerplate text) never goes quadratic;
+  4. connected components by driver union-find below ``MAX_DRIVER_PAIRS``
+     verified edges, else distributed min-label propagation;
+  5. survivors selected by broadcast anti-join on loser ids below
+     ``MAX_BROADCAST_IDS`` losers, else a hash-partitioned anti join
+     (the same broadcast-refusal escape hatch as
+     ``stages/reconcile.py`` label mode).
 
 The exact path is the reference's dedup-against-sink semantics
 (`plugins/services/reconciliation_runner.py:586-601`, SURVEY.md D3)
@@ -23,7 +29,14 @@ import ray.data
 
 from ..stages.heuristics import sha256_column
 from ..stages.reconcile import bucket_of
-from .joins import broadcast_anti_join
+from .joins import broadcast_anti_join, hash_join
+
+# above this many verified duplicate edges, connected components run as
+# distributed min-label propagation instead of driver union-find
+MAX_DRIVER_PAIRS = 500_000
+# above this many loser ids, survivors are selected with a hash-partitioned
+# anti join instead of a ray.put broadcast of the id set
+MAX_BROADCAST_IDS = 2_000_000
 
 _P = np.uint64((1 << 61) - 1)      # Mersenne prime for affine permutations
 _SHINGLE_MUL = np.uint64(0x100000001B3)
@@ -60,11 +73,27 @@ def exact_dedup(ds: "ray.data.Dataset", content_col: str, id_col: str,
         keep = df.groupby("__sha", sort=False)[id_col].transform("min")
         return df.loc[df[id_col] != keep, [id_col]]
 
-    losers = (slim.map_batches(add_bucket, batch_format="pyarrow")
-              .groupby("__bucket").map_groups(losers_fn, batch_format="pandas")
-              .to_pandas())
-    loser_ids = set(losers[id_col]) if len(losers) else set()
-    return broadcast_anti_join(ds, loser_ids, id_col)
+    losers_ds = (slim.map_batches(add_bucket, batch_format="pyarrow")
+                 .groupby("__bucket").map_groups(losers_fn,
+                                                 batch_format="pandas")
+                 .materialize())
+    return _anti_join_auto(ds, losers_ds, id_col)
+
+
+def _anti_join_auto(ds: "ray.data.Dataset", losers_ds: "ray.data.Dataset",
+                    id_col: str) -> "ray.data.Dataset":
+    """Survivor selection with the broadcast-refusal escape hatch: loser ids
+    go out as a ray.put set when small, else through a hash-partitioned anti
+    join (at web scale losers are 30-50% of rows — a driver set won't hold)."""
+    from .joins import partitioned_anti_join
+
+    n_losers = losers_ds.count()
+    if n_losers == 0:
+        return ds
+    if n_losers <= MAX_BROADCAST_IDS:
+        losers = losers_ds.to_pandas()
+        return broadcast_anti_join(ds, set(losers[id_col]), id_col)
+    return partitioned_anti_join(ds, losers_ds, id_col, id_col)
 
 
 class MinHasher:
@@ -116,11 +145,27 @@ class MinHasher:
             "id": np.repeat(df[self.id_col].to_numpy(), self.bands)})
 
 
-def minhash_lsh_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
-                           num_perm: int = 64, bands: int = 16,
-                           shingle_k: int = 5) -> pd.DataFrame:
-    """Candidate near-dup pairs via MinHash+LSH: shingle→minhash→band→bucket
-    groupby (the slim shuffle carries only (band, hash, id))."""
+def rename_cols(ds: "ray.data.Dataset", mapping: dict) -> "ray.data.Dataset":
+    """Column rename that works for pandas AND arrow blocks (Ray's
+    ``Dataset.rename_columns`` calls ``rename_columns`` on the raw block,
+    which pandas blocks don't have)."""
+    def fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def minhash_lsh_candidates_ds(ds: "ray.data.Dataset", text_col: str,
+                              id_col: str, num_perm: int = 64,
+                              bands: int = 16, shingle_k: int = 5,
+                              max_bucket_ids: int = 2000,
+                              n_buckets: int = 64) -> "ray.data.Dataset":
+    """Candidate near-dup pairs via MinHash+LSH, fully distributed:
+    shingle→minhash→band→bucket groupby (the slim shuffle carries only
+    (band, hash, id)), then a second slim shuffle on hash(id_a) that
+    drop-duplicates pairs seen through several bands — a near-identical pair
+    collides in ~all ``bands`` bands, and verifying it once instead of 16
+    times is cheaper than the extra slim shuffle."""
     holder: dict = {}
 
     def sig_fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -135,63 +180,101 @@ def minhash_lsh_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
     sig = ds.map_batches(sig_fn, batch_format="pandas")
 
     def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=df["id"].dtype),
+                              "id_b": pd.Series([], dtype=df["id"].dtype)})
         dup = df[df.duplicated(["band", "band_hash"], keep=False)]
         rows = []
         for _, grp in dup.groupby(["band", "band_hash"], sort=False):
             ids = sorted(grp["id"].unique())
+            if len(ids) > max_bucket_ids:
+                # degenerate hot bucket (boilerplate text): the pair product
+                # is quadratic — cap to the first ids; near-dups this common
+                # are still linked transitively through other bands/components
+                ids = ids[:max_bucket_ids]
             rows.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1:])
-        return pd.DataFrame(rows, columns=["id_a", "id_b"]) if rows else \
-            pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame(rows, columns=["id_a", "id_b"]) if rows else empty
 
     # band is the natural partition key: all holders of one (band,hash) meet
-    pairs = (sig.groupby("band").map_groups(pairs_fn, batch_format="pandas")
-             .to_pandas())
+    pairs = sig.groupby("band").map_groups(pairs_fn, batch_format="pandas")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column("id_a").to_pandas().astype(str))
+        return t.append_column("__bucket", pa.array(bucket_of(s, n_buckets)))
+
+    def distinct_fn(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["id_a", "id_b"]).drop(columns=["__bucket"])
+
+    return (pairs.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket").map_groups(distinct_fn, batch_format="pandas"))
+
+
+def minhash_lsh_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
+                           **kw) -> pd.DataFrame:
+    """Driver-pandas wrapper over `minhash_lsh_candidates_ds` (tests/small)."""
+    pairs = minhash_lsh_candidates_ds(ds, text_col, id_col, **kw).to_pandas()
     if "id_a" not in pairs.columns:          # all buckets empty → schema lost
         pairs = pd.DataFrame({"id_a": [], "id_b": []})
-    return pairs.drop_duplicates().reset_index(drop=True)
+    return (pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            if len(pairs) else pairs)
+
+
+def _jaccard_rows(texts_a, texts_b, shingle_k: int) -> np.ndarray:
+    """Exact n-gram Jaccard per row pair; shingle arrays cached by text hash
+    within the batch (pairs are bucketed by id_a, so texts repeat)."""
+    cache: dict = {}
+
+    def shset(t):
+        t = t or ""
+        key = hash(t)
+        if key not in cache:
+            cache[key] = np.unique(_shingle_hashes(t, shingle_k))
+        return cache[key]
+
+    out = np.zeros(len(texts_a))
+    for i, (ta, tb) in enumerate(zip(texts_a, texts_b)):
+        sa, sb = shset(ta), shset(tb)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        out[i] = inter / union if union else 0.0
+    return out
 
 
 def verify_jaccard(pairs: pd.DataFrame, texts: pd.Series, shingle_k: int = 5,
                    threshold: float = 0.8) -> pd.DataFrame:
-    """Exact n-gram Jaccard verification of candidate pairs (texts: id→text,
-    fetched for the candidate ids only — candidates are a few % of the data)."""
-    out = []
-    cache: dict = {}
-
-    def shset(i):
-        if i not in cache:
-            cache[i] = set(_shingle_hashes(texts.get(i, "") or "", shingle_k).tolist())
-        return cache[i]
-
-    for a, b in zip(pairs["id_a"], pairs["id_b"]):
-        sa, sb = shset(a), shset(b)
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        j = inter / union if union else 0.0
-        out.append(j)
+    """Driver-side exact-Jaccard verification (texts: id→text) — small-scale
+    path and test oracle for `verify_jaccard_ds`."""
     res = pairs.copy()
-    res["jaccard"] = out
+    res["jaccard"] = _jaccard_rows(
+        [texts.get(a, "") for a in pairs["id_a"]],
+        [texts.get(b, "") for b in pairs["id_b"]], shingle_k)
     return res[res["jaccard"] >= threshold].reset_index(drop=True)
 
 
-def minhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
-                  threshold: float = 0.8, **kw) -> "ray.data.Dataset":
-    """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
-    connected components (union-find over the verified pair set, which is
-    small; at extreme scale replace with iterated min-label propagation) →
-    keep min id per component."""
-    pairs = minhash_lsh_candidates(ds, text_col, id_col, **kw)
-    if not len(pairs):
-        return ds
-    cand_ids = set(pairs["id_a"]) | set(pairs["id_b"])
-    import pyarrow.compute as pc
-    texts_tbl = (ds.map_batches(
-        lambda t: t.filter(pc.is_in(t[id_col], value_set=pa.array(list(cand_ids)))),
-        batch_format="pyarrow")
-        .select_columns([id_col, text_col]).to_pandas())
-    texts = texts_tbl.set_index(id_col)[text_col]
-    verified = verify_jaccard(pairs, texts, threshold=threshold)
+def verify_jaccard_ds(pairs: "ray.data.Dataset", ds: "ray.data.Dataset",
+                      text_col: str, id_col: str, shingle_k: int = 5,
+                      threshold: float = 0.8) -> "ray.data.Dataset":
+    """Distributed exact-Jaccard verification: candidate texts reach the
+    verify stage through two slim hash joins (id_a → text_a, id_b → text_b);
+    neither the pair set nor any text ever lands on the driver."""
+    texts = ds.select_columns([id_col, text_col])
+    ta = rename_cols(texts, {id_col: "__ia", text_col: "__text_a"})
+    tb = rename_cols(texts, {id_col: "__ib", text_col: "__text_b"})
+    j = hash_join(pairs, ta, "id_a", "__ia", how="inner")
+    j = hash_join(j, tb, "id_b", "__ib", how="inner")
 
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        jac = _jaccard_rows(df["__text_a"].tolist(), df["__text_b"].tolist(),
+                            shingle_k)
+        out = df.loc[jac >= threshold, ["id_a", "id_b"]].copy()
+        out["jaccard"] = jac[jac >= threshold]
+        return out
+
+    return j.map_batches(verify, batch_format="pandas")
+
+
+def union_find_losers(edges: pd.DataFrame) -> set:
+    """Driver union-find over a verified edge list → loser ids (every node
+    that is not its component's minimum)."""
     parent: dict = {}
 
     def find(x):
@@ -200,42 +283,172 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
             x = parent[x]
         return x
 
-    for a, b in zip(verified["id_a"], verified["id_b"]):
+    for a, b in zip(edges["id_a"], edges["id_b"]):
         ra, rb = find(a), find(b)
         if ra != rb:
-            lo, hi = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            # natural ordering — matches min-label propagation and the
+            # exact path's keep-min-id semantics
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
             parent[hi] = lo
-    losers = {x for x in parent if find(x) != x}
-    return broadcast_anti_join(ds, losers, id_col)
+    return {x for x in parent if find(x) != x}
+
+
+def min_label_losers_ds(edges: "ray.data.Dataset", max_rounds: int = 8,
+                        n_buckets: int = 64) -> "ray.data.Dataset":
+    """Distributed connected-components losers via min-label propagation.
+
+    Each round: every node takes the min of its own label and its neighbors'
+    labels (one slim hash join + one bucketed grouped min). Converges in
+    component-diameter rounds; near-dup components are near-cliques from
+    multi-band LSH, so a handful of rounds suffices. Stops early when a round
+    changes no label. Returns nodes whose final label differs from the node
+    id — exactly union-find's loser set once converged.
+    """
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": pd.concat([df["id_a"], df["id_b"]], ignore_index=True),
+            "label": pd.concat([df["id_a"], df["id_b"]], ignore_index=True)})
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": pd.concat([df["id_a"], df["id_b"]], ignore_index=True),
+            "dst": pd.concat([df["id_b"], df["id_a"]], ignore_index=True)})
+
+    def bucketed_min(ds_in: "ray.data.Dataset") -> "ray.data.Dataset":
+        def add_bucket(t: pa.Table) -> pa.Table:
+            s = pd.Series(t.column("node").to_pandas().astype(str))
+            return t.append_column("__bucket",
+                                   pa.array(bucket_of(s, n_buckets)))
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            return (df.groupby("node", sort=False)["label"].min()
+                    .reset_index())
+
+        return (ds_in.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("__bucket")
+                .map_groups(lambda d: combine(d.drop(columns=["__bucket"])),
+                            batch_format="pandas"))
+
+    edges_sym = edges.map_batches(sym, batch_format="pandas").materialize()
+    labels = bucketed_min(
+        edges.map_batches(to_nodes, batch_format="pandas")).materialize()
+
+    for _ in range(max_rounds):
+        msgs = hash_join(edges_sym, labels, "src", "node", how="inner")
+        msgs = msgs.map_batches(
+            lambda df: pd.DataFrame({"node": df["dst"], "label": df["label"]}),
+            batch_format="pandas")
+        new_labels = bucketed_min(msgs.union(labels)).materialize()
+        # convergence: did any label shrink? (slim count, distributed)
+        changed = hash_join(rename_cols(new_labels, {"label": "new"}),
+                            labels, "node", "node", how="inner")
+        n_changed = changed.map_batches(
+            lambda df: pd.DataFrame(
+                {"c": [int((df["new"] < df["label"]).sum())]}),
+            batch_format="pandas").sum("c")
+        labels = new_labels
+        if not n_changed:
+            break
+
+    return labels.map_batches(
+        lambda df: df.loc[df["label"] != df["node"], ["node"]],
+        batch_format="pandas")
+
+
+def minhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
+                  threshold: float = 0.8, **kw) -> "ray.data.Dataset":
+    """Full near-dup pipeline: LSH candidates (distributed, deduped) →
+    distributed exact-Jaccard verify → connected components (driver
+    union-find below MAX_DRIVER_PAIRS edges, else distributed min-label
+    propagation) → keep min id per component, survivors via the
+    broadcast-or-partitioned anti join."""
+    shingle_k = kw.get("shingle_k", 5)
+    pairs = minhash_lsh_candidates_ds(ds, text_col, id_col, **kw).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ds
+
+    if n_pairs <= MAX_DRIVER_PAIRS:
+        # small candidate set: verify on the driver with texts fetched by a
+        # broadcast IN-filter — avoids spinning up two hash-join aggregator
+        # pools for a few thousand pairs
+        import pyarrow.compute as pc
+        pairs_pdf = pairs.to_pandas()
+        cand_ids = set(pairs_pdf["id_a"]) | set(pairs_pdf["id_b"])
+        id_arr = pa.array(list(cand_ids))
+        texts = (ds.map_batches(
+            lambda t: t.filter(pc.is_in(t[id_col], value_set=id_arr)),
+            batch_format="pyarrow")
+            .select_columns([id_col, text_col]).to_pandas()
+            .set_index(id_col)[text_col])
+        verified_pdf = verify_jaccard(pairs_pdf, texts, shingle_k=shingle_k,
+                                      threshold=threshold)
+        losers = union_find_losers(verified_pdf)
+        if not losers:
+            return ds
+        if len(losers) <= MAX_BROADCAST_IDS:
+            return broadcast_anti_join(ds, losers, id_col)
+        losers_ds = ray.data.from_pandas(pd.DataFrame({id_col: sorted(losers)}))
+    else:
+        # scale path: distributed verify (texts via slim hash joins) +
+        # min-label propagation components
+        verified = (verify_jaccard_ds(pairs, ds, text_col, id_col,
+                                      shingle_k=shingle_k,
+                                      threshold=threshold)
+                    .materialize())
+        if verified.count() == 0:
+            return ds
+        losers_ds = rename_cols(min_label_losers_ds(verified),
+                                {"node": id_col})
+    from .joins import partitioned_anti_join
+    return partitioned_anti_join(ds, losers_ds, id_col, id_col)
 
 
 class SimHasher:
-    """64-bit SimHash over shingle hashes (row-local, vectorized)."""
+    """64-bit SimHash over shingle hashes, vectorized across the WHOLE batch:
+    one concatenated shingle stream → per-shingle bit matrix via unpackbits →
+    per-doc bit-vote sums via np.add.reduceat at the doc offsets (the same
+    shape as MinHasher's batched affine transform — no per-doc loop)."""
 
     def __init__(self, text_col: str, shingle_k: int = 5) -> None:
         self.text_col, self.k = text_col, shingle_k
         self.bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
     def simhash(self, text: str) -> np.uint64:
-        sh = _shingle_hashes(text, self.k)
-        if not len(sh):
-            return np.uint64(0)
-        bits = (sh[:, None] & self.bits[None, :]) != 0     # (n, 64)
-        votes = bits.sum(axis=0) * 2 - len(sh)
-        return np.uint64((self.bits[votes > 0]).sum(dtype=np.uint64))
+        """Single-doc reference form (tests); the batch path is __call__."""
+        return self.batch_simhash(pd.Series([text]))[0]
+
+    def batch_simhash(self, texts) -> np.ndarray:
+        shingle_lists = [_shingle_hashes(t or "", self.k) for t in texts]
+        counts = np.array([len(s) for s in shingle_lists])
+        out = np.zeros(len(counts), dtype=np.uint64)
+        nonempty = counts > 0
+        if not nonempty.any():
+            return out
+        sh = np.concatenate([s for s in shingle_lists if len(s)])
+        # (total_shingles, 64) bit matrix, little-endian bit order so column
+        # j is bit j of the shingle hash
+        bitmat = np.unpackbits(sh.view(np.uint8).reshape(-1, 8), axis=1,
+                               bitorder="little")
+        offsets = np.concatenate([[0], np.cumsum(counts[nonempty])[:-1]])
+        ones = np.add.reduceat(bitmat, offsets, axis=0)      # (docs, 64)
+        votes = ones.astype(np.int64) * 2 - counts[nonempty][:, None]
+        out[nonempty] = (votes > 0) @ self.bits
+        return out
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["simhash"] = [int(self.simhash(t or "")) for t in df[self.text_col]]
-        df["simhash"] = df["simhash"].astype(np.uint64)
+        df["simhash"] = self.batch_simhash(df[self.text_col])
         return df
 
 
 def simhash_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
-                       hamming_max: int = 3) -> pd.DataFrame:
+                       hamming_max: int = 3,
+                       max_bucket_ids: int = 2000) -> pd.DataFrame:
     """SimHash near-dup candidates: band the 64-bit hash into 4×16-bit keys
     (any pair within hamming distance 3 shares ≥1 exact band) → slim groupby
-    per band → verify hamming distance."""
+    per band → verify hamming distance (vectorized per bucket via XOR +
+    popcount over the candidate pair product, capped per hot bucket)."""
     holder: dict = {}
 
     def hash_fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -243,7 +456,8 @@ def simhash_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
             holder["h"] = SimHasher(text_col=text_col)
         return holder["h"](df)
 
-    hashed = ds.map_batches(hash_fn, batch_format="pandas")
+    # smaller batches: the batched bit matrix is shingles×64 bytes
+    hashed = ds.map_batches(hash_fn, batch_format="pandas", batch_size=256)
     slim = hashed.select_columns([id_col, "simhash"])
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -258,16 +472,26 @@ def simhash_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
     exploded = slim.map_batches(explode, batch_format="pandas")
 
     def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=df["id"].dtype),
+                              "id_b": pd.Series([], dtype=df["id"].dtype)})
         dup = df[df.duplicated(["band", "key"], keep=False)]
-        rows = []
+        frames = []
         for _, grp in dup.groupby(["band", "key"], sort=False):
-            recs = sorted(set(zip(grp["id"], grp["simhash"])))
-            for i, (ida, ha) in enumerate(recs):
-                for idb, hb in recs[i + 1:]:
-                    if bin(int(ha) ^ int(hb)).count("1") <= hamming_max:
-                        rows.append((ida, idb))
-        return pd.DataFrame(rows, columns=["id_a", "id_b"]) if rows else \
-            pd.DataFrame({"id_a": [], "id_b": []})
+            grp = grp.drop_duplicates("id").sort_values("id")
+            if len(grp) > max_bucket_ids:     # hot-bucket quadratic cap
+                grp = grp.iloc[:max_bucket_ids]
+            if len(grp) < 2:
+                continue
+            ids = grp["id"].to_numpy()
+            h = grp["simhash"].to_numpy(dtype=np.uint64)
+            ia, ib = np.triu_indices(len(grp), k=1)
+            xor = (h[ia] ^ h[ib]).view(np.uint8).reshape(-1, 8)
+            dist = np.unpackbits(xor, axis=1).sum(axis=1)
+            m = dist <= hamming_max
+            if m.any():
+                frames.append(pd.DataFrame({"id_a": ids[ia[m]],
+                                            "id_b": ids[ib[m]]}))
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
     pairs = (exploded.groupby("band").map_groups(pairs_fn, batch_format="pandas")
              .to_pandas())
@@ -302,7 +526,10 @@ def embedding_near_dup(ds: "ray.data.Dataset", emb_col: str, id_col: str,
 
     def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype=df[id_col].dtype),
+                 "id_b": pd.Series([], dtype=df[id_col].dtype),
+                 "cosine": pd.Series([], dtype=np.float64)})
         m = np.stack(df[emb_col].to_numpy()).astype(np.float64)
         norm = np.linalg.norm(m, axis=1, keepdims=True)
         norm[norm == 0] = 1.0

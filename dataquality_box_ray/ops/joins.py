@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -110,9 +111,40 @@ def inner_join_compare(left: "ray.data.Dataset", right_small: pd.DataFrame,
     return joined.map_batches(flag, batch_format="pandas")
 
 
+def partitioned_anti_join(ds: "ray.data.Dataset", keys: "ray.data.Dataset",
+                          on: str, key_col: str,
+                          num_partitions: int | None = None
+                          ) -> "ray.data.Dataset":
+    """Anti join against a slim KEY DATASET via a hash-partitioned left-outer
+    join + null-marker filter — the scale path when the key set is too big to
+    ``ray.put``-broadcast (the refusal fallback of `_broadcast_filter`).
+
+    ``keys[key_col]`` must be unique (dedup'd upstream) or surviving left rows
+    would be multiplied by the join.
+    """
+    def mark(t: pa.Table) -> pa.Table:
+        return t.append_column("__hit", pa.array(np.ones(len(t), dtype=np.int8)))
+
+    marked = keys.select_columns([key_col]).map_batches(
+        mark, batch_format="pyarrow")
+    joined = hash_join(ds, marked, on, key_col, how="left_outer",
+                       num_partitions=num_partitions)
+
+    def keep_missing(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        out = t.filter(pc.is_null(t["__hit"]))
+        drop = ["__hit"] + ([key_col] if key_col != on and key_col in
+                            out.column_names else [])
+        return out.drop_columns([c for c in drop if c in out.column_names])
+
+    return joined.map_batches(keep_missing, batch_format="pyarrow")
+
+
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               left_on: str, right_on: str, how: str = "inner",
-              num_partitions: int | None = None) -> "ray.data.Dataset":
+              num_partitions: int | None = None,
+              left_suffix: str | None = None,
+              right_suffix: str | None = None) -> "ray.data.Dataset":
     """Large-large join. Uses the native hash-partitioned ``Dataset.join``
     where this Ray version ships it; otherwise falls back to an explicit
     bucketed hash join (add bucket = hash(key) % B to both sides, tag,
@@ -120,11 +152,25 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     broadcast joins above whenever one side is small: they do no shuffle."""
     import ray as _ray
 
-    n = num_partitions or max(
-        16, int(_ray.cluster_resources().get("CPU", 8)) * 2)
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    n = num_partitions or max(8, cpus)
     if hasattr(left, "join"):
-        return left.join(right, join_type=how, num_partitions=n,
-                         on=(left_on,), right_on=(right_on,))
+        # repartition both inputs first: upstream grouped/join operators can
+        # emit schema-less EMPTY Arrow blocks (empty reduce/aggregator
+        # partitions), which crash the join's Acero finalize with "No match
+        # ... for key field reference"; repartition coalesces them into
+        # schema-carrying blocks. The join is an all-to-all barrier anyway,
+        # so the extra coalesce does not change the streaming behavior.
+        # Fractional-CPU aggregators sized so one join's pool reserves at
+        # most ~1/8 of the cluster: with default 1-CPU aggregators, two
+        # chained joins deadlock on a small cluster waiting for actor slots
+        # (the pool waits min_hash_shuffle_aggregator_wait_time_in_s = 300 s).
+        agg_cpus = max(0.05, min(0.25, cpus / (8.0 * n)))
+        return left.repartition(n).join(
+            right.repartition(n), join_type=how, num_partitions=n,
+            on=(left_on,), right_on=(right_on,),
+            left_suffix=left_suffix, right_suffix=right_suffix,
+            aggregator_ray_remote_args={"num_cpus": agg_cpus})
 
     lcols = [c for c in left.schema().names]
     rcols = [c for c in right.schema().names]
@@ -163,6 +209,7 @@ def _with_bucket(ds: "ray.data.Dataset", key: str, n_buckets: int):
 def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               by: str, on: str, tolerance, direction: str = "nearest",
               n_buckets: int = 32, right_cols: list[str] | None = None,
+              right_dedup: list[str] | None = None,
               ) -> "ray.data.Dataset":
     """As-of join (J4): per-`by`-bucket sorted ``pd.merge_asof``.
 
@@ -171,6 +218,11 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     runs per the reference's strategy ('nearest', tolerance 5m →
     `reconciliation.py:244`). Left/right rows are tagged and unioned so the
     shuffle happens once.
+
+    ``right_dedup``: tie-break columns (post-rename, i.e. ``col_r``); when
+    given, the right side is deduped per (by, on) inside each bucket, keeping
+    the smallest tie-break row — a distributed replacement for pre-deduping
+    the right side on the driver.
     """
     lcols = [c for c in left.schema().names if c not in (by, on)]
     rcols = right_cols or [c for c in right.schema().names if c not in (by, on)]
@@ -202,13 +254,23 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         r = df.loc[df["__side"] == "R", [by, on] + rcols_r]
         l = l.dropna(subset=[on]).sort_values(on, kind="mergesort")
         r = r.dropna(subset=[on]).sort_values(on, kind="mergesort")
+        if right_dedup:
+            # deterministic (by, on) dedup INSIDE the bucket (never on the
+            # driver): keep the row with the smallest tie-break values
+            r = (r.sort_values([by, on] + right_dedup, kind="mergesort")
+                 .drop_duplicates([by, on], keep="first")
+                 .sort_values(on, kind="mergesort"))
         if not len(l):
-            return l
+            # pin the full output schema even for an empty bucket side
+            out = l.copy()
+            for c in rcols_r:
+                out[c] = None
+            return out[[by, on] + lcols + rcols_r]
         if not len(r):
             out = l.copy()
             for c in rcols_r:
                 out[c] = None
-            return out
+            return out[[by, on] + lcols + rcols_r]
         return pd.merge_asof(l, r, on=on, by=by, tolerance=tolerance,
                              direction=direction)
 

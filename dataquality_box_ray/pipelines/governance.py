@@ -68,11 +68,17 @@ ADAPTER_FIELDS = [
 
 
 def build_entity(datasets: dict[str, "ray.data.Dataset"]) -> "ray.data.Dataset":
-    """Adapter stage: chained broadcast joins + compiled projection."""
-    cust = datasets["customer"].to_pandas()
+    """Adapter stage: chained joins + compiled projection.
+
+    customer scales WITH the dataset, so the orders↔customer join is a
+    hash-partitioned join; only the genuinely tiny ``nation`` dimension is
+    broadcast (`ray.put` once, per-batch pandas merge)."""
+    from ..ops.joins import hash_join
+
     nat = datasets["nation"].to_pandas()
-    ds = broadcast_lookup_join(datasets["orders"], cust,
-                               "o_custkey", "c_custkey", ["c_nationkey"])
+    cust = datasets["customer"].select_columns(["c_custkey", "c_nationkey"])
+    ds = hash_join(datasets["orders"], cust, "o_custkey", "c_custkey",
+                   how="left_outer")
     ds = broadcast_lookup_join(ds, nat, "c_nationkey", "n_nationkey",
                                ["n_name"])
     fns = [(f["target"], compile_expr(f["expr"])) for f in ADAPTER_FIELDS]

@@ -22,7 +22,8 @@ from ..corpus import corpus_path
 from ..ops import aggregates as agg
 from ..ops import dedup, joins, similarity, text
 from ..ops.two_tier import two_tier_match
-from ..rules.engine import Rule, grouped_aggregate, run_filter_rule
+from ..rules.engine import (Rule, grouped_aggregate, grouped_aggregate_ds,
+                            run_filter_rule)
 from ..stages.heuristics import heuristics_kernel
 from ..stages.reconcile import compute_label_tables, make_apply_labels
 from . import quality_filter as qf
@@ -170,16 +171,18 @@ def cross_check_totalprice(sf_dir: str) -> pd.DataFrame:
         return t.append_column(
             "price_cents", pa.array(_cents(t["l_extendedprice"].to_numpy())))
 
-    rec = grouped_aggregate(li.map_batches(pre, batch_format="pyarrow"),
-                            ["l_orderkey"],
-                            [{"name": "recomputed_cents", "agg": "sum",
-                              "col": "price_cents"}])
+    # l_orderkey cardinality ∝ data: bucketed-shuffle combine + hash join
+    # back — no O(keys) driver frame, no O(keys) broadcast
+    rec = grouped_aggregate_ds(li.map_batches(pre, batch_format="pyarrow"),
+                               ["l_orderkey"],
+                               [{"name": "recomputed_cents", "agg": "sum",
+                                 "col": "price_cents"}])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    joined = joins.broadcast_lookup_join(
-        orders, rec, "o_orderkey", "l_orderkey", ["recomputed_cents"])
+    joined = joins.hash_join(orders, rec, "o_orderkey", "l_orderkey",
+                             how="inner")
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["recomputed_cents"].notna()].copy()
+        df = df.copy()
         df["total_cents"] = _cents(df["o_totalprice"].to_numpy())
         df["diff_cents"] = (df["total_cents"]
                             - df["recomputed_cents"].astype(np.int64))
@@ -247,16 +250,15 @@ def asof_click_view(sf_dir: str) -> pd.DataFrame:
     clicks = ev.map_batches(lambda df: df[df.event_type == "click"]
                             [["event_id", "user_id", "ts"]],
                             batch_format="pandas")
-    views = ev.map_batches(lambda df: df[df.event_type == "view"]
-                           [["event_id", "user_id", "ts", "value"]],
-                           batch_format="pandas")
-    views_pdf = views.to_pandas().sort_values(["user_id", "ts", "event_id"])
-    views_pdf = views_pdf[~views_pdf.duplicated(["user_id", "ts"], keep="first")]
-    vds = ray.data.from_pandas(views_pdf.reset_index(drop=True)
-                               .rename(columns={"event_id": "view_id"}))
-    out = joins.asof_join(clicks, vds, by="user_id", on="ts",
+    views = ev.map_batches(
+        lambda df: df[df.event_type == "view"]
+        [["event_id", "user_id", "ts", "value"]]
+        .rename(columns={"event_id": "view_id"}),
+        batch_format="pandas")
+    out = joins.asof_join(clicks, views, by="user_id", on="ts",
                           tolerance=pd.Timedelta(seconds=600),
-                          direction="backward").to_pandas()
+                          direction="backward",
+                          right_dedup=["view_id_r"]).to_pandas()
     res = out[["event_id", "view_id_r", "value_r"]].rename(
         columns={"view_id_r": "view_id", "value_r": "view_value_cents"})
     # unmatched → -1 sentinels (int-stable for the value-hash; avoids NaN/NULL
@@ -427,11 +429,13 @@ def tumbling_hour_counts(sf_dir: str) -> pd.DataFrame:
         df["value_cents"] = _cents(df["value"].to_numpy())
         return df[["user_id", "window_start", "value_cents"]]
 
-    out = grouped_aggregate(ds.map_batches(pre, batch_format="pandas"),
-                            ["user_id", "window_start"],
-                            [{"name": "n", "agg": "count"},
-                             {"name": "sum_value_cents", "agg": "sum",
-                              "col": "value_cents"}])
+    # (user, window) cardinality ∝ data: Dataset-form combine (bucketed
+    # shuffle of slim partials); the driver only receives the final result
+    out = grouped_aggregate_ds(ds.map_batches(pre, batch_format="pandas"),
+                               ["user_id", "window_start"],
+                               [{"name": "n", "agg": "count"},
+                                {"name": "sum_value_cents", "agg": "sum",
+                                 "col": "value_cents"}]).to_pandas()
     for c in ("user_id", "window_start", "n", "sum_value_cents"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)

@@ -155,19 +155,17 @@ _PARTIAL_AGGS = {
 }
 
 
-def grouped_aggregate(ds: "ray.data.Dataset", group_by: list[str],
-                      aggregates: list[dict[str, str]]) -> pd.DataFrame:
-    """GROUP BY via partial aggregation: each batch emits one row per key
-    (combiner), the final groupby runs over the much smaller partials — the
-    skew-safe form of `rule_engine.py:316-364`'s group_by().agg()."""
-    specs = []
-    for a in aggregates:
-        name, agg, col = a["name"], a["agg"], a.get("col")
-        if agg == "mean":
-            specs.append((name, "mean", col))
-        else:
-            specs.append((name, agg, col))
+# partial-row count above which the final combine runs as a bucketed shuffle
+# instead of a driver-pandas groupby (high-cardinality keys: one partial row
+# per key per block means the driver frame is O(dataset))
+DRIVER_COMBINE_MAX_ROWS = 300_000
 
+
+def _agg_specs(aggregates: list[dict[str, str]]) -> list[tuple]:
+    return [(a["name"], a["agg"], a.get("col")) for a in aggregates]
+
+
+def _make_partial(group_by: list[str], specs: list[tuple]):
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(group_by, sort=False, dropna=False)
         cols = {}
@@ -181,7 +179,11 @@ def grouped_aggregate(ds: "ray.data.Dataset", group_by: list[str],
                 cols[f"__{name}_{agg}"] = g[col].agg(agg)
         return pd.DataFrame(cols).reset_index()
 
-    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return partial
+
+
+def _combine_partials(partials: pd.DataFrame, group_by: list[str],
+                      specs: list[tuple]) -> pd.DataFrame:
     if not len(partials):
         return pd.DataFrame(columns=group_by + [s[0] for s in specs])
     g = partials.groupby(group_by, sort=False, dropna=False)
@@ -196,6 +198,63 @@ def grouped_aggregate(ds: "ray.data.Dataset", group_by: list[str],
         else:
             out[name] = g[f"__{name}_{agg}"].agg(agg)
     return pd.DataFrame(out).reset_index()
+
+
+def grouped_aggregate_ds(ds: "ray.data.Dataset", group_by: list[str],
+                         aggregates: list[dict[str, str]],
+                         n_buckets: int = 64) -> "ray.data.Dataset":
+    """GROUP BY as a Dataset→Dataset operator for high-cardinality keys:
+    per-batch combiner partials → SLIM shuffle of partials bucketed by
+    hash(key) → per-bucket final combine. No driver-side O(keys) frame —
+    use this form whenever key cardinality scales with the data
+    (order keys, user ids, time windows)."""
+    specs = _agg_specs(aggregates)
+    partials = ds.map_batches(_make_partial(group_by, specs),
+                              batch_format="pandas")
+    return _bucketed_combine(partials, group_by, specs, n_buckets=n_buckets)
+
+
+def grouped_aggregate(ds: "ray.data.Dataset", group_by: list[str],
+                      aggregates: list[dict[str, str]]) -> pd.DataFrame:
+    """GROUP BY via partial aggregation: each batch emits one row per key
+    (combiner), the final groupby runs over the much smaller partials — the
+    skew-safe form of `rule_engine.py:316-364`'s group_by().agg().
+
+    Cardinality-aware: partials are materialized once; when their row count
+    exceeds ``DRIVER_COMBINE_MAX_ROWS`` the final combine runs as the
+    bucketed shuffle (`grouped_aggregate_ds`) instead of a driver groupby.
+    (The RESULT still lands on the driver because this form returns pandas —
+    callers whose result is itself O(keys) should use `grouped_aggregate_ds`.)
+    """
+    specs = _agg_specs(aggregates)
+    partials_ds = ds.map_batches(_make_partial(group_by, specs),
+                                 batch_format="pandas").materialize()
+    n_partials = partials_ds.count()
+    if n_partials > DRIVER_COMBINE_MAX_ROWS:
+        return _bucketed_combine(partials_ds, group_by, specs).to_pandas()
+    partials = partials_ds.to_pandas()
+    return _combine_partials(partials, group_by, specs)
+
+
+def _bucketed_combine(partials: "ray.data.Dataset", group_by: list[str],
+                      specs: list[tuple],
+                      n_buckets: int = 64) -> "ray.data.Dataset":
+    """Final combine of a partials dataset as a slim bucketed shuffle."""
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from ..stages.reconcile import bucket_of
+        key = df[group_by[0]].astype(str)
+        for k in group_by[1:]:
+            key = key + "\x01" + df[k].astype(str)
+        df = df.copy()
+        df["__bucket"] = bucket_of(key, n_buckets)
+        return df
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return _combine_partials(df.drop(columns=["__bucket"]), group_by,
+                                 specs)
+
+    return (partials.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(combine, batch_format="pandas"))
 
 
 def run_aggregate_rule(ds: "ray.data.Dataset", rule: Rule) -> pd.DataFrame:
@@ -215,43 +274,83 @@ def run_aggregate_rule(ds: "ray.data.Dataset", rule: Rule) -> pd.DataFrame:
 # cross-entity rules
 # --------------------------------------------------------------------------
 
+def _composite_key_fn(cols: list[str], name: str):
+    """Append a single string composite of the key columns — one join column
+    regardless of key arity, and an implicit type alignment ("100" == "100"
+    whatever the integer width; the reference casts right to left instead,
+    rule_engine.py:437-444)."""
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[cols[0]].astype(str)
+        for c in cols[1:]:
+            key = key + "\x01" + df[c].astype(str)
+        df = df.copy()
+        df[name] = key
+        return df
+
+    return fn
+
+
+def _distinct_on(ds: "ray.data.Dataset", col: str,
+                 n_buckets: int = 32) -> "ray.data.Dataset":
+    """Distinct values of one slim column via a bucketed shuffle."""
+    from ..stages.reconcile import bucket_of
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[col]].copy()
+        df["__bucket"] = bucket_of(df[col].astype(str), n_buckets)
+        return df
+
+    def dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(col)[[col]]
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(dd, batch_format="pandas"))
+
+
 def run_cross_entity_rule(datasets: dict[str, "ray.data.Dataset"],
                           rule: Rule) -> pd.DataFrame:
-    """anti_join / compare across two entities (`rule_engine.py:370-478`).
-
-    Sides may pre-aggregate (granularity alignment, `:480-506`). The right
-    side of an anti_join and both sides of a compare are reduced to driver
-    pandas frames AFTER their (distributed) pre-aggregation — rule outputs are
-    violation sets, small by construction; for large raw sides configure a
-    pre_aggregate so the reduction happens in the cluster.
+    """anti_join / compare across two entities (`rule_engine.py:370-478`),
+    fully distributed: sides optionally pre-aggregate in the cluster
+    (`grouped_aggregate_ds`), the anti join runs as a hash-partitioned
+    null-marker join against the right side's distinct keys, and compare runs
+    as a hash join + vectorized predicate filter. Only the VIOLATION SET
+    (small by construction) lands on the driver.
     """
     logic = rule.logic
     op = logic.get("op", "compare")
 
-    def side(spec) -> pd.DataFrame:
+    def side_ds(spec) -> "ray.data.Dataset":
         ds = datasets[spec["entity"]]
         if spec.get("pre_aggregate"):
             pre = spec["pre_aggregate"]
-            return grouped_aggregate(ds, list(pre["group_by"]), pre["aggregates"])
-        return ds.to_pandas()
+            return grouped_aggregate_ds(ds, list(pre["group_by"]),
+                                        pre["aggregates"])
+        return ds
 
-    left = side(logic["left"])
-    right = side(logic["right"])
     lkey = list(logic["left"]["key"])
     rkey = list(logic["right"]["key"])
-    # join-key type alignment (reference `:437-444`)
-    for lk, rk in zip(lkey, rkey):
-        if left[lk].dtype != right[rk].dtype:
-            right[rk] = right[rk].astype(left[lk].dtype)
+    left = side_ds(logic["left"]).map_batches(
+        _composite_key_fn(lkey, "__ck"), batch_format="pandas")
+    right = side_ds(logic["right"]).map_batches(
+        _composite_key_fn(rkey, "__ck"), batch_format="pandas")
+
+    from ..ops.joins import hash_join, partitioned_anti_join
 
     if op == "anti_join":
-        merged = left.merge(right[rkey].drop_duplicates(), left_on=lkey,
-                            right_on=rkey, how="left", indicator=True)
-        out = merged[merged["_merge"] == "left_only"].drop(columns=["_merge"])
+        rkeys = _distinct_on(right, "__ck")
+        out = partitioned_anti_join(left, rkeys, "__ck", "__ck").to_pandas()
+        if not len(out) and not len(out.columns):
+            # all-empty result lost its schema through empty blocks — pin the
+            # column set from the (cheap, cached) left schema
+            out = pd.DataFrame(columns=left.schema().names)
+        out = out.drop(columns=["__ck"], errors="ignore")
     elif op == "compare":
-        merged = left.merge(right, left_on=lkey, right_on=rkey, how="inner",
-                            suffixes=("", "_r"))
-        out = merged[compile_predicate(logic["compare"])(merged)]
+        joined = hash_join(left, right, "__ck", "__ck", how="inner",
+                           right_suffix="_r")
+        pred = compile_predicate(logic["compare"])
+        out = (joined.map_batches(lambda df: df[pred(df)],
+                                  batch_format="pandas")
+               .to_pandas().drop(columns=["__ck"], errors="ignore"))
     else:
         raise ValueError(f"unknown cross_entity op {op!r}")
     out = out.copy()

@@ -131,3 +131,63 @@ def test_text_ops():
     # identical texts → identical fingerprints
     fp_per_text = out.groupby("text").fingerprint.nunique()
     assert (fp_per_text == 1).all()
+
+
+def test_min_label_propagation_matches_union_find():
+    # chain 1-2-3 (needs >1 round), star 5-7/7-9/9-11, pair 20-21
+    e = pd.DataFrame({"id_a": [1, 2, 5, 7, 9, 20],
+                      "id_b": [2, 3, 7, 9, 11, 21]})
+    edges = ray.data.from_pandas(e)
+    prop = sorted(dedup.min_label_losers_ds(edges).to_pandas()["node"])
+    uf = sorted(dedup.union_find_losers(e))
+    assert prop == uf == [2, 3, 7, 9, 11, 21]
+
+
+def test_minhash_dedup_distributed_paths_match_driver():
+    texts = ["document number %d body text with shared filler words" % (i // 3)
+             for i in range(45)]
+    df = pd.DataFrame({"doc_id": np.arange(45), "text": texts})
+    ds = ray.data.from_pandas(df)
+    kept_driver = sorted(
+        dedup.minhash_dedup(ds, "text", "doc_id", threshold=0.9)
+        .to_pandas().doc_id)
+    old_pairs, old_bcast = dedup.MAX_DRIVER_PAIRS, dedup.MAX_BROADCAST_IDS
+    try:
+        # force min-label propagation + partitioned anti join
+        dedup.MAX_DRIVER_PAIRS = 0
+        dedup.MAX_BROADCAST_IDS = 0
+        kept_dist = sorted(
+            dedup.minhash_dedup(ds, "text", "doc_id", threshold=0.9)
+            .to_pandas().doc_id)
+    finally:
+        dedup.MAX_DRIVER_PAIRS, dedup.MAX_BROADCAST_IDS = old_pairs, old_bcast
+    assert kept_driver == kept_dist
+    assert len(kept_driver) == 15
+
+
+def test_exact_dedup_partitioned_anti_join_path():
+    docs = _docs_pdf()
+    old = dedup.MAX_BROADCAST_IDS
+    try:
+        dedup.MAX_BROADCAST_IDS = 0        # force the hash-join anti path
+        out = dedup.exact_dedup(_docs(), "text", "doc_id").to_pandas()
+    finally:
+        dedup.MAX_BROADCAST_IDS = old
+    exp_keep = docs.groupby("text", sort=False).doc_id.min()
+    assert sorted(out.doc_id) == sorted(exp_keep)
+
+
+def test_simhash_batch_matches_single():
+    h = dedup.SimHasher(text_col="text")
+    texts = ["alpha beta gamma delta epsilon", "", "zeta eta theta iota kappa",
+             "alpha beta gamma delta epsilon"]
+    batch = h.batch_simhash(pd.Series(texts))
+    for i, t in enumerate(texts):
+        sh = dedup._shingle_hashes(t, h.k)
+        if not len(sh):
+            assert batch[i] == 0
+            continue
+        bits = (sh[:, None] & h.bits[None, :]) != 0
+        votes = bits.sum(axis=0) * 2 - len(sh)
+        assert batch[i] == np.uint64((h.bits[votes > 0]).sum(dtype=np.uint64))
+    assert batch[0] == batch[3]
