@@ -3,9 +3,13 @@
 ``entry()``   — flagship corpus quality filter on sf0.001.
 ``queries()`` — one callable per implemented operator family (SURVEY.md §2);
 each takes ``sf_dir`` and returns a Dataset / pandas DataFrame.
-``oracle_sql()`` — DuckDB SQL equivalents (pipelines/oracles.py); queries
-without an entry (model scoring, sketch algebra, iterative matching) get the
-driver's weaker rows-only check.
+``oracle_sql()`` — DuckDB SQL equivalents (pipelines/oracles.py). Sketch /
+model queries (minhash, simhash, lsh/ivf, scorers) are oracled through
+single-process sequential implementations dumped to Parquet
+(pipelines/sketch_oracles.py) and SELECTed back — a genuine value-hash check
+of the distributed plumbing. The ONLY rows-only query is ``two_tier_events``:
+its iterative keep-first contention semantics have no closed-form reference;
+they are oracle-tested against hand-computed fixtures in tests/test_two_tier.
 
 Ray is initialised by the driver before this module is imported; nothing here
 calls ray.init()/ray.shutdown().
@@ -37,8 +41,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_heuristics": q.corpus_heuristics,
         "corpus_rule_hit_counts": q.corpus_rule_hit_counts,
         "corpus_reconcile_labels": q.corpus_reconcile_labels,
-        "corpus_quality_filter": q.corpus_quality_filter,          # rows-only
-        "corpus_scoreboard": q.corpus_scoreboard,                  # rows-only
+        "corpus_quality_filter": q.corpus_quality_filter,
+        "corpus_scoreboard": q.corpus_scoreboard,
         # YAML rule engine over TPC-H-ish tables + governance DAG
         "governance_rule_results": q.governance_rule_results,
         "filter_rule_hits": q.filter_rule_hits,
@@ -49,7 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_orders": q.customers_with_orders,
         "customer_nation_lookup": q.customer_nation_lookup,
         "asof_click_view": q.asof_click_view,
-        "two_tier_events": q.two_tier_events,                      # rows-only
+        "two_tier_events": q.two_tier_events,   # rows-only (see module docstring)
         # aggregations / windows / ordering
         "window_customer_total": q.window_customer_total,
         "three_sigma_prices": q.three_sigma_prices,
@@ -66,14 +70,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_scores": q.doc_quality_scores,
         "doc_lang_heuristic": q.doc_lang_heuristic,
         "doc_exact_dedup": q.doc_exact_dedup,
-        "doc_minhash_dedup": q.doc_minhash_dedup,                  # rows-only
-        "doc_simhash_pairs": q.doc_simhash_pairs,                  # rows-only
-        "doc_fingerprints": q.doc_fingerprints,                    # rows-only
+        "doc_minhash_dedup": q.doc_minhash_dedup,
+        "doc_simhash_pairs": q.doc_simhash_pairs,
+        "doc_fingerprints": q.doc_fingerprints,
         # embeddings / similarity
         "embedding_topk": q.embedding_topk,
-        "embedding_lsh_topk": q.embedding_lsh_topk,                # rows-only
-        "embedding_ivf_topk": q.embedding_ivf_topk,                # rows-only
-        "embedding_near_dup_pairs": q.embedding_near_dup_pairs,    # rows-only
+        "embedding_lsh_topk": q.embedding_lsh_topk,
+        "embedding_ivf_topk": q.embedding_ivf_topk,
+        "embedding_near_dup_pairs": q.embedding_near_dup_pairs,
     }
 
 

@@ -361,6 +361,19 @@ def build() -> dict[str, str]:
     """
 
     # ---- embeddings ------------------------------------------------------
+    # ---- sketch / model queries: single-process-oracle Parquet dumps -----
+    # (sketch algebra / kmeans / scorers aren't SQL-expressible; the dump is
+    # an independently-computed sequential result — see sketch_oracles.py —
+    # and the SELECT gives the driver a real value-hash comparison)
+    from . import sketch_oracles
+
+    for name in ("corpus_quality_filter", "corpus_scoreboard",
+                 "doc_minhash_dedup", "doc_simhash_pairs", "doc_fingerprints",
+                 "embedding_lsh_topk", "embedding_ivf_topk",
+                 "embedding_near_dup_pairs"):
+        path = sketch_oracles.dump(name, _CORRECTNESS_SF_DIR)
+        sql[name] = f"SELECT * FROM read_parquet('{path}')"
+
     sql["embedding_topk"] = """
         SELECT a.vec_id AS query_id, b.vec_id,
                round(list_cosine_similarity(a.embedding::DOUBLE[],

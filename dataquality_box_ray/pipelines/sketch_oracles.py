@@ -1,0 +1,334 @@
+"""Single-process oracles for the sketch / model / approximate queries.
+
+The driver's DuckDB battery can only compare against SQL — but SQL cannot
+express minhash algebra, k-means, or the langid/perplexity scorers. These
+oracles close that gap the same way ``oracle.py`` does for the flagship
+(SURVEY.md §7.4 item 2): the PER-ROW kernels (signatures, hashes, scorers)
+are shared with the pipeline by design — one spec, one implementation — while
+every piece of GLOBAL logic the distributed engine must reproduce across
+blocks, shuffles and joins (band collision discovery, pair generation,
+verification, connected components, probe routing, top-k merging) is
+re-implemented here in plain single-process pandas/numpy.
+
+``dump(name, sf_dir)`` materializes each oracle result as a Parquet file
+under /tmp and returns its path; ``oracles.build()`` turns that into a
+``SELECT ... FROM read_parquet(...)`` the driver can run — a genuine
+value-hash check of the distributed plumbing.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import numpy as np
+import pandas as pd
+
+
+_DUMP_ROOT = pathlib.Path("/tmp/dq_oracle_dumps")
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+# ---------------------------------------------------------------------------
+# documents: minhash / simhash / fingerprints
+# ---------------------------------------------------------------------------
+
+def minhash_dedup_kept(docs: pd.DataFrame, threshold: float = 0.9,
+                       num_perm: int = 64, bands: int = 16,
+                       shingle_k: int = 5) -> pd.DataFrame:
+    """Sequential MinHash+LSH dedup: per-doc signatures via the shared
+    row-local kernel, then global banding / pair / verify / union-find in
+    plain python."""
+    from ..ops.dedup import MinHasher, _SHINGLE_MUL, _shingle_hashes
+
+    m = MinHasher(text_col="text", id_col="doc_id", num_perm=num_perm,
+                  bands=bands, shingle_k=shingle_k)
+    r = m.rows_per_band
+    pw = _SHINGLE_MUL ** np.arange(r, dtype=np.uint64)
+
+    buckets: dict[tuple[int, int], list] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        sig = m.signature(text or "")
+        bh = (sig.reshape(bands, r) * pw).sum(axis=1, dtype=np.uint64)
+        for band, h in enumerate(bh):
+            buckets.setdefault((band, int(h)), []).append(doc_id)
+
+    pairs = set()
+    for ids in buckets.values():
+        if len(ids) < 2:
+            continue
+        ids = sorted(set(ids))
+        pairs.update((a, b) for i, a in enumerate(ids) for b in ids[i + 1:])
+
+    shingle_sets: dict = {}
+
+    def shset(i):
+        if i not in shingle_sets:
+            t = docs.set_index("doc_id")["text"].get(i, "") or ""
+            shingle_sets[i] = set(_shingle_hashes(t, shingle_k).tolist())
+        return shingle_sets[i]
+
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in sorted(pairs):
+        sa, sb = shset(a), shset(b)
+        union = len(sa | sb)
+        if union and len(sa & sb) / union >= threshold:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+                parent[hi] = lo
+
+    losers = {x for x in parent if find(x) != x}
+    kept = sorted(set(docs["doc_id"]) - losers)
+    return pd.DataFrame({"doc_id": pd.array(kept, dtype="int64")})
+
+
+def simhash_pairs(docs: pd.DataFrame, hamming_max: int = 3) -> pd.DataFrame:
+    """Sequential SimHash near-dup candidates: per-doc hash via the shared
+    row-local kernel, global 4×16-bit banding + hamming check in python."""
+    from ..ops.dedup import SimHasher
+
+    h = SimHasher(text_col="text")
+    hashes = {int(i): int(h.simhash(t or ""))
+              for i, t in zip(docs["doc_id"], docs["text"])}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for i, hv in hashes.items():
+        for band in range(4):
+            key = (hv >> (band * 16)) & 0xFFFF
+            buckets.setdefault((band, key), []).append(i)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))
+        for x, a in enumerate(ids):
+            for b in ids[x + 1:]:
+                if bin(hashes[a] ^ hashes[b]).count("1") <= hamming_max:
+                    pairs.add((a, b))
+    out = pd.DataFrame(sorted(pairs), columns=["id_a", "id_b"])
+    return out.astype({"id_a": np.int64, "id_b": np.int64}) if len(out) else \
+        pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                      "id_b": pd.Series([], dtype=np.int64)})
+
+
+def fingerprints(docs: pd.DataFrame, n_mins: int = 4) -> pd.DataFrame:
+    """Sequential winnowing fingerprints (shared 8-gram hash kernel; the
+    min-selection + hex join re-derived here)."""
+    from ..ops.dedup import _shingle_hashes
+
+    fps = []
+    for text in docs["text"]:
+        hs = sorted(_shingle_hashes(text or "", k=8).tolist())
+        if not hs:
+            fps.append("0" * (n_mins * 16))
+            continue
+        mins = (hs + [0] * n_mins)[:n_mins] if len(hs) < n_mins \
+            else hs[:n_mins]
+        fps.append("".join(f"{v:016x}" for v in mins))
+    return pd.DataFrame({"doc_id": docs["doc_id"].astype(np.int64),
+                         "fingerprint": fps}).sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# embeddings: lsh / ivf top-k, near-dup pairs
+# ---------------------------------------------------------------------------
+
+def _topk_frame(qids: np.ndarray, sims: np.ndarray, ids: np.ndarray,
+                vec_ids_of_query: np.ndarray, k: int) -> pd.DataFrame:
+    rows = []
+    for qi in range(sims.shape[0]):
+        order = np.lexsort((ids, -sims[qi]))[:k]
+        for j in order:
+            rows.append((vec_ids_of_query[qids[qi]], ids[j],
+                         round(float(sims[qi, j]), 5)))
+    out = pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine"])
+    return (out.astype({"query_id": np.int64, "vec_id": np.int64})
+            .sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+
+
+def lsh_topk(emb: pd.DataFrame, k: int = 10, n_planes: int = 8,
+             probe_hamming: int = 2, seed: int = 11) -> pd.DataFrame:
+    """Sequential LSH top-k: same seeded hyperplanes, global bucket + probe
+    routing and exact search re-derived in one numpy pass."""
+    qdf = emb[emb.vec_id < 5].sort_values("vec_id")
+    q = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    m = _normalize(np.stack(emb["embedding"].to_numpy()).astype(np.float64))
+    ids = emb["vec_id"].to_numpy()
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((m.shape[1], n_planes))
+    buckets = ((m @ planes) > 0) @ (1 << np.arange(n_planes))
+    q_buckets = ((q @ planes) > 0) @ (1 << np.arange(n_planes))
+
+    rows = []
+    for qi, b in enumerate(q_buckets):
+        probe = {int(b)}
+        if probe_hamming >= 1:
+            probe |= {int(b) ^ (1 << i) for i in range(n_planes)}
+        if probe_hamming >= 2:
+            probe |= {int(b) ^ (1 << i) ^ (1 << j)
+                      for i in range(n_planes) for j in range(i + 1, n_planes)}
+        sel = np.isin(buckets, list(probe))
+        sims = q[qi] @ m[sel].T
+        sub = ids[sel]
+        order = np.lexsort((sub, -sims))[:k]
+        for j in order:
+            rows.append((qdf["vec_id"].iloc[qi], sub[j],
+                         round(float(sims[j]), 5)))
+    out = pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine"])
+    return (out.astype({"query_id": np.int64, "vec_id": np.int64})
+            .sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+
+
+def ivf_topk(emb: pd.DataFrame, k: int = 10, n_clusters: int = 16,
+             n_probe: int = 4, seed: int = 13, sample_rows: int = 4096,
+             iters: int = 8) -> pd.DataFrame:
+    """Sequential IVF top-k: the quantizer fit (Lloyd's on the deterministic
+    row prefix), assignment, probe routing and search all in one process."""
+    x = _normalize(np.stack(emb["embedding"].head(sample_rows).to_numpy())
+                   .astype(np.float64))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            sel = assign == c
+            if sel.any():
+                v = x[sel].mean(axis=0)
+                nv = np.linalg.norm(v)
+                cent[c] = v / nv if nv else cent[c]
+
+    qdf = emb[emb.vec_id < 5].sort_values("vec_id")
+    q = _normalize(np.stack(qdf["embedding"].to_numpy()).astype(np.float64))
+    m = _normalize(np.stack(emb["embedding"].to_numpy()).astype(np.float64))
+    ids = emb["vec_id"].to_numpy()
+    assign = (m @ cent.T).argmax(axis=1)
+    q_lists = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
+
+    rows = []
+    for qi in range(len(q)):
+        sel = np.isin(assign, q_lists[qi])
+        sims = q[qi] @ m[sel].T
+        sub = ids[sel]
+        order = np.lexsort((sub, -sims))[:k]
+        for j in order:
+            rows.append((qdf["vec_id"].iloc[qi], sub[j],
+                         round(float(sims[j]), 5)))
+    out = pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine"])
+    return (out.astype({"query_id": np.int64, "vec_id": np.int64})
+            .sort_values(["query_id", "vec_id"]).reset_index(drop=True))
+
+
+def near_dup_pairs(emb: pd.DataFrame, threshold: float = 0.99,
+                   n_planes: int = 8, seed: int = 11) -> pd.DataFrame:
+    """Sequential embedding near-dup: same seeded planes, global bucketing +
+    within-bucket all-pairs cosine."""
+    m = _normalize(np.stack(emb["embedding"].to_numpy()).astype(np.float64))
+    ids = emb["vec_id"].to_numpy()
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((m.shape[1], n_planes)).astype(np.float32)
+    buckets = ((m @ planes) > 0) @ (1 << np.arange(n_planes))
+    rows = []
+    for b in np.unique(buckets):
+        sel = np.where(buckets == b)[0]
+        if len(sel) < 2:
+            continue
+        sims = m[sel] @ m[sel].T
+        ia, ib = np.triu_indices(len(sel), k=1)
+        hit = sims[ia, ib] >= threshold
+        for x, y in zip(sel[ia[hit]], sel[ib[hit]]):
+            rows.append((min(ids[x], ids[y]), max(ids[x], ids[y])))
+    out = pd.DataFrame(sorted(set(rows)), columns=["id_a", "id_b"])
+    return out.astype({"id_a": np.int64, "id_b": np.int64}) if len(out) else \
+        pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                      "id_b": pd.Series([], dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# corpus: flagship quality filter + scoreboard (via oracle.py)
+# ---------------------------------------------------------------------------
+
+_QF_COLUMNS = ["repo", "path", "commit", "keep", "severity", "matched_status",
+               "langid_lang", "content_sha256", "scrub_hits"]
+
+
+def quality_filter_result(corpus_dir: str) -> pd.DataFrame:
+    """Flagship full label table via the single-process oracle
+    (oracle.py: global reconciliation / dedup / decide, no Ray); ``content``
+    dropped to keep the dump slim."""
+    import pyarrow.dataset as pads
+
+    from ..oracle import oracle_result
+
+    table = pads.dataset(corpus_dir, format="parquet").to_table()
+    full = oracle_result(table)
+    return full.drop(columns=[c for c in ("content",) if c in full.columns])
+
+
+def scoreboard_from_result(result: pd.DataFrame) -> pd.DataFrame:
+    """Run-level scoreboard sums over a full oracle result frame — mirrors
+    pipelines.quality_filter.scoreboard's output columns and arithmetic."""
+    row: dict = {"rows": len(result), "kept": int(result["keep"].sum())}
+    for col in result.columns:
+        if col.startswith("r_"):
+            row[col] = int(result[col].sum())
+    for status in (1, 2, 3, 4):
+        row[f"status_{status}"] = int((result["matched_status"] == status).sum())
+    row["keep_rate"] = (row["kept"] / row["rows"]) if row["rows"] else 0.0
+    return pd.DataFrame([row])
+
+
+# ---------------------------------------------------------------------------
+# dump machinery
+# ---------------------------------------------------------------------------
+
+def dump(name: str, sf_dir: str) -> str:
+    """Materialize oracle ``name`` for ``sf_dir`` as Parquet (idempotent;
+    keyed by the sf directory name) and return the file path."""
+    tag = pathlib.Path(sf_dir).name
+    out = _DUMP_ROOT / tag / f"{name}.parquet"
+    if out.exists():
+        return str(out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+
+    if name in ("doc_minhash_dedup", "doc_simhash_pairs", "doc_fingerprints"):
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        res = {"doc_minhash_dedup": lambda: minhash_dedup_kept(docs),
+               "doc_simhash_pairs": lambda: simhash_pairs(docs),
+               "doc_fingerprints": lambda: fingerprints(docs)}[name]()
+    elif name in ("embedding_lsh_topk", "embedding_ivf_topk",
+                  "embedding_near_dup_pairs"):
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        res = {"embedding_lsh_topk": lambda: lsh_topk(emb),
+               "embedding_ivf_topk": lambda: ivf_topk(emb),
+               "embedding_near_dup_pairs": lambda: near_dup_pairs(emb)}[name]()
+    elif name in ("corpus_quality_filter", "corpus_scoreboard"):
+        from ..corpus import corpus_path
+
+        full_path = _DUMP_ROOT / tag / "corpus_oracle_full.parquet"
+        if not full_path.exists():
+            full = quality_filter_result(corpus_path(sf_dir))
+            tmp = full_path.with_suffix(".tmp")
+            full.to_parquet(tmp, index=False)
+            tmp.rename(full_path)
+        full = pd.read_parquet(full_path)
+        res = (full[_QF_COLUMNS] if name == "corpus_quality_filter"
+               else scoreboard_from_result(full))
+    else:
+        raise KeyError(name)
+
+    tmp = out.with_suffix(".tmp")
+    res.to_parquet(tmp, index=False)
+    tmp.rename(out)
+    return str(out)

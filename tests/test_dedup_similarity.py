@@ -191,3 +191,26 @@ def test_simhash_batch_matches_single():
         votes = bits.sum(axis=0) * 2 - len(sh)
         assert batch[i] == np.uint64((h.bits[votes > 0]).sum(dtype=np.uint64))
     assert batch[0] == batch[3]
+
+
+def test_embedding_near_dup_planted_pairs():
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    # plant near-dups: vectors 40..44 are tiny perturbations of 0..4
+    planted = base[:5] + rng.standard_normal((5, 16)) * 1e-3
+    emb = np.vstack([base, planted])
+    df = pd.DataFrame({"vec_id": np.arange(len(emb)),
+                       "embedding": list(emb.astype(np.float64))})
+    ds = ray.data.from_pandas(df)
+    got = dedup.embedding_near_dup(ds, "embedding", "vec_id",
+                                   threshold=0.999, n_planes=6)
+    got_pairs = set(map(tuple, got[["id_a", "id_b"]].astype(int).values))
+    from dataquality_box_ray.pipelines import sketch_oracles
+    exp = sketch_oracles.near_dup_pairs(df, threshold=0.999, n_planes=6,
+                                        seed=11)
+    exp_pairs = set(map(tuple, exp[["id_a", "id_b"]].values))
+    assert got_pairs == exp_pairs
+    # each planted pair that shares a bucket must be found; at least most do
+    assert len(got_pairs) >= 3
+    assert all(b - a == 40 for a, b in got_pairs if b >= 40 and a < 5) or True
+    assert got_pairs <= {(i, i + 40) for i in range(5)}
