@@ -65,6 +65,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_orders": q.unpivot_orders,
         "sessionize_events": q.sessionize_events,
         "tumbling_hour_counts": q.tumbling_hour_counts,
+        # time parsing / validation / per-row funnel
+        "parse_dirty_timestamps": q.parse_dirty_timestamps,
+        "validate_events": q.validate_events,
+        "supplier_lineitems_funnel": q.supplier_lineitems_funnel,
         # documents / text analysis
         "doc_token_stats": q.doc_token_stats,
         "doc_quality_scores": q.doc_quality_scores,

@@ -1,0 +1,60 @@
+"""Time parsing + timezone normalization (SURVEY.md M6).
+
+The reference parses dirty timestamp strings with an explicit format, tags
+them with the site-local timezone, and converts to UTC, nulling unparseable
+values when ``strict=False`` (`plugins/dq_lib/reconciliation.py:52-81`).
+Ray-Data-first form: one vectorized Arrow pass per batch — ``pc.strptime``
+(error→null), ``pc.assume_timezone`` (tag local), cast to UTC.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def parse_timestamps(ds: "ray.data.Dataset", col: str, fmt: str,
+                     tz: str | None = None, out_col: str | None = None,
+                     strict: bool = False) -> "ray.data.Dataset":
+    """Parse a string column into UTC timestamps.
+
+    - ``fmt``: strptime format (e.g. ``%Y-%m-%d %H:%M:%S``).
+    - ``tz``: IANA zone the naive strings are local to; when given, values
+      are tagged with it and converted to UTC (output type
+      ``timestamp[us, tz=UTC]``). Without it, output stays naive.
+    - ``strict=False``: unparseable strings become null (the reference's
+      lenient mode); ``strict=True`` raises on first bad value.
+    """
+    target = out_col or f"{col}_parsed"
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        ts = pc.strptime(arr, format=fmt, unit="us",
+                         error_is_null=not strict)
+        if tz:
+            ts = pc.assume_timezone(ts, tz, nonexistent="earliest",
+                                    ambiguous="earliest")
+            ts = ts.cast(pa.timestamp("us", tz="UTC"))
+        return t.append_column(target, ts)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def epoch_seconds(ds: "ray.data.Dataset", col: str, out_col: str,
+                  null_sentinel: int | None = None) -> "ray.data.Dataset":
+    """Seconds since epoch of a timestamp column (int64); nulls become
+    ``null_sentinel`` when given (int-stable for value-hash comparison)."""
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        secs = pc.divide(pc.cast(arr, pa.int64()), 1_000_000)
+        if null_sentinel is not None:
+            secs = pc.fill_null(secs, null_sentinel)
+        return t.append_column(out_col, secs)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -304,6 +304,50 @@ def build() -> dict[str, str]:
         ORDER BY user_id, window_start
     """
 
+    sql["parse_dirty_timestamps"] = """
+        WITH s AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 97 = 0 THEN 'not-a-timestamp'
+                      ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS raw
+          FROM events)
+        SELECT event_id,
+               coalesce(epoch(timezone('Asia/Kolkata',
+                        try_strptime(raw, '%Y-%m-%d %H:%M:%S')))::BIGINT,
+                        -1) AS epoch_utc
+        FROM s ORDER BY event_id
+    """
+
+    sql["validate_events"] = """
+        SELECT event_id,
+               CASE WHEN value IS NULL THEN 'value:non_null'
+                    WHEN value < 0 THEN 'value:min'
+                    WHEN value > 450 THEN 'value:max'
+                    WHEN event_type IS NOT NULL AND event_type NOT IN
+                         ('click','view','purchase','signup')
+                        THEN 'event_type:in_set'
+                    WHEN user_id IS NULL THEN 'user_id:non_null'
+                    WHEN user_id < 0 THEN 'user_id:min'
+                    ELSE '' END AS failure_type,
+               (CASE WHEN value IS NULL THEN 'value:non_null'
+                     WHEN value < 0 THEN 'value:min'
+                     WHEN value > 450 THEN 'value:max'
+                     WHEN event_type IS NOT NULL AND event_type NOT IN
+                          ('click','view','purchase','signup')
+                         THEN 'event_type:in_set'
+                     WHEN user_id IS NULL THEN 'user_id:non_null'
+                     WHEN user_id < 0 THEN 'user_id:min'
+                     ELSE '' END = '') AS passed
+        FROM events ORDER BY event_id
+    """
+
+    sql["supplier_lineitems_funnel"] = """
+        SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_quantity,
+               s.s_name
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_suppkey < 10
+        ORDER BY l.l_orderkey, l.l_linenumber
+    """
+
     # ---- documents -------------------------------------------------------
     sql["doc_token_stats"] = r"""
         SELECT doc_id,

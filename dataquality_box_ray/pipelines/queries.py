@@ -441,6 +441,70 @@ def tumbling_hour_counts(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
 
 
+def parse_dirty_timestamps(sf_dir: str) -> pd.DataFrame:
+    """M6 time-parse/TZ kernel over a deterministically-dirtied string column:
+    events.ts rendered to '%Y-%m-%d %H:%M:%S' strings (every 97th mangled),
+    parsed back as Asia/Kolkata local time, converted to UTC epoch seconds
+    (unparseable → -1)."""
+    from ..ops import timeparse
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def dirty(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["ts"].dt.strftime("%Y-%m-%d %H:%M:%S")
+        s[df["event_id"] % 97 == 0] = "not-a-timestamp"
+        return pd.DataFrame({"event_id": df["event_id"], "raw": s})
+
+    raw = ds.map_batches(dirty, batch_format="pandas")
+    parsed = timeparse.parse_timestamps(raw, "raw", "%Y-%m-%d %H:%M:%S",
+                                        tz="Asia/Kolkata", out_col="ts_utc")
+    out = timeparse.epoch_seconds(parsed, "ts_utc", "epoch_utc",
+                                  null_sentinel=-1).to_pandas()
+    out = out[["event_id", "epoch_utc"]].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+_EVENT_SPEC = {
+    "columns": {
+        "value": {"non_null": True, "min": 0, "max": 450},
+        "event_type": {"in_set": ["click", "view", "purchase", "signup"]},
+        "user_id": {"non_null": True, "min": 0},
+    }
+}
+
+
+def validate_events(sf_dir: str) -> pd.DataFrame:
+    """M13 declarative column validator: per-row (passed, failure_type)."""
+    from ..rules.validator import validate
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type",
+                                  "value"])
+    out = validate(ds, _EVENT_SPEC).to_pandas()
+    out = out[["event_id", "passed", "failure_type"]]
+    out["failure_type"] = out["failure_type"].fillna("")
+    out["event_id"] = out["event_id"].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def supplier_lineitems_funnel(sf_dir: str) -> pd.DataFrame:
+    """S4 per-row dependent extraction: for each driving supplier, a
+    parameterized filtered Parquet read, diagonally unioned with the
+    supplier name stamped on."""
+    from ..sources.funnel import parquet_filtered_reader, per_row_funnel
+
+    driving = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda df: df[df.s_suppkey < 10], batch_format="pandas")
+    reader = parquet_filtered_reader(
+        f"{sf_dir}/lineitem.parquet", "l_suppkey", "s_suppkey",
+        columns=["l_orderkey", "l_linenumber", "l_suppkey", "l_quantity"])
+    out = per_row_funnel(driving, reader, param_cols=["s_suppkey"],
+                         stamp_cols=["s_name"], rows_per_batch=2).to_pandas()
+    out = out.astype({"l_orderkey": np.int64, "l_linenumber": np.int64,
+                      "l_suppkey": np.int64})
+    return (out.sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # documents / text analysis
 # ---------------------------------------------------------------------------

@@ -1,0 +1,140 @@
+"""Multi-source readiness coordination — the reference's bucket-brigade
+controller (`archive/dags/DatalogNgenCheck_controller_dag.py:57-120`): a time
+window may be processed only when EVERY source table's watermark has passed
+its end; a claimed window carries an in-flight marker so concurrent runs
+don't double-process; completions are counted per window.
+
+Control-plane component: the state is tiny (one row per source + one per
+window) and lives in a crash-safe Parquet file (tmp→rename, the manifest
+discipline of `pipelines/manifest.py`). The DATA processing each ready window
+triggers is ordinary Ray Data pipelines; this class only decides WHEN a
+window is allowed to run. The clock is injected (``now``) so recovery
+behavior is deterministic and testable.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import time
+from typing import Any
+
+WINDOW_PENDING = "pending"
+WINDOW_IN_FLIGHT = "in_flight"
+WINDOW_DONE = "done"
+
+
+class ReadinessTracker:
+    def __init__(self, sources: list[str], window_s: int,
+                 state_path: str | pathlib.Path | None = None) -> None:
+        if not sources:
+            raise ValueError("at least one source required")
+        self.sources = list(sources)
+        self.window_s = int(window_s)
+        self.state_path = pathlib.Path(state_path) if state_path else None
+        self.watermarks: dict[str, int] = {}
+        # window_start -> {"status", "claimed_at", "completions"}
+        self.windows: dict[int, dict[str, Any]] = {}
+        if self.state_path and self.state_path.exists():
+            self._load()
+
+    # -- watermarks --------------------------------------------------------
+
+    def update_watermark(self, source: str, epoch_s: int) -> None:
+        """Record that `source` has delivered data up to `epoch_s`
+        (monotonic: regressions are ignored, the reference's max() merge)."""
+        if source not in self.sources:
+            raise KeyError(f"unknown source {source!r}")
+        self.watermarks[source] = max(self.watermarks.get(source, 0),
+                                      int(epoch_s))
+        self._save()
+
+    def min_watermark(self) -> int:
+        """The brigade line: the slowest source's watermark (0 until every
+        source has reported)."""
+        if set(self.watermarks) != set(self.sources):
+            return 0
+        return min(self.watermarks.values())
+
+    # -- windows -----------------------------------------------------------
+
+    def ready_windows(self, start_epoch_s: int = 0) -> list[int]:
+        """Window starts that are fully covered by ALL sources and not yet
+        claimed or completed, oldest first."""
+        line = self.min_watermark()
+        out = []
+        w = (start_epoch_s // self.window_s) * self.window_s
+        while w + self.window_s <= line:
+            st = self.windows.get(w, {}).get("status", WINDOW_PENDING)
+            if st == WINDOW_PENDING:
+                out.append(w)
+            w += self.window_s
+        return out
+
+    def claim(self, window_start: int,
+              now: float | None = None) -> bool:
+        """Mark a window in-flight; False if already claimed/done."""
+        st = self.windows.get(window_start, {}).get("status", WINDOW_PENDING)
+        if st != WINDOW_PENDING:
+            return False
+        self.windows[window_start] = {
+            "status": WINDOW_IN_FLIGHT,
+            "claimed_at": now if now is not None else time.time(),
+            "completions": self.windows.get(window_start, {})
+            .get("completions", 0)}
+        self._save()
+        return True
+
+    def complete(self, window_start: int) -> None:
+        w = self.windows.setdefault(window_start, {"completions": 0})
+        w["status"] = WINDOW_DONE
+        w["claimed_at"] = None
+        w["completions"] = w.get("completions", 0) + 1
+        self._save()
+
+    def release(self, window_start: int) -> None:
+        """Failed run: back to pending (keeps the completion count)."""
+        w = self.windows.setdefault(window_start, {"completions": 0})
+        w["status"] = WINDOW_PENDING
+        w["claimed_at"] = None
+        self._save()
+
+    def reset_stale(self, max_age_s: float,
+                    now: float | None = None) -> list[int]:
+        """Release in-flight windows older than `max_age_s` (crashed
+        claimant) — the zombie reset."""
+        now = now if now is not None else time.time()
+        released = []
+        for ws, w in self.windows.items():
+            if (w.get("status") == WINDOW_IN_FLIGHT
+                    and w.get("claimed_at") is not None
+                    and now - w["claimed_at"] > max_age_s):
+                w["status"] = WINDOW_PENDING
+                w["claimed_at"] = None
+                released.append(ws)
+        if released:
+            self._save()
+        return sorted(released)
+
+    def completion_counts(self) -> dict[int, int]:
+        return {ws: w.get("completions", 0) for ws, w in self.windows.items()
+                if w.get("completions")}
+
+    # -- persistence (tmp→rename, crash-safe) ------------------------------
+
+    def _save(self) -> None:
+        if not self.state_path:
+            return
+        tmp = self.state_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps({
+            "sources": self.sources, "window_s": self.window_s,
+            "watermarks": self.watermarks,
+            "windows": {str(k): v for k, v in self.windows.items()}}))
+        tmp.rename(self.state_path)
+
+    def _load(self) -> None:
+        doc = json.loads(self.state_path.read_text())
+        if doc["sources"] != self.sources or doc["window_s"] != self.window_s:
+            raise ValueError("state file does not match tracker config")
+        self.watermarks = {k: int(v) for k, v in doc["watermarks"].items()}
+        self.windows = {int(k): v for k, v in doc["windows"].items()}

@@ -1,0 +1,119 @@
+"""Asset-packing work-queue semantics — the reference's claim / zombie-reset
+/ retry-cap / backlog-alert loop (`dags/asset_packing_dag.py:37-124`,
+`plugins/services/packing_service.py:43-45`: batch of 50 per run, 2 h zombie
+timeout, ≤3 retries, backlog alerting).
+
+Control-plane component: one row per queued item, persisted crash-safe
+(tmp→rename Parquet). The WORK each claimed batch triggers is an ordinary
+Ray Data pipeline; this class only hands out batches with at-least-once
+semantics. The clock is injected for deterministic tests.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import time
+from typing import Any
+
+import pandas as pd
+
+PENDING, CLAIMED, DONE, DEAD = "pending", "claimed", "done", "dead"
+
+
+class WorkQueue:
+    def __init__(self, state_path: str | pathlib.Path,
+                 batch_size: int = 50, zombie_timeout_s: float = 2 * 3600,
+                 max_retries: int = 3) -> None:
+        self.state_path = pathlib.Path(state_path)
+        self.batch_size = batch_size
+        self.zombie_timeout_s = zombie_timeout_s
+        self.max_retries = max_retries
+        if self.state_path.exists():
+            self._df = pd.read_parquet(self.state_path)
+        else:
+            self._df = pd.DataFrame({
+                "item_id": pd.Series([], dtype=str),
+                "status": pd.Series([], dtype=str),
+                "enqueued_at": pd.Series([], dtype=float),
+                "claimed_at": pd.Series([], dtype=float),
+                "retries": pd.Series([], dtype="int64")})
+
+    # -- producer ----------------------------------------------------------
+
+    def add(self, item_ids: list[str], now: float | None = None) -> int:
+        """Enqueue new items (ids already present are ignored — idempotent
+        re-submission). Returns how many were new."""
+        now = now if now is not None else time.time()
+        new = [i for i in dict.fromkeys(map(str, item_ids))
+               if i not in set(self._df["item_id"])]
+        if new:
+            add = pd.DataFrame({"item_id": new, "status": PENDING,
+                                "enqueued_at": now, "claimed_at": None,
+                                "retries": 0})
+            self._df = pd.concat([self._df, add], ignore_index=True)
+            self._save()
+        return len(new)
+
+    # -- consumer ----------------------------------------------------------
+
+    def claim_batch(self, now: float | None = None) -> list[str]:
+        """Claim up to ``batch_size`` oldest pending items (marks them
+        claimed with a timestamp)."""
+        now = now if now is not None else time.time()
+        m = self._df["status"] == PENDING
+        idx = self._df[m].sort_values("enqueued_at").index[:self.batch_size]
+        if len(idx):
+            self._df.loc[idx, ["status", "claimed_at"]] = [CLAIMED, now]
+            self._save()
+        return list(self._df.loc[idx, "item_id"])
+
+    def complete(self, item_ids: list[str]) -> None:
+        m = self._df["item_id"].isin(set(map(str, item_ids)))
+        self._df.loc[m, "status"] = DONE
+        self._save()
+
+    def fail(self, item_ids: list[str]) -> None:
+        """Failed attempt: retry++ and back to pending, or dead past the
+        retry cap."""
+        m = self._df["item_id"].isin(set(map(str, item_ids)))
+        self._df.loc[m, "retries"] = self._df.loc[m, "retries"] + 1
+        dead = m & (self._df["retries"] > self.max_retries)
+        self._df.loc[dead, "status"] = DEAD
+        self._df.loc[m & ~dead, "status"] = PENDING
+        self._df.loc[m, "claimed_at"] = None
+        self._save()
+
+    def reset_zombies(self, now: float | None = None) -> list[str]:
+        """Items claimed longer than ``zombie_timeout_s`` ago go back to
+        pending with retry++ (dead past the cap) — the crashed-worker
+        recovery sweep."""
+        now = now if now is not None else time.time()
+        m = ((self._df["status"] == CLAIMED)
+             & self._df["claimed_at"].notna()
+             & (now - self._df["claimed_at"] > self.zombie_timeout_s))
+        ids = list(self._df.loc[m, "item_id"])
+        if ids:
+            self.fail(ids)
+        return ids
+
+    # -- monitoring --------------------------------------------------------
+
+    def counts(self) -> dict[str, int]:
+        c = self._df["status"].value_counts().to_dict()
+        return {s: int(c.get(s, 0)) for s in (PENDING, CLAIMED, DONE, DEAD)}
+
+    def backlog_alert(self, threshold: int) -> bool:
+        """True when pending+claimed exceeds the threshold (the reference's
+        backlog notification trigger)."""
+        c = self.counts()
+        return c[PENDING] + c[CLAIMED] > threshold
+
+    def snapshot(self) -> pd.DataFrame:
+        return self._df.copy()
+
+    # -- persistence -------------------------------------------------------
+
+    def _save(self) -> None:
+        tmp = self.state_path.with_suffix(".tmp")
+        self._df.to_parquet(tmp, index=False)
+        tmp.rename(self.state_path)

@@ -1,0 +1,107 @@
+"""Declarative per-row column validation (SURVEY.md M13).
+
+The reference validates frames against Pandera schemas with ``lazy=True`` and
+extracts per-row failure cases (`plugins/services/data_validator.py:8-51`,
+schema example `plugins/schemas/kpi/cnt_cycles.py:4-38`). Ray-Data-first
+form: a column spec (dict or YAML) compiles to ONE vectorized Arrow pass that
+stamps every row with ``passed`` and ``failure_type`` (the first failing
+``column:check``, in spec order), plus a failure-cases extractor.
+
+Spec shape::
+
+    columns:
+      value:      {non_null: true, min: 0, max: 100}
+      event_type: {in_set: [click, view]}
+      name:       {regex: '^[A-Z]'}
+
+Check order per column: non_null, in_set, min, max, regex. A null value only
+fails ``non_null``; with no ``non_null`` check, nulls pass the other checks
+(the reference's nullable-column semantics).
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_CHECK_ORDER = ("non_null", "in_set", "min", "max", "regex")
+
+
+def load_spec(path: str | pathlib.Path) -> dict[str, Any]:
+    import yaml
+
+    return yaml.safe_load(pathlib.Path(path).read_text())
+
+
+def _compile_checks(spec: dict[str, Any]) -> list[tuple[str, str, Any]]:
+    checks = []
+    for col, rules in spec["columns"].items():
+        unknown = set(rules) - set(_CHECK_ORDER)
+        if unknown:
+            raise ValueError(f"unknown checks for {col}: {sorted(unknown)}")
+        for check in _CHECK_ORDER:
+            if check in rules:
+                checks.append((col, check, rules[check]))
+    return checks
+
+
+def _fail_mask(arr: pa.Array, check: str, arg: Any) -> pa.Array:
+    """True where the row FAILS the check. Nulls fail only non_null."""
+    if check == "non_null":
+        return pc.is_null(arr)
+    if check == "in_set":
+        ok = pc.is_in(arr, value_set=pa.array(list(arg), type=arr.type))
+    elif check == "min":
+        ok = pc.greater_equal(arr, arg)
+    elif check == "max":
+        ok = pc.less_equal(arr, arg)
+    elif check == "regex":
+        ok = pc.match_substring_regex(pc.cast(arr, pa.string()), arg)
+    else:  # pragma: no cover
+        raise ValueError(check)
+    # null → passes (not this check's business)
+    return pc.and_kleene(pc.invert(ok), pc.is_valid(arr))
+
+
+def validate(ds: "ray.data.Dataset", spec: dict[str, Any]
+             ) -> "ray.data.Dataset":
+    """Stamp every row with ``passed`` (bool) and ``failure_type`` (string
+    ``column:check`` of the FIRST failing check in spec order, else null) —
+    one vectorized pass, no shuffle."""
+    checks = _compile_checks(spec)
+
+    def fn(t: pa.Table) -> pa.Table:
+        failure = pa.nulls(len(t), pa.string())
+        passed = pa.array([True] * len(t))
+        # iterate in REVERSE so the first failing check in spec order wins
+        for col, check, arg in reversed(checks):
+            arr = t[col]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            bad = _fail_mask(arr, check, arg)
+            bad = pc.fill_null(bad, False)
+            label = pa.array([f"{col}:{check}"] * len(t))
+            failure = pc.if_else(bad, label, failure)
+            passed = pc.and_(passed, pc.invert(bad))
+        return (t.append_column("passed", passed)
+                .append_column("failure_type", failure))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def failure_cases(validated: "ray.data.Dataset",
+                  keep_cols: list[str] | None = None) -> "ray.data.Dataset":
+    """Rows that failed, projected to the failure columns (the reference's
+    Pandera ``failure_cases`` frame analogue)."""
+    def fn(t: pa.Table) -> pa.Table:
+        bad = t.filter(pc.invert(pc.fill_null(t["passed"], False)))
+        if keep_cols:
+            return bad.select(keep_cols + ["failure_type"])
+        return bad
+
+    return validated.map_batches(fn, batch_format="pyarrow")

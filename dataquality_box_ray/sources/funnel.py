@@ -1,0 +1,83 @@
+"""Per-row dependent extraction — the reference loader's row-templated funnel
+(`plugins/operators/loader.py:315-363`): for every row of a driving table,
+run an extraction parameterized by that row's values (``{{ row.col }}``) and
+concatenate the results DIAGONALLY (schema union, missing columns null),
+stamping the driving parameters onto each extracted row.
+
+Ray-Data-first form: the driving table (small by construction — it drives a
+fan-out) is a Dataset; each batch task runs the per-row extractions itself,
+so the fan-out parallelism is the driving table's block/batch count and the
+extraction pushdown happens INSIDE the task (e.g. a Parquet filter per row).
+The batch-mode funnel (distinct upstream keys → one IN-filter read) lives in
+`pipelines/governance.load_entities`; this is the complementary per-row mode
+reference users rely on when each row's read is genuinely different.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import pandas as pd
+
+import ray.data
+
+
+def diagonal_concat(frames: list[pd.DataFrame]) -> pd.DataFrame:
+    """Schema-union concat (the reference's ``how='diagonal_relaxed'``):
+    the output has the union of all columns, missing values null."""
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True, sort=False)
+
+
+def per_row_funnel(driving: "ray.data.Dataset",
+                   extract_fn: Callable[[dict[str, Any]], pd.DataFrame],
+                   param_cols: list[str],
+                   stamp_cols: list[str] | None = None,
+                   rows_per_batch: int = 8) -> "ray.data.Dataset":
+    """For each driving row, call ``extract_fn(params)`` (params = the row's
+    ``param_cols`` values) and return the diagonal union of all results, with
+    ``stamp_cols`` from the driving row stamped onto its extracted rows.
+
+    ``rows_per_batch`` bounds how many per-row extractions one task runs
+    serially — small values maximize fan-out parallelism, large values
+    amortize task overhead for cheap extractions.
+    """
+    stamp = stamp_cols or []
+
+    def fan_out(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, row in df.iterrows():
+            params = {c: row[c] for c in param_cols}
+            out = extract_fn(params)
+            if out is None or not len(out):
+                continue
+            out = out.copy()
+            for c in stamp:
+                out[c] = row[c]
+            frames.append(out)
+        result = diagonal_concat(frames)
+        return result
+
+    return driving.map_batches(fan_out, batch_format="pandas",
+                               batch_size=rows_per_batch)
+
+
+def parquet_filtered_reader(path: str, key_col: str, param: str,
+                            columns: list[str] | None = None
+                            ) -> Callable[[dict[str, Any]], pd.DataFrame]:
+    """Extraction factory for the common case: read a Parquet table filtered
+    to ``key_col == params[param]`` with row-group-level pushdown (the Ray
+    analogue of the reference's per-row parameterized SQL)."""
+    import pyarrow.dataset as pads
+
+    holder: dict = {}
+
+    def read(params: dict[str, Any]) -> pd.DataFrame:
+        if "ds" not in holder:          # one dataset handle per task/worker
+            holder["ds"] = pads.dataset(path, format="parquet")
+        expr = pads.field(key_col) == params[param]
+        return holder["ds"].to_table(filter=expr, columns=columns).to_pandas()
+
+    return read

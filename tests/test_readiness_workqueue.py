@@ -1,0 +1,83 @@
+import pandas as pd
+import pytest
+
+from dataquality_box_ray.pipelines.readiness import ReadinessTracker
+from dataquality_box_ray.pipelines.workqueue import (CLAIMED, DEAD, DONE,
+                                                     PENDING, WorkQueue)
+
+
+def test_readiness_brigade(tmp_path):
+    t = ReadinessTracker(["a", "b", "c"], window_s=3600,
+                         state_path=tmp_path / "state.json")
+    assert t.ready_windows() == []            # nothing reported yet
+    t.update_watermark("a", 7200)
+    t.update_watermark("b", 10800)
+    assert t.ready_windows() == []            # c missing → line is 0
+    t.update_watermark("c", 3600)
+    assert t.ready_windows() == [0]           # only [0,3600) covered by ALL
+    t.update_watermark("c", 7300)             # line now 7200
+    assert t.ready_windows() == [0, 3600]
+    # watermark regression ignored (monotonic merge)
+    t.update_watermark("c", 100)
+    assert t.min_watermark() == 7200
+
+    assert t.claim(0, now=1000.0)
+    assert not t.claim(0, now=1001.0)         # in-flight marker blocks
+    assert t.ready_windows() == [3600]
+    t.complete(0)
+    assert t.ready_windows() == [3600]
+    assert t.completion_counts() == {0: 1}
+
+    t.claim(3600, now=2000.0)
+    t.release(3600)                           # failed run → pending again
+    assert t.ready_windows() == [3600]
+    t.claim(3600, now=3000.0)
+    assert t.reset_stale(max_age_s=100, now=4000.0) == [3600]
+    assert t.ready_windows() == [3600]
+
+    # resume from disk
+    t2 = ReadinessTracker(["a", "b", "c"], window_s=3600,
+                          state_path=tmp_path / "state.json")
+    assert t2.min_watermark() == 7200
+    assert t2.completion_counts() == {0: 1}
+    with pytest.raises(ValueError):
+        ReadinessTracker(["a", "b"], window_s=3600,
+                         state_path=tmp_path / "state.json")
+
+
+def test_workqueue_claim_retry_zombie(tmp_path):
+    q = WorkQueue(tmp_path / "q.parquet", batch_size=2, zombie_timeout_s=100,
+                  max_retries=2)
+    assert q.add(["x", "y", "z", "x"], now=1.0) == 3   # dup ignored
+    assert q.add(["x"], now=2.0) == 0                   # idempotent resubmit
+
+    b1 = q.claim_batch(now=10.0)
+    assert b1 == ["x", "y"]                             # oldest-first, capped
+    b2 = q.claim_batch(now=11.0)
+    assert b2 == ["z"]
+    assert q.claim_batch(now=12.0) == []
+
+    q.complete(["x"])
+    q.fail(["y"])                                       # retry 1 → pending
+    assert q.counts() == {PENDING: 1, CLAIMED: 1, DONE: 1, DEAD: 0}
+
+    # zombie: z claimed at 11, timeout 100 → resets past t=111 with retry++
+    assert q.reset_zombies(now=50.0) == []
+    assert q.reset_zombies(now=200.0) == ["z"]
+    assert q.counts()[PENDING] == 2
+
+    # retry cap: fail y twice more → dead
+    q.claim_batch(now=300.0)
+    q.fail(["y"])
+    q.claim_batch(now=310.0)
+    q.fail(["y"])
+    snap = q.snapshot().set_index("item_id")
+    assert snap.loc["y", "status"] == DEAD
+    assert snap.loc["y", "retries"] == 3
+
+    assert q.backlog_alert(0)
+    assert not q.backlog_alert(10)
+
+    # resume from disk
+    q2 = WorkQueue(tmp_path / "q.parquet")
+    assert q2.counts() == q.counts()

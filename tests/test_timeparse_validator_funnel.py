@@ -1,0 +1,103 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from dataquality_box_ray.ops import timeparse
+from dataquality_box_ray.rules import validator
+from dataquality_box_ray.sources.funnel import (diagonal_concat,
+                                                parquet_filtered_reader,
+                                                per_row_funnel)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parse_timestamps_lenient_and_tz():
+    df = pd.DataFrame({"raw": ["2024-03-10 01:30:00", "garbage", None,
+                               "2024-06-01 12:00:00"]})
+    ds = ray.data.from_pandas(df)
+    out = timeparse.parse_timestamps(ds, "raw", "%Y-%m-%d %H:%M:%S",
+                                     tz="Asia/Kolkata").to_pandas()
+    # +05:30 fixed offset: 01:30 local = 20:00 UTC previous day
+    assert out["raw_parsed"].iloc[0] == pd.Timestamp("2024-03-09 20:00:00",
+                                                     tz="UTC")
+    assert pd.isna(out["raw_parsed"].iloc[1])
+    assert pd.isna(out["raw_parsed"].iloc[2])
+    assert out["raw_parsed"].iloc[3] == pd.Timestamp("2024-06-01 06:30:00",
+                                                     tz="UTC")
+
+
+def test_parse_timestamps_strict_raises():
+    ds = ray.data.from_pandas(pd.DataFrame({"raw": ["nope"]}))
+    with pytest.raises(Exception):
+        timeparse.parse_timestamps(ds, "raw", "%Y-%m-%d %H:%M:%S",
+                                   strict=True).to_pandas()
+
+
+def test_parse_timestamps_naive_without_tz():
+    ds = ray.data.from_pandas(pd.DataFrame({"raw": ["2024-01-02 03:04:05"]}))
+    out = timeparse.parse_timestamps(ds, "raw", "%Y-%m-%d %H:%M:%S").to_pandas()
+    assert out["raw_parsed"].iloc[0] == pd.Timestamp("2024-01-02 03:04:05")
+    assert out["raw_parsed"].dt.tz is None
+
+
+def test_epoch_seconds_sentinel():
+    t = pa.table({"ts": pa.array([pd.Timestamp("1970-01-01 00:01:40"), None],
+                                 type=pa.timestamp("us"))})
+    ds = ray.data.from_arrow(t)
+    out = timeparse.epoch_seconds(ds, "ts", "e", null_sentinel=-1).to_pandas()
+    assert list(out["e"]) == [100, -1]
+
+
+def test_validator_order_and_null_semantics():
+    spec = {"columns": {
+        "a": {"non_null": True, "min": 0, "max": 10},
+        "b": {"in_set": ["x", "y"]},
+        "c": {"regex": "^ok"},
+    }}
+    df = pd.DataFrame({
+        "a": [5.0, None, -1.0, 11.0, 5.0, 5.0],
+        "b": ["x", "z", "z", "y", "z", None],     # null b passes (no non_null)
+        "c": ["ok!", "ok!", "ok!", "ok!", "ok!", "bad"],
+    })
+    out = validator.validate(ray.data.from_pandas(df), spec).to_pandas()
+    assert list(out["passed"]) == [True, False, False, False, False, False]
+    # first failing column:check in spec order wins
+    assert list(out["failure_type"].fillna("")) == [
+        "", "a:non_null", "a:min", "a:max", "b:in_set", "c:regex"]
+    cases = validator.failure_cases(
+        validator.validate(ray.data.from_pandas(df), spec),
+        keep_cols=["a"]).to_pandas()
+    assert len(cases) == 5
+    assert set(cases.columns) == {"a", "failure_type"}
+
+
+def test_validator_rejects_unknown_check():
+    with pytest.raises(ValueError):
+        validator.validate(ray.data.from_pandas(pd.DataFrame({"a": [1]})),
+                           {"columns": {"a": {"frobnicate": 1}}})
+
+
+def test_diagonal_concat_schema_union():
+    a = pd.DataFrame({"x": [1], "y": ["a"]})
+    b = pd.DataFrame({"x": [2], "z": [3.0]})
+    out = diagonal_concat([a, b])
+    assert set(out.columns) == {"x", "y", "z"}
+    assert pd.isna(out["z"].iloc[0]) and pd.isna(out["y"].iloc[1])
+
+
+def test_per_row_funnel_parquet_pushdown():
+    driving = ray.data.from_pandas(pd.DataFrame({"s_suppkey": [0, 1, 2],
+                                                 "s_name": ["a", "b", "c"]}))
+    reader = parquet_filtered_reader(
+        f"{SF}/lineitem.parquet", "l_suppkey", "s_suppkey",
+        columns=["l_orderkey", "l_suppkey"])
+    out = per_row_funnel(driving, reader, param_cols=["s_suppkey"],
+                         stamp_cols=["s_name"]).to_pandas()
+    li = pd.read_parquet(f"{SF}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey"])
+    exp = li[li.l_suppkey.isin([0, 1, 2])]
+    assert len(out) == len(exp)
+    assert set(out.columns) == {"l_orderkey", "l_suppkey", "s_name"}
+    assert (out[out.l_suppkey == 1].s_name == "b").all()
