@@ -29,7 +29,7 @@ from ..stages.reconcile import bucket_of
 def window_aggregate(ds: "ray.data.Dataset", key: str,
                      aggregates: list[dict[str, str]],
                      mode: str = "auto",
-                     max_broadcast_rows: int = 300_000) -> "ray.data.Dataset":
+                     max_broadcast_rows: int = 2_000_000) -> "ray.data.Dataset":
     """`agg(x).over(key)` broadcast back to rows (A5), cardinality-aware:
 
     - few distinct keys (≤ ``max_broadcast_rows`` partial rows): distributed

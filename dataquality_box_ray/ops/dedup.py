@@ -159,7 +159,8 @@ def minhash_lsh_candidates_ds(ds: "ray.data.Dataset", text_col: str,
                               id_col: str, num_perm: int = 64,
                               bands: int = 16, shingle_k: int = 5,
                               max_bucket_ids: int = 2000,
-                              n_buckets: int = 64) -> "ray.data.Dataset":
+                              n_buckets: int = 64,
+                              distinct: bool = True) -> "ray.data.Dataset":
     """Candidate near-dup pairs via MinHash+LSH, fully distributed:
     shingle→minhash→band→bucket groupby (the slim shuffle carries only
     (band, hash, id)), then a second slim shuffle on hash(id_a) that
@@ -196,6 +197,10 @@ def minhash_lsh_candidates_ds(ds: "ray.data.Dataset", text_col: str,
 
     # band is the natural partition key: all holders of one (band,hash) meet
     pairs = sig.groupby("band").map_groups(pairs_fn, batch_format="pandas")
+    if not distinct:
+        # caller dedups (e.g. driver drop_duplicates on a small pair set) —
+        # skip the extra slim shuffle
+        return pairs
 
     def add_bucket(t: pa.Table) -> pa.Table:
         s = pd.Series(t.column("id_a").to_pandas().astype(str))
@@ -363,8 +368,11 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
     propagation) → keep min id per component, survivors via the
     broadcast-or-partitioned anti join."""
     shingle_k = kw.get("shingle_k", 5)
-    pairs = minhash_lsh_candidates_ds(ds, text_col, id_col, **kw).materialize()
-    n_pairs = pairs.count()
+    # raw (band-duplicated) pairs: the distinct shuffle is deferred until we
+    # know which path runs — the driver path dedups in pandas for free
+    pairs = minhash_lsh_candidates_ds(ds, text_col, id_col, distinct=False,
+                                      **kw).materialize()
+    n_pairs = pairs.count()          # band-duplicated count (upper bound)
     if n_pairs == 0:
         return ds
 
@@ -373,7 +381,7 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
         # broadcast IN-filter — avoids spinning up two hash-join aggregator
         # pools for a few thousand pairs
         import pyarrow.compute as pc
-        pairs_pdf = pairs.to_pandas()
+        pairs_pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
         cand_ids = set(pairs_pdf["id_a"]) | set(pairs_pdf["id_b"])
         id_arr = pa.array(list(cand_ids))
         texts = (ds.map_batches(
@@ -390,9 +398,22 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
             return broadcast_anti_join(ds, losers, id_col)
         losers_ds = ray.data.from_pandas(pd.DataFrame({id_col: sorted(losers)}))
     else:
-        # scale path: distributed verify (texts via slim hash joins) +
-        # min-label propagation components
-        verified = (verify_jaccard_ds(pairs, ds, text_col, id_col,
+        # scale path: slim distinct shuffle (a near-identical pair collides
+        # in ~all bands; verifying it once is cheaper than bands× verifies),
+        # then distributed verify (texts via slim hash joins) + min-label
+        # propagation components
+        def add_bucket(t: pa.Table) -> pa.Table:
+            s = pd.Series(t.column("id_a").to_pandas().astype(str))
+            return t.append_column("__bucket", pa.array(bucket_of(s, 64)))
+
+        def distinct_fn(df: pd.DataFrame) -> pd.DataFrame:
+            return (df.drop_duplicates(["id_a", "id_b"])
+                    .drop(columns=["__bucket"]))
+
+        distinct_pairs = (pairs.map_batches(add_bucket, batch_format="pyarrow")
+                          .groupby("__bucket")
+                          .map_groups(distinct_fn, batch_format="pandas"))
+        verified = (verify_jaccard_ds(distinct_pairs, ds, text_col, id_col,
                                       shingle_k=shingle_k,
                                       threshold=threshold)
                     .materialize())

@@ -171,18 +171,25 @@ def cross_check_totalprice(sf_dir: str) -> pd.DataFrame:
         return t.append_column(
             "price_cents", pa.array(_cents(t["l_extendedprice"].to_numpy())))
 
-    # l_orderkey cardinality ∝ data: bucketed-shuffle combine + hash join
-    # back — no O(keys) driver frame, no O(keys) broadcast
-    rec = grouped_aggregate_ds(li.map_batches(pre, batch_format="pyarrow"),
-                               ["l_orderkey"],
-                               [{"name": "recomputed_cents", "agg": "sum",
-                                 "col": "price_cents"}])
+    # l_orderkey cardinality ∝ data: auto mode — small scale combines on the
+    # driver and broadcast-joins back (no shuffle of orders); past
+    # DRIVER_COMBINE_MAX_ROWS the combine is a bucketed shuffle and the
+    # join-back a hash-partitioned join (no O(keys) driver frame/broadcast)
+    from ..rules.engine import grouped_aggregate_auto
+    rec = grouped_aggregate_auto(li.map_batches(pre, batch_format="pyarrow"),
+                                 ["l_orderkey"],
+                                 [{"name": "recomputed_cents", "agg": "sum",
+                                   "col": "price_cents"}])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
-    joined = joins.hash_join(orders, rec, "o_orderkey", "l_orderkey",
-                             how="inner")
+    if isinstance(rec, pd.DataFrame):
+        joined = joins.broadcast_lookup_join(
+            orders, rec, "o_orderkey", "l_orderkey", ["recomputed_cents"])
+    else:
+        joined = joins.hash_join(orders, rec, "o_orderkey", "l_orderkey",
+                                 how="inner")
 
     def flag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
+        df = df[df["recomputed_cents"].notna()].copy()
         df["total_cents"] = _cents(df["o_totalprice"].to_numpy())
         df["diff_cents"] = (df["total_cents"]
                             - df["recomputed_cents"].astype(np.int64))

@@ -158,7 +158,7 @@ _PARTIAL_AGGS = {
 # partial-row count above which the final combine runs as a bucketed shuffle
 # instead of a driver-pandas groupby (high-cardinality keys: one partial row
 # per key per block means the driver frame is O(dataset))
-DRIVER_COMBINE_MAX_ROWS = 300_000
+DRIVER_COMBINE_MAX_ROWS = 2_000_000
 
 
 def _agg_specs(aggregates: list[dict[str, str]]) -> list[tuple]:
@@ -214,26 +214,34 @@ def grouped_aggregate_ds(ds: "ray.data.Dataset", group_by: list[str],
     return _bucketed_combine(partials, group_by, specs, n_buckets=n_buckets)
 
 
+def grouped_aggregate_auto(ds: "ray.data.Dataset", group_by: list[str],
+                           aggregates: list[dict[str, str]]
+                           ) -> "pd.DataFrame | ray.data.Dataset":
+    """GROUP BY with a cardinality-aware combine: partials are materialized
+    once; at ≤ ``DRIVER_COMBINE_MAX_ROWS`` partial rows the final combine is
+    a driver groupby returning pandas (callers can then ray.put-broadcast
+    the small result), above it the combine is a bucketed shuffle returning
+    a DATASET — no O(keys) driver frame, callers must join it back with
+    `hash_join`."""
+    specs = _agg_specs(aggregates)
+    partials_ds = ds.map_batches(_make_partial(group_by, specs),
+                                 batch_format="pandas").materialize()
+    if partials_ds.count() > DRIVER_COMBINE_MAX_ROWS:
+        return _bucketed_combine(partials_ds, group_by, specs)
+    return _combine_partials(partials_ds.to_pandas(), group_by, specs)
+
+
 def grouped_aggregate(ds: "ray.data.Dataset", group_by: list[str],
                       aggregates: list[dict[str, str]]) -> pd.DataFrame:
     """GROUP BY via partial aggregation: each batch emits one row per key
     (combiner), the final groupby runs over the much smaller partials — the
     skew-safe form of `rule_engine.py:316-364`'s group_by().agg().
 
-    Cardinality-aware: partials are materialized once; when their row count
-    exceeds ``DRIVER_COMBINE_MAX_ROWS`` the final combine runs as the
-    bucketed shuffle (`grouped_aggregate_ds`) instead of a driver groupby.
-    (The RESULT still lands on the driver because this form returns pandas —
-    callers whose result is itself O(keys) should use `grouped_aggregate_ds`.)
-    """
-    specs = _agg_specs(aggregates)
-    partials_ds = ds.map_batches(_make_partial(group_by, specs),
-                                 batch_format="pandas").materialize()
-    n_partials = partials_ds.count()
-    if n_partials > DRIVER_COMBINE_MAX_ROWS:
-        return _bucketed_combine(partials_ds, group_by, specs).to_pandas()
-    partials = partials_ds.to_pandas()
-    return _combine_partials(partials, group_by, specs)
+    Cardinality-aware (see `grouped_aggregate_auto`); always returns pandas —
+    callers whose result is itself O(keys) should use `grouped_aggregate_ds`
+    or handle `grouped_aggregate_auto`'s Dataset branch."""
+    out = grouped_aggregate_auto(ds, group_by, aggregates)
+    return out if isinstance(out, pd.DataFrame) else out.to_pandas()
 
 
 def _bucketed_combine(partials: "ray.data.Dataset", group_by: list[str],

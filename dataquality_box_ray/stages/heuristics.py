@@ -37,12 +37,30 @@ _MARKERS = {
 }
 
 
+_SHA_EMPTY = hashlib.sha256(b"").hexdigest()
+
+
 def sha256_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """sha256 hex digest per row (null/empty → sha of b'')."""
+    """sha256 hex digest per row (null/empty → sha of b'').
+
+    The digest loop is unavoidable (hashlib is per-value), but it hashes
+    memoryview slices of the Arrow UTF-8 data buffer directly — no Python
+    string materialization, no re-encode."""
     out = []
+    sha = hashlib.sha256
     for chunk in (col.chunks if isinstance(col, pa.ChunkedArray) else [col]):
-        for v in chunk.to_pylist():
-            out.append(hashlib.sha256((v or "").encode("utf-8", "surrogatepass")).hexdigest())
+        n = len(chunk)
+        if n == 0:
+            continue
+        odt = np.int64 if pa.types.is_large_string(chunk.type) else np.int32
+        bufs = chunk.buffers()
+        off = np.frombuffer(bufs[1], dtype=odt)[chunk.offset:chunk.offset + n + 1]
+        data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        for i in range(n):
+            a, b = off[i], off[i + 1]
+            # null and "" both have a == b → the empty digest, matching the
+            # previous (v or "") semantics
+            out.append(_SHA_EMPTY if a == b else sha(data[a:b]).hexdigest())
     return pa.array(out, type=pa.string())
 
 
