@@ -32,6 +32,15 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.enable_tensor_extension_casting = False
+    # Ray's sort-shuffle emits a schema-divergence WARNING for every EMPTY
+    # reduce partition of a bucketed groupby (reproducible on a 5-line
+    # vanilla Ray Data script; the empty blocks are generated inside Ray,
+    # before any UDF runs). Cosmetic — silence it so the bench tail stays
+    # readable.
+    import logging
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).setLevel(logging.ERROR)
 
     from dataquality_box_ray.corpus import (corpus_path, rows_for_sf_dir,
                                             scaling_corpus_path)
@@ -86,6 +95,19 @@ def run_bench() -> dict:
             t0 = time.time()
             getattr(q, name)(sf_dir)
             timings[name] = round(time.time() - t0, 3)
+
+        # the label tables' SCALE path (forced bucketed shuffle — auto mode
+        # picks the driver path at this size, so the shuffle path needs its
+        # own measured number)
+        from dataquality_box_ray.pipelines import quality_filter as qf
+        from dataquality_box_ray.stages.heuristics import heuristics_kernel
+        from dataquality_box_ray.stages.reconcile import compute_label_tables
+        t0 = time.time()
+        slim = (ray.data.read_parquet(corpus)
+                .map_batches(heuristics_kernel, batch_format="pyarrow")
+                .select_columns(qf.SLIM_COLUMNS))
+        compute_label_tables(slim, mode="shuffle")
+        timings["reconcile_labels_shuffle"] = round(time.time() - t0, 3)
 
     sf = pathlib.Path(sf_dir).name.removeprefix("sf")
     return {

@@ -41,6 +41,59 @@ from ..stages.reconcile import bucket_of
 
 STATUS_STRICT, STATUS_TARGET_ONLY, STATUS_ORPHAN, STATUS_LOOSE = 1, 2, 3, 4
 
+# per unmatched left row, at most this many nearest-in-time tier-2 candidates
+# (hot-group quadratic guard; the min-|Δt| winner always survives the cap)
+MAX_TIER2_CANDIDATES = 1000
+
+
+def _window_candidates(un_left: pd.DataFrame, un_right: pd.DataFrame,
+                       loose_tol: pd.Timedelta) -> pd.DataFrame:
+    """Candidate pairs (left × right within the same group and |Δt| ≤
+    loose_tol), generated via per-group sorted searchsorted windows instead
+    of a group cartesian product."""
+    gcodes, uniques = pd.factorize(un_right["group"])
+    order = np.lexsort((un_right["t"].to_numpy(), gcodes))
+    ur = un_right.iloc[order].reset_index(drop=True)
+    g_sorted = gcodes[order]
+    t_sorted = ur["t"].to_numpy()
+    # group start/end offsets in the sorted right table
+    g_start = np.searchsorted(g_sorted, np.arange(len(uniques)))
+    g_end = np.searchsorted(g_sorted, np.arange(len(uniques)), side="right")
+
+    gmap = {g: i for i, g in enumerate(uniques)}
+    tol = loose_tol.to_timedelta64()
+    li_idx: list[np.ndarray] = []
+    ri_idx: list[np.ndarray] = []
+    lt = un_left["t_start"].to_numpy()
+    for i, grp in enumerate(un_left["group"]):
+        gi = gmap.get(grp)
+        if gi is None:
+            continue
+        s, e = g_start[gi], g_end[gi]
+        lo = s + np.searchsorted(t_sorted[s:e], lt[i] - tol, side="left")
+        hi = s + np.searchsorted(t_sorted[s:e], lt[i] + tol, side="right")
+        if hi <= lo:
+            continue
+        if hi - lo > MAX_TIER2_CANDIDATES:
+            pos = s + np.searchsorted(t_sorted[s:e], lt[i])
+            half = MAX_TIER2_CANDIDATES // 2
+            lo = max(lo, pos - half)
+            hi = min(hi, lo + MAX_TIER2_CANDIDATES)
+        ri_idx.append(np.arange(lo, hi))
+        li_idx.append(np.full(hi - lo, i))
+    if not li_idx:
+        out = un_left.iloc[[]].copy()
+        for c in un_right.columns:
+            if c != "group":
+                out[c] = pd.Series([], dtype=un_right[c].dtype)
+        return out
+    li = np.concatenate(li_idx)
+    ri = np.concatenate(ri_idx)
+    left_part = un_left.iloc[li].reset_index(drop=True)
+    right_part = (ur.drop(columns=["group"]).iloc[ri]
+                  .reset_index(drop=True))
+    return pd.concat([left_part, right_part], axis=1)
+
 
 def match_bucket(left: pd.DataFrame, right: pd.DataFrame,
                  strict_tol: pd.Timedelta, loose_tol: pd.Timedelta
@@ -71,12 +124,16 @@ def match_bucket(left: pd.DataFrame, right: pd.DataFrame,
     matched_right_ids = set(t1["id"].astype(np.int64))
     un_right = right[~right["id"].isin(matched_right_ids)].copy()
 
-    # ---- tier 2: candidate product within group, item check, rank --------
+    # ---- tier 2: time-window-pruned candidates within group, item check,
+    # rank. NEVER the full group product: for each unmatched left row only
+    # right rows with |Δt| ≤ loose_tol are generated (sorted per group +
+    # searchsorted window), and a hot group is additionally capped to the
+    # `MAX_TIER2_CANDIDATES` nearest-in-time rows per left key — the eventual
+    # winner (smallest |Δt|) is always inside the cap window, so capping can
+    # only affect contention resolution in degenerate (1M-events-one-user)
+    # groups.
     if len(un_left) and len(un_right):
-        cand = un_left.merge(un_right, on="group", how="inner",
-                             suffixes=("", "_r"))
-        dt = (cand["t_start"] - cand["t"]).abs()
-        cand = cand[dt <= loose_tol].copy()
+        cand = _window_candidates(un_left, un_right, loose_tol)
         cand["time_diff_sec"] = (cand["t_start"] - cand["t"]).abs().dt.total_seconds()
         if len(cand):
             items = cand[["item1", "item2", "item3"]]
