@@ -147,14 +147,6 @@ def run_filter_rules_fused(ds: "ray.data.Dataset",
 # aggregate rules (partial/combiner + small final groupby)
 # --------------------------------------------------------------------------
 
-_PARTIAL_AGGS = {
-    "sum": ("sum", "sum"),
-    "count": ("count", "sum"),
-    "min": ("min", "min"),
-    "max": ("max", "max"),
-}
-
-
 # partial-row count above which the final combine runs as a bucketed shuffle
 # instead of a driver-pandas groupby (high-cardinality keys: one partial row
 # per key per block means the driver frame is O(dataset))

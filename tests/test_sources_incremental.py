@@ -76,3 +76,22 @@ def test_incremental_windows(tmp_path):
         counts.append(r["processed"])
     assert sum(counts) == len(ev)
     assert len(counts) >= 3          # walked in ≥3 bounded windows
+
+
+def test_sql_source_via_duckdb(tmp_path):
+    """S1 generic SQL read: ray.data.read_sql against a real PEP-249
+    connection (DuckDB file database)."""
+    import duckdb
+
+    db = str(tmp_path / "t.duckdb")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t AS SELECT range AS id, range * 2 AS v "
+                "FROM range(100)")
+    con.close()
+
+    from dataquality_box_ray import sources
+    ds = sources.read("sql", "SELECT id, v FROM t ORDER BY id",
+                      lambda: duckdb.connect(db, read_only=True))
+    out = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(out) == 100
+    assert (out["v"] == out["id"] * 2).all()
