@@ -92,9 +92,12 @@ def run_bench() -> dict:
                      "asof_click_view", "window_customer_total",
                      "doc_exact_dedup", "doc_minhash_dedup", "embedding_topk",
                      "sessionize_events"):
-            t0 = time.time()
-            getattr(q, name)(sf_dir)
-            timings[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(2):      # min-of-2: walls swing with ambient noise
+                t0 = time.time()
+                getattr(q, name)(sf_dir)
+                best = min(best or 1e9, time.time() - t0)
+            timings[name] = round(best, 3)
 
         # the label tables' SCALE path (forced bucketed shuffle — auto mode
         # picks the driver path at this size, so the shuffle path needs its
