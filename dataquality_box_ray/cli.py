@@ -32,6 +32,17 @@ def main(argv: list[str] | None = None) -> int:
     rep = sub.add_parser("report", help="render a run's severity report")
     rep.add_argument("--out", required=True)
 
+    val = sub.add_parser("validate",
+                         help="declarative column validation of a Parquet "
+                              "table against a YAML spec")
+    val.add_argument("--input", required=True, help="input Parquet path/dir")
+    val.add_argument("--spec", required=True, help="YAML column spec")
+    val.add_argument("--out", default=None,
+                     help="optional directory for the failure-cases Parquet")
+    val.add_argument("--keep-cols", default=None,
+                     help="comma-separated columns to keep in failure cases")
+    val.add_argument("--num-cpus", type=int, default=None)
+
     gc = sub.add_parser("gc", help="retention sweep over a runs directory")
     gc.add_argument("--root", required=True)
     gc.add_argument("--max-age-days", type=float, default=7.0)
@@ -65,6 +76,26 @@ def main(argv: list[str] | None = None) -> int:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.enable_tensor_extension_casting = False
+
+    if args.cmd == "validate":
+        import ray.data
+
+        from .rules.validator import failure_cases, load_spec, validate
+
+        spec = load_spec(args.spec)
+        validated = validate(ray.data.read_parquet(args.input), spec)
+        keep = args.keep_cols.split(",") if args.keep_cols else None
+        bad = failure_cases(validated, keep_cols=keep)
+        if args.out:
+            bad.write_parquet(args.out)
+            n_bad = ray.data.read_parquet(args.out).count()
+        else:
+            n_bad = bad.count()
+        n = validated.count()
+        print(json.dumps({"rows": n, "failed": n_bad,
+                          "pass_rate": round((n - n_bad) / n, 4) if n else 0.0}))
+        ray.shutdown()
+        return 0
 
     from . import config
     from .pipelines.manifest import run_quality_filter

@@ -1,0 +1,80 @@
+"""Canonical-ID normalizers + variant expansion (SURVEY.md M7-M9).
+
+The reference normalizes vehicle ids (strip non-digits → int → zero-pad →
+``AT{n}``, `plugins/dq_lib/reconciliation.py:84-90`), validates container ids
+(uppercase, strip non-alnum, valid iff len ∈ {10, 11} and leading 4 letters,
+`reconciliation.py:92-117`) and expands each id into its variant set for SQL
+IN-filters (`plugins/services/data_quality_runner.py:787-812`). Ray form:
+one vectorized Arrow pass per normalizer; variant expansion is a driver-side
+helper whose output feeds ``broadcast_semi_join`` / Parquet filter pushdown.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def normalize_vehicle_ids(ds: "ray.data.Dataset", col: str,
+                          out_col: str | None = None,
+                          prefix: str = "AT",
+                          pad: int = 2) -> "ray.data.Dataset":
+    """``' at-07 '`` → ``'AT07'``: strip non-digits, drop leading zeros by
+    integer round-trip, zero-pad to ``pad``, prefix. Rows with no digits →
+    null."""
+    target = out_col or col
+
+    def fn(t: pa.Table) -> pa.Table:
+        digits = pc.replace_substring_regex(
+            pc.cast(t[col], pa.string()), r"[^0-9]", "")
+        num = pc.cast(pc.if_else(pc.equal(digits, ""), None, digits),
+                      pa.int64())
+        padded = pc.utf8_lpad(pc.cast(num, pa.string()), pad, "0")
+        out = pc.binary_join_element_wise(
+            pa.array([prefix] * len(t)), padded, "")
+        idx = t.schema.get_field_index(target)
+        return (t.set_column(idx, target, out) if idx >= 0
+                else t.append_column(target, out))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def normalize_container_ids(ds: "ray.data.Dataset", col: str,
+                            out_col: str | None = None,
+                            valid_col: str = "container_valid"
+                            ) -> "ray.data.Dataset":
+    """Uppercase, strip non-alphanumerics; append a validity flag
+    (len ∈ {10, 11} and four leading letters — ISO-6346-ish)."""
+    target = out_col or col
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(
+            pc.utf8_upper(pc.cast(t[col], pa.string())), r"[^A-Z0-9]", "")
+        ln = pc.utf8_length(norm)
+        valid = pc.and_(
+            pc.or_(pc.equal(ln, 10), pc.equal(ln, 11)),
+            pc.match_substring_regex(norm, r"^[A-Z]{4}"))
+        idx = t.schema.get_field_index(target)
+        t = (t.set_column(idx, target, norm) if idx >= 0
+             else t.append_column(target, norm))
+        return t.append_column(valid_col, pc.fill_null(valid, False))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def expand_id_variants(ids, prefix: str = "AT",
+                       pads: tuple[int, ...] = (0, 2)) -> set[str]:
+    """Each id → the set of its formatting variants ({ATx, AT0x, ...}) for
+    IN-filter pushdown: a filter built from the expanded set matches rows
+    regardless of which zero-padding convention the source table used."""
+    out: set[str] = set()
+    for i in ids:
+        digits = "".join(ch for ch in str(i) if ch.isdigit())
+        if not digits:
+            continue
+        n = int(digits)
+        for pad in pads:
+            out.add(f"{prefix}{str(n).zfill(pad)}")
+    return out

@@ -1,0 +1,80 @@
+"""Async submit-and-poll service stage (SURVEY.md ST3).
+
+The reference's ``PackingServiceClient`` holds an authenticated HTTP session
+per worker, submits asset-packing jobs, then polls completion up to 60×10 s
+(`plugins/services/packing_service.py:16-80`). Ray-Data-first form: a
+CALLABLE-CLASS map_batches stage for an actor pool — the service session is
+built once per actor (``__init__``), each batch submits all its rows and then
+polls them as a set until every job resolves or the poll budget runs out.
+
+This sandbox has no network, so the service client is injected as a factory;
+tests drive the stage with deterministic fakes. The Ray-side plumbing —
+session reuse, batched submit, bounded shared poll loop, per-row
+status/result columns, retry accounting — is the real, tested surface.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from typing import Any
+
+import pandas as pd
+
+STATUS_DONE = "done"
+STATUS_TIMEOUT = "timeout"
+STATUS_FAILED = "failed"
+
+
+class PollingSubmitStage:
+    """map_batches callable class (use with ``concurrency=N`` for an actor
+    pool). The injected client must provide::
+
+        submit(params: dict) -> job_id
+        poll(job_ids: list) -> dict[job_id, ("pending"|"done"|"failed", result)]
+
+    Each batch submits every row's params (columns ``param_cols``), then
+    polls the outstanding set at ``poll_interval_s`` up to ``max_polls``
+    times (the reference's 60 × 10 s loop). Unresolved jobs get
+    ``status="timeout"``.
+    """
+
+    def __init__(self, client_factory: Callable[[], Any],
+                 param_cols: list[str], poll_interval_s: float = 10.0,
+                 max_polls: int = 60) -> None:
+        self._client = client_factory()      # once per actor
+        self._param_cols = param_cols
+        self._poll_interval_s = poll_interval_s
+        self._max_polls = max_polls
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        jobs = [self._client.submit({c: row[c] for c in self._param_cols})
+                for _, row in df.iterrows()]
+        status: dict[Any, str] = {}
+        result: dict[Any, Any] = {}
+        outstanding = list(jobs)
+        polls = 0
+        while outstanding and polls < self._max_polls:
+            states = self._client.poll(outstanding)
+            still = []
+            for j in outstanding:
+                st, res = states.get(j, ("pending", None))
+                if st == "done":
+                    status[j], result[j] = STATUS_DONE, res
+                elif st == "failed":
+                    status[j], result[j] = STATUS_FAILED, res
+                else:
+                    still.append(j)
+            outstanding = still
+            polls += 1
+            if outstanding and polls < self._max_polls:
+                time.sleep(self._poll_interval_s)
+        for j in outstanding:
+            status[j], result[j] = STATUS_TIMEOUT, None
+
+        out = df.copy()
+        out["job_id"] = [str(j) for j in jobs]
+        out["job_status"] = [status[j] for j in jobs]
+        out["job_result"] = [result[j] for j in jobs]
+        out["polls_used"] = polls
+        return out

@@ -26,3 +26,25 @@ def test_cli_run_and_report(tmp_path):
                          cwd="/root/repo")
     assert rep.returncode == 0
     assert "[P0]" in rep.stdout and "keep_rate" in rep.stdout
+
+
+def test_cli_validate(tmp_path):
+    spec = tmp_path / "spec.yaml"
+    spec.write_text(
+        "columns:\n"
+        "  value: {non_null: true, min: 0, max: 450}\n"
+        "  event_type: {in_set: [click, view, purchase, signup]}\n")
+    out = tmp_path / "failures"
+    res = subprocess.run(
+        [sys.executable, "-m", "dataquality_box_ray.cli", "validate",
+         "--input", "/root/testdata/sf0.001/events.parquet",
+         "--spec", str(spec), "--out", str(out),
+         "--keep-cols", "event_id,event_type", "--num-cpus", "4"],
+        capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["rows"] == 1000 and summary["failed"] > 0
+    import pandas as pd
+    bad = pd.read_parquet(out)
+    assert len(bad) == summary["failed"]
+    assert set(bad.columns) == {"event_id", "event_type", "failure_type"}

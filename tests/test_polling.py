@@ -1,0 +1,54 @@
+import pandas as pd
+import ray.data
+
+from dataquality_box_ray.ops.polling import (STATUS_DONE, STATUS_FAILED,
+                                             STATUS_TIMEOUT,
+                                             PollingSubmitStage)
+
+
+def test_polling_stage_actor_pool():
+    # defined inside the test so cloudpickle ships it BY VALUE to the actor
+    # (module-level classes in test files are serialized by reference, which
+    # workers cannot import)
+    class FakeService:
+        """Job for asset k completes after k polls; 99 fails immediately;
+        >= 90 (except 99) never completes."""
+
+        def __init__(self):
+            self.polls: dict[str, int] = {}
+
+        def submit(self, params):
+            jid = f"job-{params['asset']}"
+            self.polls[jid] = 0
+            return jid
+
+        def poll(self, job_ids):
+            out = {}
+            for j in job_ids:
+                k = int(j.split("-")[1])
+                self.polls[j] += 1
+                if k == 99:
+                    out[j] = ("failed", "boom")
+                elif k >= 90:
+                    out[j] = ("pending", None)
+                elif self.polls[j] > k:
+                    out[j] = ("done", f"packed-{k}")
+                else:
+                    out[j] = ("pending", None)
+            return out
+
+    df = pd.DataFrame({"asset": [0, 1, 2, 3, 99, 95]})
+    ds = ray.data.from_pandas(df)
+    out = ds.map_batches(
+        PollingSubmitStage, batch_format="pandas", batch_size=None,
+        concurrency=1,
+        fn_constructor_kwargs={"client_factory": FakeService,
+                               "param_cols": ["asset"],
+                               "poll_interval_s": 0.0,
+                               "max_polls": 5}).to_pandas()
+    by = out.set_index("asset")
+    assert (by.loc[[0, 1, 2, 3], "job_status"] == STATUS_DONE).all()
+    assert by.loc[2, "job_result"] == "packed-2"
+    assert by.loc[99, "job_status"] == STATUS_FAILED
+    assert by.loc[95, "job_status"] == STATUS_TIMEOUT
+    assert (out["polls_used"] <= 5).all()

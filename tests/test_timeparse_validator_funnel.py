@@ -101,3 +101,32 @@ def test_per_row_funnel_parquet_pushdown():
     assert len(out) == len(exp)
     assert set(out.columns) == {"l_orderkey", "l_suppkey", "s_name"}
     assert (out[out.l_suppkey == 1].s_name == "b").all()
+
+
+def test_vehicle_id_normalizer():
+    from dataquality_box_ray.ops.idnorm import normalize_vehicle_ids
+    df = pd.DataFrame({"vid": [" at-07 ", "AT7", "vehicle 113", "n/a", None]})
+    out = normalize_vehicle_ids(ray.data.from_pandas(df), "vid").to_pandas()
+    assert list(out["vid"]) == ["AT07", "AT07", "AT113", None, None]
+
+
+def test_container_id_normalizer():
+    from dataquality_box_ray.ops.idnorm import normalize_container_ids
+    df = pd.DataFrame({"cid": ["abcd 123456", "ABCU1234567", "AB12345678",
+                               "ABCD12345", None]})
+    out = normalize_container_ids(ray.data.from_pandas(df), "cid").to_pandas()
+    assert list(out["cid"]) == ["ABCD123456", "ABCU1234567", "AB12345678",
+                                "ABCD12345", None]   # null in → null out
+    assert list(out["container_valid"]) == [True, True, False, False, False]
+
+
+def test_expand_id_variants_in_filter():
+    from dataquality_box_ray.ops.idnorm import expand_id_variants
+    from dataquality_box_ray.ops.joins import broadcast_semi_join
+    variants = expand_id_variants(["AT7", 13, "at-02"])
+    assert variants == {"AT7", "AT07", "AT13", "AT2", "AT02"}
+    rows = pd.DataFrame({"vid": ["AT07", "AT13", "AT99", "AT2"],
+                         "v": [1, 2, 3, 4]})
+    kept = broadcast_semi_join(ray.data.from_pandas(rows), variants,
+                               "vid").to_pandas()
+    assert sorted(kept["v"]) == [1, 2, 4]
