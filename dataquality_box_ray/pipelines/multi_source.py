@@ -1,0 +1,77 @@
+"""Multi-source coordinated incremental processing — the bucket brigade
+end to end (`archive/dags/DatalogNgenCheck_controller_dag.py:57-120`):
+the single-source watermark scanner (`pipelines/incremental.py`) generalized
+to N sources through a `ReadinessTracker` — a time window is processed only
+once EVERY source's event-time watermark has passed it, with claim markers
+and crash-safe release/retry.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .readiness import ReadinessTracker
+
+
+def window_slice(path: str, ts_col: str, start_epoch_s: int,
+                 window_s: int) -> "ray.data.Dataset":
+    """Rows of one [start, start+window) event-time window (vectorized
+    pushdown filter; streams)."""
+    lo = pd.Timestamp(start_epoch_s, unit="s")
+    hi = pd.Timestamp(start_epoch_s + window_s, unit="s")
+
+    def in_window(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        return t.filter(pc.and_(
+            pc.greater_equal(ts, pa.scalar(lo.to_pydatetime())),
+            pc.less(ts, pa.scalar(hi.to_pydatetime()))))
+
+    return ray.data.read_parquet(path).map_batches(in_window,
+                                                   batch_format="pyarrow")
+
+
+def coordinated_scan(sources: dict[str, str], ts_col: str,
+                     tracker: ReadinessTracker,
+                     process_fn: Callable[[int, dict[str, "ray.data.Dataset"]],
+                                          Any],
+                     max_windows: int | None = None,
+                     now: float | None = None) -> list[int]:
+    """One controller tick: refresh each source's watermark from its table's
+    max event time, then claim + process every window ALL sources cover.
+
+    ``process_fn(window_start, {source: window Dataset})`` runs per ready
+    window; an exception releases the claim (the window is retried on a
+    later tick) and re-raises. Returns the completed window starts.
+    """
+    floor = None
+    for name, path in sources.items():
+        ds = ray.data.read_parquet(path)
+        mx = ds.max(ts_col)
+        if mx is not None:
+            tracker.update_watermark(
+                name, int(pd.Timestamp(mx).timestamp()))
+            mn = int(pd.Timestamp(ds.min(ts_col)).timestamp())
+            floor = mn if floor is None else min(floor, mn)
+
+    done: list[int] = []
+    for w in tracker.ready_windows(start_epoch_s=floor or 0):
+        if max_windows is not None and len(done) >= max_windows:
+            break
+        if not tracker.claim(w, now=now):
+            continue
+        try:
+            datasets = {name: window_slice(path, ts_col, w, tracker.window_s)
+                        for name, path in sources.items()}
+            process_fn(w, datasets)
+        except Exception:
+            tracker.release(w)
+            raise
+        tracker.complete(w)
+        done.append(w)
+    return done

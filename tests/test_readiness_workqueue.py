@@ -81,3 +81,53 @@ def test_workqueue_claim_retry_zombie(tmp_path):
     # resume from disk
     q2 = WorkQueue(tmp_path / "q.parquet")
     assert q2.counts() == q.counts()
+
+
+def test_coordinated_scan_bucket_brigade(tmp_path):
+    """End-to-end brigade: two event sources with different watermarks;
+    windows run exactly once, only when both sources cover them, and a
+    failing window is released and retried."""
+    import pandas as pd
+    import ray.data
+
+    from dataquality_box_ray.pipelines.multi_source import coordinated_scan
+
+    base = pd.Timestamp("2024-01-01")
+    rows_a = pd.DataFrame({
+        "ts": [base + pd.Timedelta(minutes=m) for m in range(0, 300, 10)],
+        "v": range(30)})                       # covers 5 full hours
+    rows_b = rows_a.iloc[:18].copy()           # covers only the first 3 h
+    pa_path, pb_path = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    rows_a.to_parquet(pa_path, index=False)
+    rows_b.to_parquet(pb_path, index=False)
+
+    t = ReadinessTracker(["a", "b"], window_s=3600,
+                         state_path=tmp_path / "state.json")
+    seen: list[tuple[int, int, int]] = []
+
+    def process(w, datasets):
+        seen.append((w, datasets["a"].count(), datasets["b"].count()))
+
+    start = int(base.timestamp())
+    done = coordinated_scan({"a": pa_path, "b": pb_path}, "ts", t, process)
+    # b's max ts is minute 170 → only windows fully below it run: 2 windows
+    assert done == [start, start + 3600]
+    assert [s[0] for s in seen] == done
+    assert all(na == 6 and nb == 6 for _, na, nb in seen)
+
+    # second tick: nothing new → no reprocessing (exactly-once)
+    assert coordinated_scan({"a": pa_path, "b": pb_path}, "ts", t,
+                            process) == []
+
+    # b catches up; the next window's processing fails → claim released,
+    # a later tick retries it successfully
+    rows_a.to_parquet(pb_path, index=False)
+
+    def boom(w, datasets):
+        raise RuntimeError("crash")
+
+    with pytest.raises(RuntimeError):
+        coordinated_scan({"a": pa_path, "b": pb_path}, "ts", t, boom)
+    done2 = coordinated_scan({"a": pa_path, "b": pb_path}, "ts", t, process)
+    assert done2 == [start + 2 * 3600, start + 3 * 3600]
+    assert t.completion_counts()[start + 2 * 3600] == 1
