@@ -85,12 +85,13 @@ def main(argv: list[str] | None = None) -> int:
         spec = load_spec(args.spec)
         validated = validate(ray.data.read_parquet(args.input), spec)
         keep = args.keep_cols.split(",") if args.keep_cols else None
-        bad = failure_cases(validated, keep_cols=keep)
+        # materialize once: the count comes from THIS run's failures (a
+        # re-used --out directory may hold stale files from earlier runs —
+        # Ray writes uniquely-named files without clearing the directory)
+        bad = failure_cases(validated, keep_cols=keep).materialize()
+        n_bad = bad.count()
         if args.out:
             bad.write_parquet(args.out)
-            n_bad = ray.data.read_parquet(args.out).count()
-        else:
-            n_bad = bad.count()
         n = validated.count()
         print(json.dumps({"rows": n, "failed": n_bad,
                           "pass_rate": round((n - n_bad) / n, 4) if n else 0.0}))

@@ -298,16 +298,19 @@ def union_find_losers(edges: pd.DataFrame) -> set:
     return {x for x in parent if find(x) != x}
 
 
-def min_label_losers_ds(edges: "ray.data.Dataset", max_rounds: int = 8,
+def min_label_losers_ds(edges: "ray.data.Dataset", max_rounds: int = 64,
                         n_buckets: int = 64) -> "ray.data.Dataset":
     """Distributed connected-components losers via min-label propagation.
 
     Each round: every node takes the min of its own label and its neighbors'
     labels (one slim hash join + one bucketed grouped min). Converges in
     component-diameter rounds; near-dup components are near-cliques from
-    multi-band LSH, so a handful of rounds suffices. Stops early when a round
-    changes no label. Returns nodes whose final label differs from the node
-    id — exactly union-find's loser set once converged.
+    multi-band LSH, so a handful of rounds suffices. Loops UNTIL a round
+    changes no label (the ``max_rounds`` safety cap is far above any real
+    similarity-chain diameter; exhausting it while labels still change logs a
+    warning instead of silently under-reporting losers). Returns nodes whose
+    final label differs from the node id — exactly union-find's loser set
+    once converged.
     """
     def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -338,6 +341,7 @@ def min_label_losers_ds(edges: "ray.data.Dataset", max_rounds: int = 8,
     labels = bucketed_min(
         edges.map_batches(to_nodes, batch_format="pandas")).materialize()
 
+    converged = False
     for _ in range(max_rounds):
         msgs = hash_join(edges_sym, labels, "src", "node", how="inner")
         msgs = msgs.map_batches(
@@ -353,7 +357,15 @@ def min_label_losers_ds(edges: "ray.data.Dataset", max_rounds: int = 8,
             batch_format="pandas").sum("c")
         labels = new_labels
         if not n_changed:
+            converged = True
             break
+    if not converged:
+        import logging
+        logging.getLogger(__name__).warning(
+            "min-label propagation exhausted %d rounds while labels were "
+            "still changing — a component with diameter > %d exists and its "
+            "losers are under-reported; raise max_rounds", max_rounds,
+            max_rounds)
 
     return labels.map_batches(
         lambda df: df.loc[df["label"] != df["node"], ["node"]],

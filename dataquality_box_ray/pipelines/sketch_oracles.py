@@ -27,6 +27,24 @@ import pandas as pd
 _DUMP_ROOT = pathlib.Path("/tmp/dq_oracle_dumps")
 
 
+def _code_tag() -> str:
+    """Fingerprint of the oracle logic and its shared per-row kernels: dump
+    paths are keyed on it so changing any oracle/kernel code invalidates the
+    cached Parquet (a dump cached only by sf-dir name silently compares the
+    battery against stale results after a code change)."""
+    import hashlib
+    import sys
+
+    from .. import oracle as _oracle
+    from ..ops import dedup as _dedup
+    from ..ops import similarity as _similarity
+
+    h = hashlib.sha256()
+    for mod in (sys.modules[__name__], _dedup, _similarity, _oracle):
+        h.update(pathlib.Path(mod.__file__).read_bytes())
+    return h.hexdigest()[:12]
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     n[n == 0] = 1.0
@@ -293,8 +311,9 @@ def scoreboard_from_result(result: pd.DataFrame) -> pd.DataFrame:
 
 def dump(name: str, sf_dir: str) -> str:
     """Materialize oracle ``name`` for ``sf_dir`` as Parquet (idempotent;
-    keyed by the sf directory name) and return the file path."""
-    tag = pathlib.Path(sf_dir).name
+    keyed by the sf directory name AND a hash of the oracle/kernel code, so
+    stale dumps never survive a logic change) and return the file path."""
+    tag = f"{pathlib.Path(sf_dir).name}-{_code_tag()}"
     out = _DUMP_ROOT / tag / f"{name}.parquet"
     if out.exists():
         return str(out)

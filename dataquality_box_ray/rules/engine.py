@@ -274,15 +274,34 @@ def run_aggregate_rule(ds: "ray.data.Dataset", rule: Rule) -> pd.DataFrame:
 # cross-entity rules
 # --------------------------------------------------------------------------
 
+def _canon_str(s: pd.Series) -> pd.Series:
+    """Canonical string form of a join-key column: integral floats render as
+    ints, so an int64 key (100 → "100") matches the same key loaded as float64
+    (100.0 would stringify "100.0") — e.g. a nullable-int column a Parquet
+    reader promoted to float. The reference achieves the same alignment by
+    casting the right key to the left dtype (rule_engine.py:437-444); string
+    canonicalization is symmetric and works per side with no cross-side
+    coordination."""
+    import numpy as np
+
+    if pd.api.types.is_float_dtype(s):
+        v = s.to_numpy(dtype=np.float64, na_value=np.nan)
+        out = s.astype(str).to_numpy(dtype=object)
+        integral = np.isfinite(v) & (v == np.floor(v))
+        if integral.any():
+            out[integral] = v[integral].astype(np.int64).astype(str)
+        return pd.Series(out, index=s.index)
+    return s.astype(str)
+
+
 def _composite_key_fn(cols: list[str], name: str):
     """Append a single string composite of the key columns — one join column
-    regardless of key arity, and an implicit type alignment ("100" == "100"
-    whatever the integer width; the reference casts right to left instead,
-    rule_engine.py:437-444)."""
+    regardless of key arity, with per-column numeric canonicalization
+    (`_canon_str`) so int64/float64 renderings of the same key align."""
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        key = df[cols[0]].astype(str)
+        key = _canon_str(df[cols[0]])
         for c in cols[1:]:
-            key = key + "\x01" + df[c].astype(str)
+            key = key + "\x01" + _canon_str(df[c])
         df = df.copy()
         df[name] = key
         return df

@@ -56,11 +56,22 @@ def sha256_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
         bufs = chunk.buffers()
         off = np.frombuffer(bufs[1], dtype=odt)[chunk.offset:chunk.offset + n + 1]
         data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+        if chunk.null_count and bufs[0] is not None:
+            # consult the validity bitmap explicitly: the Arrow spec leaves
+            # offsets of null slots undefined, so a == b cannot be relied on
+            # to detect nulls from every producer
+            bits = np.unpackbits(np.frombuffer(bufs[0], dtype=np.uint8),
+                                 bitorder="little")
+            valid = bits[chunk.offset:chunk.offset + n].astype(bool)
+        else:
+            valid = None
         for i in range(n):
             a, b = off[i], off[i + 1]
-            # null and "" both have a == b → the empty digest, matching the
-            # previous (v or "") semantics
-            out.append(_SHA_EMPTY if a == b else sha(data[a:b]).hexdigest())
+            # null and "" both map to the empty digest, matching (v or "")
+            if (valid is not None and not valid[i]) or a == b:
+                out.append(_SHA_EMPTY)
+            else:
+                out.append(sha(data[a:b]).hexdigest())
     return pa.array(out, type=pa.string())
 
 

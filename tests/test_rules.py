@@ -140,3 +140,48 @@ def test_cross_entity_compare_with_preagg():
     joined = orders.join(rec.rename("recomputed"), on="o_orderkey", how="inner")
     exp = joined[(joined.o_totalprice - joined.recomputed).abs() > 0.01]
     assert len(got) == len(exp)
+
+
+def test_cross_entity_key_dtype_alignment():
+    """int64 left key must match the same key loaded as float64 (nullable-int
+    promotion): the composite key canonicalizes integral floats to int form."""
+    left = ray.data.from_pandas(pd.DataFrame(
+        {"k": pd.Series([100, 200, 300], dtype="int64"), "v": [1, 2, 3]}))
+    # float64 right side, as produced by a reader promoting a nullable int
+    right = ray.data.from_pandas(pd.DataFrame(
+        {"k": pd.Series([100.0, 200.0], dtype="float64"), "w": [10, 20]}))
+    datasets = {"l": left, "r": right}
+    anti = Rule.from_dict({
+        "meta": {"rule_id": "R_anti", "severity": "P2"}, "target_entity": "l",
+        "logic": {"type": "cross_entity", "op": "anti_join",
+                  "left": {"entity": "l", "key": ["k"]},
+                  "right": {"entity": "r", "key": ["k"]}}})
+    got = run_cross_entity_rule(datasets, anti)
+    assert sorted(got["k"]) == [300]          # 100/200 matched across dtypes
+
+    comp = Rule.from_dict({
+        "meta": {"rule_id": "R_cmp", "severity": "P0"}, "target_entity": "l",
+        "logic": {"type": "cross_entity", "op": "compare",
+                  "left": {"entity": "l", "key": ["k"]},
+                  "right": {"entity": "r", "key": ["k"]},
+                  "compare": "col('v') * lit(10) == col('w')"}})
+    got2 = run_cross_entity_rule(datasets, comp)
+    assert len(got2) == 2                     # both joined rows satisfy it
+
+
+def test_sha256_column_null_via_validity_bitmap():
+    """Null slots are detected from the validity bitmap, not offset equality."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from dataquality_box_ray.stages.heuristics import sha256_column
+
+    arr = pa.array(["abc", None, "", "xy"])
+    got = sha256_column(arr).to_pylist()
+    empty = hashlib.sha256(b"").hexdigest()
+    assert got == [hashlib.sha256(b"abc").hexdigest(), empty, empty,
+                   hashlib.sha256(b"xy").hexdigest()]
+    # sliced chunk (nonzero offset) keeps bitmap alignment
+    got2 = sha256_column(arr.slice(1, 3)).to_pylist()
+    assert got2 == got[1:]
