@@ -4,12 +4,10 @@
 ``queries()`` — one callable per implemented operator family (SURVEY.md §2);
 each takes ``sf_dir`` and returns a Dataset / pandas DataFrame.
 ``oracle_sql()`` — DuckDB SQL equivalents (pipelines/oracles.py). Sketch /
-model queries (minhash, simhash, lsh/ivf, scorers) are oracled through
-single-process sequential implementations dumped to Parquet
-(pipelines/sketch_oracles.py) and SELECTed back — a genuine value-hash check
-of the distributed plumbing. The ONLY rows-only query is ``two_tier_events``:
-its iterative keep-first contention semantics have no closed-form reference;
-they are oracle-tested against hand-computed fixtures in tests/test_two_tier.
+model / iterative queries (minhash, simhash, lsh/ivf, scorers, two-tier
+matching) are oracled through single-process sequential implementations
+dumped to Parquet (pipelines/sketch_oracles.py) and SELECTed back — a genuine
+value-hash check of the distributed plumbing. Every query has an oracle.
 
 Ray is initialised by the driver before this module is imported; nothing here
 calls ray.init()/ray.shutdown().
@@ -53,7 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_orders": q.customers_with_orders,
         "customer_nation_lookup": q.customer_nation_lookup,
         "asof_click_view": q.asof_click_view,
-        "two_tier_events": q.two_tier_events,   # rows-only (see module docstring)
+        "two_tier_events": q.two_tier_events,
         # aggregations / windows / ordering
         "window_customer_total": q.window_customer_total,
         "three_sigma_prices": q.three_sigma_prices,

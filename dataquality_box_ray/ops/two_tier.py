@@ -101,8 +101,12 @@ def match_bucket(left: pd.DataFrame, right: pd.DataFrame,
     """Reconcile one bucket (possibly many groups). Returns one row per left
     key and per unmatched right id with matched_status + time_diff_sec."""
     out_frames: list[pd.DataFrame] = []
-    left = left.sort_values(["t_start"], kind="mergesort").reset_index(drop=True)
-    right = right.sort_values(["t"], kind="mergesort").reset_index(drop=True)
+    # deterministic order: secondary sort keys break t ties so the result is
+    # independent of upstream block order inside the bucket
+    left = (left.sort_values(["t_start", "key"], kind="mergesort")
+            .reset_index(drop=True))
+    right = (right.sort_values(["t", "id"], kind="mergesort")
+             .reset_index(drop=True))
 
     # ---- tier 1: asof nearest within tolerance, per group ----------------
     if len(left) and len(right):
@@ -112,11 +116,16 @@ def match_bucket(left: pd.DataFrame, right: pd.DataFrame,
     else:
         asof = left.assign(id=np.nan, t=pd.NaT, item1=None, item2=None,
                            item3=None)
-    asof["time_diff_sec"] = (asof["t_start"] - asof["t"]).abs().dt.total_seconds()
+    # exact integer-microsecond diff for ranking (float seconds can round two
+    # distinct diffs equal and flip a tie-break); the float view is derived
+    asof["time_diff_us"] = ((asof["t_start"] - asof["t"]).abs()
+                            // pd.Timedelta(microseconds=1))
+    asof["time_diff_sec"] = asof["time_diff_us"] / 1e6
     # one right row to at most one left: keep earliest left (sort order),
     # later contenders demoted to unmatched
     dup_right = asof["id"].notna() & asof.duplicated(subset=["id"], keep="first")
-    asof.loc[dup_right, ["id", "time_diff_sec"]] = [np.nan, np.nan]
+    asof.loc[dup_right, ["id", "time_diff_us", "time_diff_sec"]] = \
+        [np.nan, np.nan, np.nan]
     t1 = asof[asof["id"].notna()].copy()
     t1["matched_status"] = STATUS_STRICT
 
@@ -134,7 +143,9 @@ def match_bucket(left: pd.DataFrame, right: pd.DataFrame,
     # groups.
     if len(un_left) and len(un_right):
         cand = _window_candidates(un_left, un_right, loose_tol)
-        cand["time_diff_sec"] = (cand["t_start"] - cand["t"]).abs().dt.total_seconds()
+        cand["time_diff_us"] = ((cand["t_start"] - cand["t"]).abs()
+                                // pd.Timedelta(microseconds=1))
+        cand["time_diff_sec"] = cand["time_diff_us"] / 1e6
         if len(cand):
             items = cand[["item1", "item2", "item3"]]
             big_hit = items.eq(cand["big_item"], axis=0).any(axis=1) \
@@ -146,11 +157,12 @@ def match_bucket(left: pd.DataFrame, right: pd.DataFrame,
             cand = cand[big_hit.to_numpy() | small_hit]
         if len(cand):
             # best match per left key: smallest Δt, tie → lowest right id;
-            # then a right row may serve only one left key (keep-first again)
-            cand = cand.sort_values(["key", "time_diff_sec", "id"],
+            # then a right row may serve only one left key (keep-first again).
+            # Ranking runs on the exact integer-us diff.
+            cand = cand.sort_values(["key", "time_diff_us", "id"],
                                     kind="mergesort")
             cand = cand[~cand.duplicated(subset=["key"], keep="first")]
-            cand = cand.sort_values(["time_diff_sec", "id"], kind="mergesort")
+            cand = cand.sort_values(["time_diff_us", "id"], kind="mergesort")
             cand = cand[~cand.duplicated(subset=["id"], keep="first")]
             t2 = cand.copy()
             t2["matched_status"] = STATUS_LOOSE
@@ -168,8 +180,8 @@ def match_bucket(left: pd.DataFrame, right: pd.DataFrame,
 
     out = pd.concat(out_frames, ignore_index=True, sort=False)
     keep_cols = ["key", "group", "t_start", "t_end", "big_item", "small_items",
-                 "id", "t", "item1", "item2", "item3", "time_diff_sec",
-                 "matched_status"]
+                 "id", "t", "item1", "item2", "item3", "time_diff_us",
+                 "time_diff_sec", "matched_status"]
     for c in keep_cols:
         if c not in out.columns:
             out[c] = None

@@ -414,7 +414,7 @@ def build() -> dict[str, str]:
     for name in ("corpus_quality_filter", "corpus_scoreboard",
                  "doc_minhash_dedup", "doc_simhash_pairs", "doc_fingerprints",
                  "embedding_lsh_topk", "embedding_ivf_topk",
-                 "embedding_near_dup_pairs"):
+                 "embedding_near_dup_pairs", "two_tier_events"):
         path = sketch_oracles.dump(name, _CORRECTNESS_SF_DIR)
         sql[name] = f"SELECT * FROM read_parquet('{path}')"
 

@@ -280,9 +280,12 @@ def asof_click_view(sf_dir: str) -> pd.DataFrame:
 
 
 def two_tier_events(sf_dir: str) -> pd.DataFrame:
-    """Two-tier reconciliation on event-shaped sides (rows-only: the
-    contention/keep-first semantics are iterative, not SQL-expressible).
-    Returns the matched-status distribution."""
+    """Two-tier reconciliation on event-shaped sides. Emits PER-ROW statuses
+    (one row per left key + per unmatched right id) with -1 sentinels and the
+    exact integer-microsecond match delta — value-hash-compared against the
+    sequential reference matcher (sketch_oracles.two_tier_status) dumped to
+    Parquet, since the iterative keep-first contention has no closed-form
+    SQL."""
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
     def mk_left(df: pd.DataFrame) -> pd.DataFrame:
@@ -306,10 +309,15 @@ def two_tier_events(sf_dir: str) -> pd.DataFrame:
     right = ev.map_batches(mk_right, batch_format="pandas")
     out = two_tier_match(left, right, strict_tol_s=300,
                          loose_tol_s=3600).to_pandas()
-    dist = (out.groupby("matched_status").size().rename("n").reset_index())
-    dist["matched_status"] = dist["matched_status"].astype(np.int64)
-    dist["n"] = dist["n"].astype(np.int64)
-    return dist.sort_values("matched_status").reset_index(drop=True)
+    res = pd.DataFrame({
+        "left_key": out["key"].astype("float64").fillna(-1).astype(np.int64),
+        "right_id": out["id"].astype("float64").fillna(-1).astype(np.int64),
+        "matched_status": out["matched_status"].astype(np.int64),
+        "time_diff_us": out["time_diff_us"].astype("float64").fillna(-1)
+                        .astype(np.int64),
+    })
+    return (res.sort_values(["matched_status", "left_key", "right_id"])
+            .reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------

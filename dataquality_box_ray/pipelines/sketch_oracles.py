@@ -272,6 +272,133 @@ def near_dup_pairs(emb: pd.DataFrame, threshold: float = 0.99,
 
 
 # ---------------------------------------------------------------------------
+# two-tier reconciliation: sequential reference matcher
+# ---------------------------------------------------------------------------
+
+def two_tier_status(left: pd.DataFrame, right: pd.DataFrame,
+                    strict_tol_s: int = 300,
+                    loose_tol_s: int = 3600) -> pd.DataFrame:
+    """Sequential reference implementation of the two-tier matching algebra
+    (reference `plugins/dq_lib/reconciliation.py:234-434` semantics): plain
+    python loops per group — no bucket shuffle, no windowed candidate pruning,
+    no merge_asof — an independent check of ops/two_tier.py's distributed
+    form.
+
+    Tie-breaking, bit for bit:
+    - tier-1 nearest: backward (rt ≤ lt) beats forward on an equidistant tie;
+      among equal right t the (t, id)-sort-last row wins (the pd.merge_asof
+      contract the distributed path inherits);
+    - tier-1 contention: left rows claim right ids in (t_start, key) order; a
+      beaten contender is demoted to tier 2, not re-matched;
+    - tier 2: candidates = full unmatched product within group, |Δt| ≤
+      loose_tol AND item overlap (big_item equals any item, or small_items
+      intersects); best per key = (Δt, id)-min; each right id then serves the
+      (Δt, id)-smallest winning key, other keys drop to orphan.
+
+    Returns normalized per-row statuses (left_key, right_id, matched_status,
+    time_diff_us) with -1 sentinels, sorted for a stable value-hash.
+    """
+    STRICT, TARGET_ONLY, ORPHAN, LOOSE = 1, 2, 3, 4
+    strict_us = strict_tol_s * 1_000_000
+    loose_us = loose_tol_s * 1_000_000
+    lt = left.copy()
+    rt = right.copy()
+    lt["_t"] = lt["t_start"].astype("datetime64[us]").astype("int64")
+    rt["_t"] = rt["t"].astype("datetime64[us]").astype("int64")
+    lt = lt.sort_values(["_t", "key"], kind="mergesort").reset_index(drop=True)
+    rt = rt.sort_values(["_t", "id"], kind="mergesort").reset_index(drop=True)
+    rby = {g: sub.reset_index(drop=True)
+           for g, sub in rt.groupby("group", sort=False)}
+
+    rows: list[tuple] = []
+    claimed: set[int] = set()
+    pool: list[dict] = []           # tier-1 losers → tier-2 left pool
+    for l in lt.to_dict("records"):
+        grp = rby.get(l["group"])
+        best = None                  # (row index in grp, diff_us)
+        if grp is not None and len(grp):
+            ts = grp["_t"].to_numpy()
+            pos = int(np.searchsorted(ts, l["_t"], side="right"))
+            d_back = l["_t"] - ts[pos - 1] if pos > 0 else None
+            d_fwd = ts[pos] - l["_t"] if pos < len(ts) else None
+            if d_back is not None and d_back <= strict_us and (
+                    d_fwd is None or d_fwd > strict_us or d_back <= d_fwd):
+                best = (pos - 1, d_back)
+            elif d_fwd is not None and d_fwd <= strict_us:
+                best = (pos, d_fwd)
+        if best is not None:
+            rid = int(grp["id"].iloc[best[0]])
+            if rid not in claimed:
+                claimed.add(rid)
+                rows.append((int(l["key"]), rid, STRICT, int(best[1])))
+                continue
+        pool.append(l)
+
+    un_right = rt[~rt["id"].isin(claimed)]
+    urby = {g: sub for g, sub in un_right.groupby("group", sort=False)}
+    cands: list[tuple] = []          # (key, diff_us, id)
+    for l in pool:
+        grp = urby.get(l["group"])
+        if grp is None:
+            continue
+        small = set(l["small_items"]) if l["small_items"] is not None else set()
+        for r in grp.to_dict("records"):
+            d = abs(l["_t"] - r["_t"])
+            if d > loose_us:
+                continue
+            items = {r[c] for c in ("item1", "item2", "item3")
+                     if r[c] is not None}
+            big_hit = l["big_item"] is not None and l["big_item"] in items
+            if not (big_hit or (small & items)):
+                continue
+            cands.append((l["key"], d, r["id"]))
+
+    cands.sort()                     # (key, diff, id)
+    per_key: dict = {}
+    for key, d, rid in cands:
+        if key not in per_key:
+            per_key[key] = (d, rid)
+    # right-id contention among per-key winners: (diff, id) order, stable on
+    # key (insertion order of per_key is key-ascending)
+    matched_keys: set = set()
+    used_r: set = set()
+    for key, (d, rid) in sorted(per_key.items(), key=lambda kv: kv[1]):
+        if rid in used_r:
+            continue
+        used_r.add(rid)
+        matched_keys.add(key)
+        rows.append((int(key), int(rid), LOOSE, int(d)))
+
+    for l in pool:
+        if l["key"] not in matched_keys:
+            rows.append((int(l["key"]), -1, ORPHAN, -1))
+    for rid in un_right["id"]:
+        if rid not in used_r:
+            rows.append((-1, int(rid), TARGET_ONLY, -1))
+
+    out = pd.DataFrame(rows, columns=["left_key", "right_id",
+                                      "matched_status", "time_diff_us"])
+    out = out.astype(np.int64)
+    return (out.sort_values(["matched_status", "left_key", "right_id"])
+            .reset_index(drop=True))
+
+
+def two_tier_events_oracle(events: pd.DataFrame) -> pd.DataFrame:
+    """Events-shaped harness: purchases = left side, clicks = right side (the
+    same deterministic prep as queries.two_tier_events)."""
+    p = events[events.event_type == "purchase"]
+    c = events[events.event_type == "click"]
+    left = pd.DataFrame({
+        "key": p.event_id.to_numpy(), "group": p.user_id.astype(str).to_numpy(),
+        "t_start": p.ts.to_numpy(), "t_end": p.ts.to_numpy(),
+        "big_item": "x", "small_items": [["x"]] * len(p)})
+    right = pd.DataFrame({
+        "id": c.event_id.to_numpy(), "group": c.user_id.astype(str).to_numpy(),
+        "t": c.ts.to_numpy(), "item1": "x", "item2": None, "item3": None})
+    return two_tier_status(left, right, strict_tol_s=300, loose_tol_s=3600)
+
+
+# ---------------------------------------------------------------------------
 # corpus: flagship quality filter + scoreboard (via oracle.py)
 # ---------------------------------------------------------------------------
 
@@ -325,6 +452,11 @@ def dump(name: str, sf_dir: str) -> str:
         res = {"doc_minhash_dedup": lambda: minhash_dedup_kept(docs),
                "doc_simhash_pairs": lambda: simhash_pairs(docs),
                "doc_fingerprints": lambda: fingerprints(docs)}[name]()
+    elif name == "two_tier_events":
+        ev = pd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id",
+                                      "event_type"])
+        res = two_tier_events_oracle(ev)
     elif name in ("embedding_lsh_topk", "embedding_ivf_topk",
                   "embedding_near_dup_pairs"):
         emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",

@@ -101,3 +101,40 @@ def test_empty_sides():
     got = out.to_pandas()
     assert (got.matched_status == STATUS_TARGET_ONLY).all()
     assert len(got) == len(right)
+
+
+def test_sequential_oracle_parity_fixture():
+    """Distributed two_tier_match == sequential reference matcher on the
+    hand-built fixture (normalized per-row form)."""
+    from dataquality_box_ray.pipelines.sketch_oracles import two_tier_status
+
+    left, right = _fixture()
+    got = two_tier_match(ray.data.from_pandas(left),
+                         ray.data.from_pandas(right),
+                         strict_tol_s=300, loose_tol_s=3 * 3600).to_pandas()
+    norm = pd.DataFrame({
+        "left_key": got["key"].astype("float64").fillna(-1).astype("int64"),
+        "right_id": got["id"].astype("float64").fillna(-1).astype("int64"),
+        "matched_status": got["matched_status"].astype("int64"),
+        "time_diff_us": got["time_diff_us"].astype("float64").fillna(-1)
+                        .astype("int64"),
+    }).sort_values(["matched_status", "left_key", "right_id"]) \
+      .reset_index(drop=True)
+    exp = two_tier_status(left, right, strict_tol_s=300, loose_tol_s=3 * 3600)
+    pd.testing.assert_frame_equal(norm, exp)
+
+
+def test_sequential_oracle_parity_events():
+    """Parity on real event data (sf0.001) through the full query path."""
+    from dataquality_box_ray.pipelines.queries import two_tier_events
+    from dataquality_box_ray.pipelines.sketch_oracles import \
+        two_tier_events_oracle
+
+    sf = "/root/testdata/sf0.001"
+    got = two_tier_events(sf)
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    exp = two_tier_events_oracle(ev)
+    pd.testing.assert_frame_equal(got, exp)
+    assert (got.matched_status == STATUS_STRICT).any()
+    assert (got.matched_status == STATUS_TARGET_ONLY).any()
