@@ -27,6 +27,28 @@ import ray.data
 
 from ..stages.reconcile import bucket_of
 
+# distinct key sets above this cardinality refuse the ray.put broadcast and
+# run hash-partitioned joins instead (a driver key set is O(data) when the
+# key column belongs to a fact table — completeness checks, funnels)
+MAX_BROADCAST_KEYS = 2_000_000
+
+
+def distinct_ds(ds: "ray.data.Dataset", col: str,
+                n_buckets: int = 32) -> "ray.data.Dataset":
+    """Distinct values of one slim column: per-batch local dedup (combiner)
+    → bucketed shuffle of the already-thinned keys → per-bucket dedup.
+    Dataset in, Dataset out — the key set never lands on the driver."""
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[col]].drop_duplicates()
+        out = out.assign(__bucket=bucket_of(out[col].astype(str), n_buckets))
+        return out
+
+    def dd(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(col)[[col]]
+
+    return (ds.map_batches(local, batch_format="pandas")
+            .groupby("__bucket").map_groups(dd, batch_format="pandas"))
+
 
 def _broadcast_filter(ds: "ray.data.Dataset", keys, on: str, keep: bool
                       ) -> "ray.data.Dataset":
@@ -60,16 +82,26 @@ def broadcast_anti_join(ds: "ray.data.Dataset", keys: pd.DataFrame | set,
 
 def completeness_check(target: "ray.data.Dataset", source: "ray.data.Dataset",
                        on: str, source_on: str | None = None,
-                       threshold: float = 0.01) -> dict[str, Any]:
+                       threshold: float = 0.01,
+                       max_broadcast: int = MAX_BROADCAST_KEYS
+                       ) -> dict[str, Any]:
     """Anti-join completeness (reference `plugins/dq_lib/completeness.py:6-39`):
     target rows missing from source; pass iff loss_rate < threshold.
 
-    The source side is reduced to its DISTINCT key set in the cluster
-    (`unique` shuffle on one slim column) before the broadcast."""
+    The source side is reduced to its DISTINCT key set in the cluster first;
+    at ≤ ``max_broadcast`` keys the set is ray.put-broadcast, above it the
+    anti join runs hash-partitioned (`partitioned_anti_join`) — source key
+    cardinality is O(data) for real completeness checks (both sides are fact
+    tables), so the broadcast must be refusable."""
     source_on = source_on or on
-    src_keys = set(source.select_columns([source_on]).unique(source_on))
+    keys_ds = distinct_ds(source.select_columns([source_on]),
+                          source_on).materialize()
     total = target.count()
-    missing_ds = broadcast_anti_join(target, src_keys, on)
+    if keys_ds.count() <= max_broadcast:
+        src_keys = set(keys_ds.to_pandas()[source_on])
+        missing_ds = broadcast_anti_join(target, src_keys, on)
+    else:
+        missing_ds = partitioned_anti_join(target, keys_ds, on, source_on)
     missing = missing_ds.count()
     loss_rate = missing / total if total else 0.0
     return {"total": total, "missing": missing, "loss_rate": loss_rate,
@@ -122,39 +154,82 @@ def partitioned_anti_join(ds: "ray.data.Dataset", keys: "ray.data.Dataset",
     ``keys[key_col]`` must be unique (dedup'd upstream) or surviving left rows
     would be multiplied by the join.
     """
-    def mark(t: pa.Table) -> pa.Table:
-        return t.append_column("__hit", pa.array(np.ones(len(t), dtype=np.int8)))
+    kc = "__key" if key_col == on else key_col
 
-    marked = keys.select_columns([key_col]).map_batches(
-        mark, batch_format="pyarrow")
-    joined = hash_join(ds, marked, on, key_col, how="left_outer",
+    def mark(t: pa.Table) -> pa.Table:
+        return (t.select([key_col]).rename_columns([kc])
+                .append_column("__hit", pa.array(np.ones(len(t), dtype=np.int8))))
+
+    marked = keys.map_batches(mark, batch_format="pyarrow")
+    joined = hash_join(ds, marked, on, kc, how="left_outer",
                        num_partitions=num_partitions)
 
     def keep_missing(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         out = t.filter(pc.is_null(t["__hit"]))
-        drop = ["__hit"] + ([key_col] if key_col != on and key_col in
-                            out.column_names else [])
-        return out.drop_columns([c for c in drop if c in out.column_names])
+        return out.drop_columns([c for c in ("__hit", kc)
+                                 if c in out.column_names and c != on])
 
     return joined.map_batches(keep_missing, batch_format="pyarrow")
+
+
+def partitioned_semi_join(ds: "ray.data.Dataset", keys: "ray.data.Dataset",
+                          on: str, key_col: str,
+                          num_partitions: int | None = None
+                          ) -> "ray.data.Dataset":
+    """Semi join against a slim DISTINCT key Dataset via a hash-partitioned
+    inner join — the scale path when the key set is too big to broadcast
+    (``keys[key_col]`` must be unique or surviving rows are multiplied)."""
+    kc = "__key" if key_col == on else key_col
+
+    def proj(t: pa.Table) -> pa.Table:
+        return t.select([key_col]).rename_columns([kc])
+
+    slim = keys.map_batches(proj, batch_format="pyarrow")
+    joined = hash_join(ds, slim, on, kc, how="inner",
+                       num_partitions=num_partitions)
+
+    def drop(t: pa.Table) -> pa.Table:
+        return t.drop_columns([c for c in (kc,) if c in t.column_names])
+
+    return joined.map_batches(drop, batch_format="pyarrow")
+
+
+def semi_join_auto(ds: "ray.data.Dataset", source: "ray.data.Dataset",
+                   on: str, source_on: str | None = None,
+                   max_broadcast: int = MAX_BROADCAST_KEYS
+                   ) -> "ray.data.Dataset":
+    """Semi join ``ds ⋉ source`` with the broadcast-refusal escape hatch:
+    source's distinct keys ship once via ray.put when the set is small; above
+    ``max_broadcast`` the filter runs as a hash-partitioned inner join and no
+    O(keys) structure ever reaches the driver. This is the funnel/IN-filter
+    primitive (reference loader.py:290-309 batch mode) in its always-scales
+    form."""
+    source_on = source_on or on
+    keys_ds = distinct_ds(source.select_columns([source_on]),
+                          source_on).materialize()
+    if keys_ds.count() <= max_broadcast:
+        return broadcast_semi_join(ds, set(keys_ds.to_pandas()[source_on]), on)
+    return partitioned_semi_join(ds, keys_ds, on, source_on)
 
 
 def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
               left_on: str, right_on: str, how: str = "inner",
               num_partitions: int | None = None,
               left_suffix: str | None = None,
-              right_suffix: str | None = None) -> "ray.data.Dataset":
+              right_suffix: str | None = None,
+              force_fallback: bool = False) -> "ray.data.Dataset":
     """Large-large join. Uses the native hash-partitioned ``Dataset.join``
     where this Ray version ships it; otherwise falls back to an explicit
     bucketed hash join (add bucket = hash(key) % B to both sides, tag,
-    union, per-bucket pandas merge — the portable pattern). Prefer the
-    broadcast joins above whenever one side is small: they do no shuffle."""
+    union, per-bucket pandas merge — the portable pattern, exercised in CI
+    via ``force_fallback``). Prefer the broadcast joins above whenever one
+    side is small: they do no shuffle."""
     import ray as _ray
 
     cpus = int(_ray.cluster_resources().get("CPU", 8))
     n = num_partitions or max(8, cpus)
-    if hasattr(left, "join"):
+    if hasattr(left, "join") and not force_fallback:
         # repartition both inputs first: upstream grouped/join operators can
         # emit schema-less EMPTY Arrow blocks (empty reduce/aggregator
         # partitions), which crash the join's Acero finalize with "No match
@@ -190,10 +265,14 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     rt = _with_bucket(right.map_batches(widen("R", rcols),
                                         batch_format="pandas"), right_on, n)
 
+    how_pd = {"left_outer": "left", "right_outer": "right",
+              "full_outer": "outer"}.get(how, how)
+
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         l = df.loc[df["__side"] == "L", lcols]
         r = df.loc[df["__side"] == "R", rcols]
-        return l.merge(r, left_on=left_on, right_on=right_on, how=how)
+        return l.merge(r, left_on=left_on, right_on=right_on, how=how_pd,
+                       suffixes=(left_suffix or "", right_suffix or "_r"))
 
     return lt.union(rt).groupby("__bucket").map_groups(
         per_bucket, batch_format="pandas")

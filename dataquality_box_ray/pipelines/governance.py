@@ -34,7 +34,7 @@ import pandas as pd
 
 import ray.data
 
-from ..ops.joins import broadcast_lookup_join, broadcast_semi_join
+from ..ops.joins import broadcast_lookup_join
 from ..rules import engine
 from ..rules.expressions import compile_expr
 
@@ -42,12 +42,16 @@ from ..rules.expressions import compile_expr
 def load_entities(sf_dir: str) -> dict[str, "ray.data.Dataset"]:
     """Loader stage: the funnel — orders are read first, and lineitem is
     IN-filtered by the distinct order keys that actually exist upstream
-    (dependent-extraction pushdown, loader.py:290-309 batch mode)."""
+    (dependent-extraction pushdown, loader.py:290-309 batch mode). Order-key
+    cardinality scales with the dataset, so the IN-filter goes through
+    ``semi_join_auto``: broadcast below the key cap, hash-partitioned semi
+    join above it."""
+    from ..ops.joins import semi_join_auto
+
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
-    order_keys = set(orders.select_columns(["o_orderkey"]).unique("o_orderkey"))
-    lineitem = broadcast_semi_join(
+    lineitem = semi_join_auto(
         ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"),
-        order_keys, "l_orderkey")
+        orders, "l_orderkey", source_on="o_orderkey")
     customer = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
     nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
     return {"orders": orders, "lineitem": lineitem, "customer": customer,

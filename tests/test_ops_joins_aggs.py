@@ -144,3 +144,67 @@ def test_unpivot_and_horizontal():
                                        ["o_orderstatus", "o_orderpriority"],
                                        "nn").to_pandas()
     assert (nn.nn == 2).all()
+
+
+def test_completeness_check_partitioned_fallback():
+    """max_broadcast=0 forces the hash-partitioned anti join; results must be
+    identical to the broadcast path."""
+    res_b = joins.completeness_check(_ds("customer"), _ds("orders"),
+                                     "c_custkey", source_on="o_custkey")
+    res_p = joins.completeness_check(_ds("customer"), _ds("orders"),
+                                     "c_custkey", source_on="o_custkey",
+                                     max_broadcast=0)
+    assert res_p["missing"] == res_b["missing"]
+    assert res_p["total"] == res_b["total"]
+    # missing rows sets identical (fallback result may lose schema when empty)
+    b = res_b["missing_ds"].to_pandas()
+    p = res_p["missing_ds"].to_pandas()
+    kb = sorted(b["c_custkey"]) if "c_custkey" in b.columns else []
+    kp = sorted(p["c_custkey"]) if "c_custkey" in p.columns else []
+    assert kb == kp
+
+
+def test_semi_join_auto_paths_agree():
+    got_b = joins.semi_join_auto(_ds("lineitem"), _ds("orders"),
+                                 "l_orderkey", source_on="o_orderkey") \
+        .to_pandas()
+    got_p = joins.semi_join_auto(_ds("lineitem"), _ds("orders"),
+                                 "l_orderkey", source_on="o_orderkey",
+                                 max_broadcast=0).to_pandas()
+    li, orders = _pdf("lineitem"), _pdf("orders")
+    exp = li[li.l_orderkey.isin(set(orders.o_orderkey))]
+    key = ["l_orderkey", "l_linenumber"]
+    assert sorted(map(tuple, got_b[key].to_numpy())) == \
+        sorted(map(tuple, exp[key].to_numpy()))
+    assert sorted(map(tuple, got_p[key].to_numpy())) == \
+        sorted(map(tuple, exp[key].to_numpy()))
+    assert sorted(got_p.columns) == sorted(got_b.columns)
+
+
+def test_semi_join_auto_same_key_name():
+    """key_col == on exercises the rename path in partitioned_semi_join."""
+    ds = ray.data.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4], "v": "abcd"
+                                            and list("abcd")}))
+    src = ray.data.from_pandas(pd.DataFrame({"k": [2, 4, 4]}))
+    out = joins.semi_join_auto(ds, src, "k", max_broadcast=0).to_pandas()
+    assert sorted(out["k"]) == [2, 4]
+    assert sorted(out.columns) == ["k", "v"]
+
+
+def test_hash_join_portable_fallback_matches_native():
+    """The bucketed-pandas fallback (force_fallback) must agree with the
+    native Dataset.join on inner and left_outer joins."""
+    li = _ds("lineitem").select_columns(["l_orderkey", "l_quantity"])
+    orders = _ds("orders").select_columns(["o_orderkey", "o_totalprice"])
+
+    for how in ("inner", "left_outer"):
+        nat = joins.hash_join(_ds("orders").select_columns(
+            ["o_orderkey", "o_totalprice"]), li, "o_orderkey", "l_orderkey",
+            how=how).to_pandas()
+        fb = joins.hash_join(orders, li, "o_orderkey", "l_orderkey",
+                             how=how, force_fallback=True).to_pandas()
+        assert len(nat) == len(fb)
+        key = ["o_orderkey", "l_quantity"]
+        a = nat[key].fillna(-1).sort_values(key).reset_index(drop=True)
+        b = fb[key].fillna(-1).sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
