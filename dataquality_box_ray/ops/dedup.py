@@ -160,13 +160,19 @@ def minhash_lsh_candidates_ds(ds: "ray.data.Dataset", text_col: str,
                               bands: int = 16, shingle_k: int = 5,
                               max_bucket_ids: int = 2000,
                               n_buckets: int = 64,
+                              cand_buckets: int = 256,
                               distinct: bool = True) -> "ray.data.Dataset":
     """Candidate near-dup pairs via MinHash+LSH, fully distributed:
     shingle→minhash→band→bucket groupby (the slim shuffle carries only
     (band, hash, id)), then a second slim shuffle on hash(id_a) that
     drop-duplicates pairs seen through several bands — a near-identical pair
     collides in ~all ``bands`` bands, and verifying it once instead of 16
-    times is cheaper than the extra slim shuffle."""
+    times is cheaper than the extra slim shuffle.
+
+    The candidate stage partitions by ``hash(band, band_hash) % cand_buckets``
+    rather than by band alone, so its parallelism scales with the cluster
+    instead of capping at ``bands`` reduce partitions; all holders of one
+    (band, band_hash) still meet in exactly one partition."""
     holder: dict = {}
 
     def sig_fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -176,7 +182,11 @@ def minhash_lsh_candidates_ds(ds: "ray.data.Dataset", text_col: str,
             holder["m"] = MinHasher(text_col=text_col, id_col=id_col,
                                     num_perm=num_perm, shingle_k=shingle_k,
                                     bands=bands)
-        return holder["m"](df)
+        out = holder["m"](df)
+        bh = out["band_hash"].to_numpy(dtype=np.uint64)
+        bd = out["band"].to_numpy().astype(np.uint64)
+        pb = (bh * np.uint64(0x9E3779B97F4A7C15) + bd) % np.uint64(cand_buckets)
+        return out.assign(__pb=pb.astype(np.int64))
 
     sig = ds.map_batches(sig_fn, batch_format="pandas")
 
@@ -184,24 +194,34 @@ def minhash_lsh_candidates_ds(ds: "ray.data.Dataset", text_col: str,
         empty = pd.DataFrame({"id_a": pd.Series([], dtype=df["id"].dtype),
                               "id_b": pd.Series([], dtype=df["id"].dtype)})
         dup = df[df.duplicated(["band", "band_hash"], keep=False)]
-        rows = []
+        frames = []
         for _, grp in dup.groupby(["band", "band_hash"], sort=False):
-            ids = sorted(grp["id"].unique())
+            ids = np.unique(grp["id"].to_numpy())
             if len(ids) > max_bucket_ids:
                 # degenerate hot bucket (boilerplate text): the pair product
                 # is quadratic — cap to the first ids; near-dups this common
                 # are still linked transitively through other bands/components
                 ids = ids[:max_bucket_ids]
-            rows.extend((a, b) for i, a in enumerate(ids) for b in ids[i + 1:])
-        return pd.DataFrame(rows, columns=["id_a", "id_b"]) if rows else empty
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            frames.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
+        return (pd.concat(frames, ignore_index=True) if frames else empty)
 
-    # band is the natural partition key: all holders of one (band,hash) meet
-    pairs = sig.groupby("band").map_groups(pairs_fn, batch_format="pandas")
+    pairs = sig.groupby("__pb").map_groups(
+        lambda d: pairs_fn(d.drop(columns=["__pb"])), batch_format="pandas")
     if not distinct:
         # caller dedups (e.g. driver drop_duplicates on a small pair set) —
         # skip the extra slim shuffle
         return pairs
+    return _distinct_pairs_ds(pairs, n_buckets)
 
+
+def _distinct_pairs_ds(pairs: "ray.data.Dataset", n_buckets: int = 64
+                       ) -> "ray.data.Dataset":
+    """Distributed drop-duplicates over (id_a, id_b) pair rows: bucket by
+    hash(id_a) (both copies of a pair share id_a, so they meet) → per-bucket
+    pandas dedup. Slim — only the id pair columns shuffle."""
     def add_bucket(t: pa.Table) -> pa.Table:
         s = pd.Series(t.column("id_a").to_pandas().astype(str))
         return t.append_column("__bucket", pa.array(bucket_of(s, n_buckets)))
@@ -414,17 +434,7 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
         # in ~all bands; verifying it once is cheaper than bands× verifies),
         # then distributed verify (texts via slim hash joins) + min-label
         # propagation components
-        def add_bucket(t: pa.Table) -> pa.Table:
-            s = pd.Series(t.column("id_a").to_pandas().astype(str))
-            return t.append_column("__bucket", pa.array(bucket_of(s, 64)))
-
-        def distinct_fn(df: pd.DataFrame) -> pd.DataFrame:
-            return (df.drop_duplicates(["id_a", "id_b"])
-                    .drop(columns=["__bucket"]))
-
-        distinct_pairs = (pairs.map_batches(add_bucket, batch_format="pyarrow")
-                          .groupby("__bucket")
-                          .map_groups(distinct_fn, batch_format="pandas"))
+        distinct_pairs = _distinct_pairs_ds(pairs)
         verified = (verify_jaccard_ds(distinct_pairs, ds, text_col, id_col,
                                       shingle_k=shingle_k,
                                       threshold=threshold)
@@ -475,13 +485,17 @@ class SimHasher:
         return df
 
 
-def simhash_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
-                       hamming_max: int = 3,
-                       max_bucket_ids: int = 2000) -> pd.DataFrame:
-    """SimHash near-dup candidates: band the 64-bit hash into 4×16-bit keys
-    (any pair within hamming distance 3 shares ≥1 exact band) → slim groupby
-    per band → verify hamming distance (vectorized per bucket via XOR +
-    popcount over the candidate pair product, capped per hot bucket)."""
+def simhash_candidates_ds(ds: "ray.data.Dataset", text_col: str, id_col: str,
+                          hamming_max: int = 3, max_bucket_ids: int = 2000,
+                          cand_buckets: int = 256,
+                          n_buckets: int = 64) -> "ray.data.Dataset":
+    """SimHash near-dup candidates, fully distributed: band the 64-bit hash
+    into 4×16-bit keys (any pair within hamming distance 3 shares ≥1 exact
+    band) → slim groupby on hash(band, key) % cand_buckets (parallelism
+    scales with the cluster, not the 4 bands) → verify hamming distance
+    (vectorized per bucket via XOR + popcount over the capped pair product)
+    → distributed distinct over pairs seen through several bands. Dataset in,
+    Dataset out — no pair ever lands on the driver."""
     holder: dict = {}
 
     def hash_fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -498,8 +512,11 @@ def simhash_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
         out = []
         for band in range(4):
             key = (h >> np.uint64(band * 16)) & np.uint64(0xFFFF)
+            pb = ((key * np.uint64(0x9E3779B97F4A7C15) + np.uint64(band))
+                  % np.uint64(cand_buckets)).astype(np.int64)
             out.append(pd.DataFrame({"band": band, "key": key.astype(np.int64),
-                                     "id": df[id_col], "simhash": h}))
+                                     "id": df[id_col], "simhash": h,
+                                     "__pb": pb}))
         return pd.concat(out, ignore_index=True)
 
     exploded = slim.map_batches(explode, batch_format="pandas")
@@ -526,20 +543,31 @@ def simhash_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
                                             "id_b": ids[ib[m]]}))
         return pd.concat(frames, ignore_index=True) if frames else empty
 
-    pairs = (exploded.groupby("band").map_groups(pairs_fn, batch_format="pandas")
-             .to_pandas())
-    if "id_a" not in pairs.columns:
+    pairs = exploded.groupby("__pb").map_groups(
+        lambda d: pairs_fn(d.drop(columns=["__pb"])), batch_format="pandas")
+    return _distinct_pairs_ds(pairs, n_buckets)
+
+
+def simhash_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
+                       **kw) -> pd.DataFrame:
+    """Driver-pandas wrapper over `simhash_candidates_ds` (tests/small)."""
+    pairs = simhash_candidates_ds(ds, text_col, id_col, **kw).to_pandas()
+    if "id_a" not in pairs.columns:          # all buckets empty → schema lost
         pairs = pd.DataFrame({"id_a": [], "id_b": []})
-    return pairs.drop_duplicates().reset_index(drop=True)
+    return (pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+            if len(pairs) else pairs.reset_index(drop=True))
 
 
-def embedding_near_dup(ds: "ray.data.Dataset", emb_col: str, id_col: str,
-                       threshold: float = 0.95, n_planes: int = 12,
-                       seed: int = 11) -> pd.DataFrame:
+def embedding_near_dup_ds(ds: "ray.data.Dataset", emb_col: str, id_col: str,
+                          threshold: float = 0.95, n_planes: int = 12,
+                          seed: int = 11) -> "ray.data.Dataset":
     """Embedding-cosine near-dup: random-hyperplane LSH bucket (row-local) →
     per-bucket brute-force cosine (vectorized matmul) → pairs ≥ threshold.
     Vectors in one bucket share all n_planes sign bits, so recall depends on
-    n_planes vs threshold (documented trade-off; brute force within bucket)."""
+    n_planes vs threshold (documented trade-off; brute force within bucket).
+    Dataset in, Dataset out: each vector lives in exactly one bucket, so the
+    pair set is duplicate-free without a distinct shuffle and never needs to
+    land on the driver."""
     first = ds.take(1)[0]
     dim = len(first[emb_col])
     rng = np.random.default_rng(seed)
@@ -575,8 +603,14 @@ def embedding_near_dup(ds: "ray.data.Dataset", emb_col: str, id_col: str,
                              "id_b": np.maximum(ids[ia[mask]], ids[ib[mask]]),
                              "cosine": sims[ia[mask], ib[mask]]})
 
-    pairs = (bucketed.groupby("bucket").map_groups(pairs_fn, batch_format="pandas")
-             .to_pandas())
-    if "id_a" not in pairs.columns:
+    return bucketed.groupby("bucket").map_groups(pairs_fn,
+                                                 batch_format="pandas")
+
+
+def embedding_near_dup(ds: "ray.data.Dataset", emb_col: str, id_col: str,
+                       **kw) -> pd.DataFrame:
+    """Driver-pandas wrapper over `embedding_near_dup_ds` (tests/small)."""
+    pairs = embedding_near_dup_ds(ds, emb_col, id_col, **kw).to_pandas()
+    if "id_a" not in pairs.columns:          # all buckets empty → schema lost
         pairs = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
     return pairs.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)

@@ -214,3 +214,34 @@ def test_embedding_near_dup_planted_pairs():
     assert len(got_pairs) >= 3
     assert all(b - a == 40 for a, b in got_pairs if b >= 40 and a < 5) or True
     assert got_pairs <= {(i, i + 40) for i in range(5)}
+
+
+def test_simhash_and_embedding_ds_forms():
+    """The Dataset variants must be duplicate-free and feed downstream ops
+    (e.g. the anti-join survivors path) without landing on the driver."""
+    a = "import numpy as np\nresult = np.sum(values) * scale_factor\n" * 5
+    df = pd.DataFrame({"doc_id": [10, 11, 12], "text": [a, a + "x", a + "y"]})
+    pairs_ds = dedup.simhash_candidates_ds(ray.data.from_pandas(df),
+                                           "text", "doc_id")
+    pdf = pairs_ds.to_pandas()
+    assert not pdf.duplicated(["id_a", "id_b"]).any()
+    assert set(map(tuple, pdf[["id_a", "id_b"]].values)) >= {(10, 11)}
+    # Dataset output feeds the loser anti-join without driver pandas
+    losers = dedup.min_label_losers_ds(pairs_ds)
+    from dataquality_box_ray.ops.joins import partitioned_anti_join
+    surv = partitioned_anti_join(
+        ray.data.from_pandas(df),
+        dedup.rename_cols(losers, {"node": "doc_id"}), "doc_id", "doc_id")
+    assert sorted(surv.to_pandas().doc_id) == [10]
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((20, 8))
+    emb = np.vstack([emb, emb[:3] + 1e-3])
+    eds = ray.data.from_pandas(pd.DataFrame(
+        {"vec_id": np.arange(len(emb)), "embedding": list(emb)}))
+    e_pairs = dedup.embedding_near_dup_ds(eds, "embedding", "vec_id",
+                                          threshold=0.999, n_planes=4)
+    epdf = e_pairs.to_pandas()
+    if len(epdf):
+        assert not epdf.duplicated(["id_a", "id_b"]).any()
+        assert set(epdf.columns) == {"id_a", "id_b", "cosine"}
