@@ -32,15 +32,6 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.enable_tensor_extension_casting = False
-    # Ray's sort-shuffle emits a schema-divergence WARNING for every EMPTY
-    # reduce partition of a bucketed groupby (reproducible on a 5-line
-    # vanilla Ray Data script; the empty blocks are generated inside Ray,
-    # before any UDF runs). Cosmetic — silence it so the bench tail stays
-    # readable.
-    import logging
-    logging.getLogger(
-        "ray.data._internal.execution.streaming_executor_state"
-    ).setLevel(logging.ERROR)
 
     from dataquality_box_ray.corpus import (corpus_path, rows_for_sf_dir,
                                             scaling_corpus_path)
@@ -103,10 +94,11 @@ def run_bench() -> dict:
         # picks the driver path at this size, so the shuffle path needs its
         # own measured number)
         from dataquality_box_ray.pipelines import quality_filter as qf
+        from dataquality_box_ray.sources import read_parquet
         from dataquality_box_ray.stages.heuristics import heuristics_kernel
         from dataquality_box_ray.stages.reconcile import compute_label_tables
         t0 = time.time()
-        slim = (ray.data.read_parquet(corpus)
+        slim = (read_parquet(corpus)
                 .map_batches(heuristics_kernel, batch_format="pyarrow")
                 .select_columns(qf.SLIM_COLUMNS))
         compute_label_tables(slim, mode="shuffle")

@@ -42,4 +42,45 @@ def _configure_data_context() -> None:
         pass
 
 
+def _install_empty_partition_warning_filter() -> None:
+    """Drop ONLY Ray's empty-reduce-partition schema-divergence warning.
+
+    Ray's sort-based shuffle (every ``groupby().map_groups``) emits
+    schema-less EMPTY blocks for reduce partitions that received no rows —
+    generated inside Ray's reduce, *before any UDF runs* (verified: a kernel
+    that asserts ``len(df) > 0`` never fires while the warning still
+    appears; reproducible with a 5-line vanilla Ray Data script —
+    ``range(10) → groupby(id%2) → map_groups``). Each such block triggers
+    ``streaming_executor_state.py``'s "Operator produced a RefBundle with a
+    different schema" warning. Pinning kernel output schemas cannot help
+    (the kernel is never called for these partitions) and aligning reduce
+    partition counts with key counts needs an extra ``repartition``
+    all-to-all — a real shuffle paid to silence a cosmetic log line.
+
+    This filter drops exactly that message and only when one side of the
+    divergence is an EMPTY schema; genuine schema divergences (two typed
+    but different schemas) still surface. Exercised by
+    ``tests/test_stages.py::test_empty_partition_warning_filter``.
+    """
+    import logging
+
+    class _EmptySchemaDivergence(logging.Filter):
+        def filter(self, record: logging.LogRecord) -> bool:
+            msg = record.getMessage()
+            if "Operator produced a RefBundle with a different schema" \
+                    not in msg:
+                return True
+            empty_markers = (
+                "new schema: . ",                 # empty Arrow schema (str "")
+                "Previous schema: , ",
+                "PandasBlockSchema(names=[], types=[])",
+            )
+            return not any(m in msg for m in empty_markers)
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_EmptySchemaDivergence())
+
+
 _configure_data_context()
+_install_empty_partition_warning_filter()

@@ -81,9 +81,10 @@ def main(argv: list[str] | None = None) -> int:
         import ray.data
 
         from .rules.validator import failure_cases, load_spec, validate
+        from .sources import read_parquet
 
         spec = load_spec(args.spec)
-        validated = validate(ray.data.read_parquet(args.input), spec)
+        validated = validate(read_parquet(args.input), spec)
         keep = args.keep_cols.split(",") if args.keep_cols else None
         # materialize once: the count comes from THIS run's failures (a
         # re-used --out directory may hold stale files from earlier runs —

@@ -1,3 +1,25 @@
 """Operator library: Ray-Data-native counterparts of every reference operator
 family (SURVEY.md §2) — joins/lookups, aggregations, ordering/window ops,
 dedup/set ops, text analysis, similarity search, multimodal plumbing."""
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:                                   # pragma: no cover
+    import pandas as pd
+    import ray.data
+
+
+def to_pandas_keep_schema(ds: "ray.data.Dataset") -> "pd.DataFrame":
+    """`Dataset.to_pandas()` that preserves columns/dtypes for 0-row results.
+
+    Ray's `to_pandas` concatenates materialized blocks; when every block is
+    empty it returns a column-less DataFrame even though `ds.schema()` is
+    intact, which breaks downstream sorts/selects on empty query results.
+    """
+    df = ds.to_pandas()
+    if len(df.columns) == 0:
+        schema = ds.schema()
+        base = getattr(schema, "base_schema", None)
+        if base is not None:
+            return base.empty_table().to_pandas()
+    return df

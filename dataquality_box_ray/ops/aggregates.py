@@ -122,7 +122,8 @@ def _bucketed_groups(ds: "ray.data.Dataset", key: str, fn, n_buckets: int = 32,
     pandas body over all of the bucket's groups (no per-key Python calls)."""
     def add(t: pa.Table) -> pa.Table:
         s = pd.Series(t.column(key).to_pandas().astype(str))
-        return t.append_column("__bucket", pa.array(bucket_of(s, n_buckets)))
+        return t.replace_schema_metadata(None).append_column(
+            "__bucket", pa.array(bucket_of(s, n_buckets)))
 
     bucketed = ds.map_batches(add, batch_format="pyarrow")
 

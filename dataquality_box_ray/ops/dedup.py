@@ -67,7 +67,8 @@ def exact_dedup(ds: "ray.data.Dataset", content_col: str, id_col: str,
 
     def add_bucket(t: pa.Table) -> pa.Table:
         s = pd.Series(t.column("__sha").to_pandas())
-        return t.append_column("__bucket", pa.array(bucket_of(s, n_buckets)))
+        return t.replace_schema_metadata(None).append_column(
+            "__bucket", pa.array(bucket_of(s, n_buckets)))
 
     def losers_fn(df: pd.DataFrame) -> pd.DataFrame:
         keep = df.groupby("__sha", sort=False)[id_col].transform("min")
@@ -224,7 +225,8 @@ def _distinct_pairs_ds(pairs: "ray.data.Dataset", n_buckets: int = 64
     pandas dedup. Slim — only the id pair columns shuffle."""
     def add_bucket(t: pa.Table) -> pa.Table:
         s = pd.Series(t.column("id_a").to_pandas().astype(str))
-        return t.append_column("__bucket", pa.array(bucket_of(s, n_buckets)))
+        return t.replace_schema_metadata(None).append_column(
+            "__bucket", pa.array(bucket_of(s, n_buckets)))
 
     def distinct_fn(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["id_a", "id_b"]).drop(columns=["__bucket"])
@@ -345,8 +347,8 @@ def min_label_losers_ds(edges: "ray.data.Dataset", max_rounds: int = 64,
     def bucketed_min(ds_in: "ray.data.Dataset") -> "ray.data.Dataset":
         def add_bucket(t: pa.Table) -> pa.Table:
             s = pd.Series(t.column("node").to_pandas().astype(str))
-            return t.append_column("__bucket",
-                                   pa.array(bucket_of(s, n_buckets)))
+            return t.replace_schema_metadata(None).append_column(
+                "__bucket", pa.array(bucket_of(s, n_buckets)))
 
         def combine(df: pd.DataFrame) -> pd.DataFrame:
             return (df.groupby("node", sort=False)["label"].min()

@@ -21,6 +21,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -54,18 +55,29 @@ def _broadcast_filter(ds: "ray.data.Dataset", keys, on: str, keep: bool
                       ) -> "ray.data.Dataset":
     """Semi/anti filter against a ray.put key set. Task pool, not actors:
     the broadcast ref is fetched once per worker (object-store local cache),
-    so there is no pool spin-up to amortize."""
+    so there is no pool spin-up to amortize. Zero-copy Arrow path: the
+    `is_in` kernel filters each batch in place and an empty result keeps its
+    schema (a pandas round-trip drops the columns of all-empty outputs)."""
     key_set = keys if isinstance(keys, (set, frozenset)) else set(keys[on])
-    ref = ray.put(frozenset(key_set))
+    if not key_set:
+        if keep:
+            return ds.map_batches(lambda t: t.slice(0, 0),
+                                  batch_format="pyarrow")
+        return ds
+    ref = ray.put(pa.array(list(key_set)))
     holder: dict = {}
 
-    def fn(df: pd.DataFrame) -> pd.DataFrame:
+    def fn(t: pa.Table) -> pa.Table:
         if "k" not in holder:
-            holder["k"] = ray.get(ref)
-        m = df[on].isin(holder["k"])
-        return df[m] if keep else df[~m]
+            vs = ray.get(ref)
+            col_type = t.schema.field(on).type
+            if vs.type != col_type:
+                vs = vs.cast(col_type)
+            holder["k"] = vs
+        m = pc.fill_null(pc.is_in(t[on], value_set=holder["k"]), False)
+        return t.filter(m if keep else pc.invert(m))
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def broadcast_semi_join(ds: "ray.data.Dataset", keys: pd.DataFrame | set,
@@ -278,10 +290,55 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         per_bucket, batch_format="pandas")
 
 
+def tag_pad_fn(all_cols: list[str], pad: dict, rename: dict, side: str,
+               cast_types: dict | None = None):
+    """Batch fn tagging one side of a tagged-union shuffle join: renames,
+    pads the other side's columns as TYPED null arrays (schema-stable union
+    blocks — inferred nulls would diverge per side), stamps ``__side``.
+    ``cast_types`` optionally pins existing columns to a canonical type too
+    (e.g. ns→us timestamps, object→string) so both streams match exactly."""
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.replace_schema_metadata(None)
+        if rename:
+            t = t.rename_columns([rename.get(c, c) for c in t.column_names])
+        n = len(t)
+        cols = {c: t[c] for c in t.column_names}
+        for c, typ in pad.items():
+            cols[c] = pa.nulls(n, type=typ)
+        cols["__side"] = pa.array([side] * n, type=pa.string())
+        out = pa.table({c: cols[c] for c in all_cols})
+        if cast_types:
+            out = out.cast(pa.schema(
+                [(c, cast_types.get(c, out.schema.field(c).type))
+                 for c in all_cols]))
+        return out
+    return fn
+
+
+def _arrow_types(ds: "ray.data.Dataset") -> dict[str, "pa.DataType"]:
+    """Column → Arrow type map from a Dataset schema, tolerating both Arrow
+    and pandas block schemas (object dtypes fall back to string — the
+    engine's convention for opaque columns)."""
+    schema = ds.schema()
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return {f.name: f.type for f in base}
+    out: dict[str, pa.DataType] = {}
+    names = getattr(base, "names", None) or schema.names
+    types = getattr(base, "types", None) or []
+    for name, dt in zip(names, types):
+        try:
+            out[name] = pa.from_numpy_dtype(dt)
+        except Exception:
+            out[name] = pa.string()
+    return out
+
+
 def _with_bucket(ds: "ray.data.Dataset", key: str, n_buckets: int):
     def add(t: pa.Table) -> pa.Table:
         s = pd.Series(t.column(key).to_pandas().astype(str))
-        return t.append_column("__bucket", pa.array(bucket_of(s, n_buckets)))
+        return t.replace_schema_metadata(None).append_column(
+            "__bucket", pa.array(bucket_of(s, n_buckets)))
     return ds.map_batches(add, batch_format="pyarrow")
 
 
@@ -308,23 +365,23 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     rcols_r = [c + "_r" for c in rcols]
     all_cols = [by, on] + lcols + rcols_r + ["__side"]
 
-    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        for c in rcols_r:
-            df[c] = None
-        df["__side"] = "L"
-        return df[all_cols]
+    # the "other side's" columns are typed NULL arrays (not inferred-null):
+    # both tagged streams then share one Arrow schema, so the union/shuffle
+    # never emits divergent-schema blocks
+    l_types = _arrow_types(left)
+    r_types = _arrow_types(right)
+    pad_left = {c_r: r_types.get(c, pa.string())
+                for c, c_r in zip(rcols, rcols_r)}
+    pad_right = {c: l_types.get(c, pa.string()) for c in lcols}
 
-    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.rename(columns=dict(zip(rcols, rcols_r))).copy()
-        for c in lcols:
-            df[c] = None
-        df["__side"] = "R"
-        return df[all_cols]
-
-    lt = _with_bucket(left.map_batches(tag_left, batch_format="pandas"),
+    lt = _with_bucket(left.map_batches(tag_pad_fn(all_cols, pad_left, {},
+                                                  "L"),
+                                       batch_format="pyarrow"),
                       by, n_buckets)
-    rt = _with_bucket(right.map_batches(tag_right, batch_format="pandas"),
+    rt = _with_bucket(right.map_batches(tag_pad_fn(all_cols, pad_right,
+                                                   dict(zip(rcols, rcols_r)),
+                                                   "R"),
+                                        batch_format="pyarrow"),
                       by, n_buckets)
     both = lt.union(rt)
 

@@ -38,6 +38,7 @@ import pyarrow as pa
 import ray.data
 
 from ..stages.reconcile import bucket_of
+from . import joins
 
 STATUS_STRICT, STATUS_TARGET_ONLY, STATUS_ORPHAN, STATUS_LOOSE = 1, 2, 3, 4
 
@@ -151,7 +152,8 @@ def match_bucket(left: pd.DataFrame, right: pd.DataFrame,
             big_hit = items.eq(cand["big_item"], axis=0).any(axis=1) \
                 & cand["big_item"].notna()
             small_hit = np.array([
-                bool(set(s or []) & {i for i in (i1, i2, i3) if i})
+                bool(s is not None and len(s)
+                     and set(s) & {i for i in (i1, i2, i3) if i})
                 for s, i1, i2, i3 in zip(cand["small_items"], cand["item1"],
                                          cand["item2"], cand["item3"])])
             cand = cand[big_hit.to_numpy() | small_hit]
@@ -200,28 +202,31 @@ def two_tier_match(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     def add_bucket(t: pa.Table) -> pa.Table:
         s = pd.Series(t.column("group").to_pandas())
-        return t.append_column("__bucket", pa.array(bucket_of(s, n_buckets)))
+        return t.replace_schema_metadata(None).append_column(
+            "__bucket", pa.array(bucket_of(s, n_buckets)))
 
     lcols = ["key", "group", "t_start", "t_end", "big_item", "small_items"]
     rcols = ["id", "group", "t", "item1", "item2", "item3"]
 
-    def widen_left(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        for c in ("id", "t", "item1", "item2", "item3"):
-            df[c] = None if c != "t" else pd.NaT
-        df["__side"] = "L"
-        return df
-
-    def widen_right(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        for c in ("key", "t_start", "t_end", "big_item", "small_items"):
-            df[c] = pd.NaT if c in ("t_start", "t_end") else None
-        df["__side"] = "R"
-        return df
-
+    # typed null padding + canonical casts (schema-stable union blocks; see
+    # joins.tag_pad_fn): the operator's contract schema is pinned explicitly
+    # — upstream pandas stages hand over object/ns-timestamp columns whose
+    # inferred Arrow types diverge per side
+    canon = {"key": pa.int64(), "group": pa.string(),
+             "t_start": pa.timestamp("us"), "t_end": pa.timestamp("us"),
+             "big_item": pa.string(),
+             "small_items": pa.list_(pa.string()),
+             "id": pa.int64(), "t": pa.timestamp("us"),
+             "item1": pa.string(), "item2": pa.string(),
+             "item3": pa.string(), "__side": pa.string()}
+    pad_left = {c: canon[c] for c in ("id", "t", "item1", "item2", "item3")}
+    pad_right = {c: canon[c] for c in ("key", "t_start", "t_end", "big_item",
+                                       "small_items")}
     order = lcols + ["id", "t", "item1", "item2", "item3", "__side"]
-    lt = left.map_batches(lambda df: widen_left(df)[order], batch_format="pandas")
-    rt = right.map_batches(lambda df: widen_right(df)[order], batch_format="pandas")
+    lt = left.map_batches(joins.tag_pad_fn(order, pad_left, {}, "L", canon),
+                          batch_format="pyarrow")
+    rt = right.map_batches(joins.tag_pad_fn(order, pad_right, {}, "R", canon),
+                           batch_format="pyarrow")
     both = lt.union(rt).map_batches(add_bucket, batch_format="pyarrow")
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:

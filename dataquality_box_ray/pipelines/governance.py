@@ -36,6 +36,7 @@ import ray.data
 
 from ..ops.joins import broadcast_lookup_join
 from ..rules import engine
+from ..sources import read_parquet
 from ..rules.expressions import compile_expr
 
 
@@ -48,12 +49,12 @@ def load_entities(sf_dir: str) -> dict[str, "ray.data.Dataset"]:
     join above it."""
     from ..ops.joins import semi_join_auto
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    orders = read_parquet(f"{sf_dir}/orders.parquet")
     lineitem = semi_join_auto(
-        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet"),
+        read_parquet(f"{sf_dir}/lineitem.parquet"),
         orders, "l_orderkey", source_on="o_orderkey")
-    customer = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
-    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
+    customer = read_parquet(f"{sf_dir}/customer.parquet")
+    nation = read_parquet(f"{sf_dir}/nation.parquet")
     return {"orders": orders, "lineitem": lineitem, "customer": customer,
             "nation": nation}
 

@@ -25,10 +25,104 @@ import pathlib
 from typing import Any, Callable
 
 import pandas as pd
-import pyarrow as pa
-import pyarrow.compute as pc
+import pyarrow.dataset as pads
 
 import ray.data
+
+from ..sources import read_parquet
+
+
+def parquet_ts_stats(source_path: str, ts_col: str,
+                     ) -> tuple[pd.Timestamp | None, pd.Timestamp | None,
+                                list[tuple[str, Any, Any]]]:
+    """(global min, global max, per-file [(path, min, max)]) of `ts_col` from
+    Parquet footer statistics — a driver-side metadata read, zero data
+    scanned.
+
+    Files whose footers lack min/max stats for the column get (path, None,
+    None) and are never pruned. The reference's scanner gets the same thing
+    from `MAX(last_modified)` pushed into SQL
+    (`dags/scanner_cactus_monitor.py:97-110`)."""
+    dset = pads.dataset(source_path, format="parquet")
+    per_file: list[tuple[str, Any, Any]] = []
+    gmin = gmax = None
+    for frag in dset.get_fragments():
+        frag.ensure_complete_metadata()
+        md = frag.metadata
+        fmin = fmax = None
+        col_idx = None
+        complete = md.num_row_groups > 0
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            if col_idx is None:
+                for j in range(row_group.num_columns):
+                    if row_group.column(j).path_in_schema == ts_col:
+                        col_idx = j
+                        break
+                if col_idx is None:
+                    complete = False
+                    break
+            st = row_group.column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                complete = False
+                break
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        if not complete:
+            fmin = fmax = None
+        per_file.append((frag.path, fmin, fmax))
+        if fmax is not None:
+            gmax = fmax if gmax is None else max(gmax, fmax)
+            gmin = fmin if gmin is None else min(gmin, fmin)
+    if any(mx is None for _, _, mx in per_file) and per_file:
+        # some file lacks stats — fall back to a column-pruned scan for the
+        # global bounds (still never reads the payload columns)
+        slim = read_parquet(source_path, columns=[ts_col])
+        scanned_max = slim.max(ts_col)
+        if scanned_max is not None:
+            scanned_max = pd.Timestamp(scanned_max)
+            scanned_min = pd.Timestamp(slim.min(ts_col))
+            gmax = scanned_max if gmax is None else max(pd.Timestamp(gmax),
+                                                        scanned_max)
+            gmin = scanned_min if gmin is None else min(pd.Timestamp(gmin),
+                                                        scanned_min)
+    return ((pd.Timestamp(gmin) if gmin is not None else None),
+            (pd.Timestamp(gmax) if gmax is not None else None), per_file)
+
+
+def pruned_window_read(source_path: str, ts_col: str,
+                       lo: pd.Timestamp | None, hi: pd.Timestamp,
+                       per_file: list[tuple[str, Any, Any]] | None = None,
+                       lo_inclusive: bool = False,
+                       hi_inclusive: bool = True) -> "ray.data.Dataset":
+    """Read only the rows of (lo, hi] (or [lo, hi) per the inclusive flags):
+    files whose footer stats fall wholly outside the window are skipped on
+    the driver, and the exact window predicate is pushed into the scanner
+    (`filter=` → row-group pruning + scan-time filtering) so non-matching
+    row groups never leave storage."""
+    if per_file is None:
+        _, _, per_file = parquet_ts_stats(source_path, ts_col)
+    keep = []
+    for path, mn, mx in per_file:
+        if mn is not None and mx is not None:
+            mn, mx = pd.Timestamp(mn), pd.Timestamp(mx)
+            if lo is not None and (mx < lo or (mx == lo and not lo_inclusive)):
+                continue
+            if mn > hi or (mn == hi and not hi_inclusive):
+                continue
+        keep.append(path)
+    field = pads.field(ts_col)
+    expr = (field <= pads.scalar(hi.to_pydatetime()) if hi_inclusive
+            else field < pads.scalar(hi.to_pydatetime()))
+    if lo is not None:
+        lo_expr = (field >= pads.scalar(lo.to_pydatetime()) if lo_inclusive
+                   else field > pads.scalar(lo.to_pydatetime()))
+        expr = expr & lo_expr
+    if not keep:
+        # empty window: preserve the table schema with a filter no row passes
+        schema = pads.dataset(source_path, format="parquet").schema
+        return ray.data.from_arrow(schema.remove_metadata().empty_table())
+    return read_parquet(keep, filter=expr)
 
 
 def load_watermark(path: str | pathlib.Path) -> pd.Timestamp | None:
@@ -52,27 +146,24 @@ def scan_once(source_path: str, ts_col: str, watermark_file: str,
               ) -> dict[str, Any]:
     """One scanner tick: select (wm, wm+window] rows, process, advance.
 
-    Returns {"processed": n, "watermark": new_wm, "skipped": bool}."""
-    ds = ray.data.read_parquet(source_path)
-    max_ts = ds.max(ts_col)
+    Returns {"processed": n, "watermark": new_wm, "skipped": bool}.
+
+    The watermark window is pushed all the way down: max(ts) comes from the
+    Parquet footer statistics (no data read), out-of-window files are pruned
+    on the driver, and the exact predicate rides the scanner via `filter=`
+    (row-group pruning) — the Ray analogue of the reference pushing its
+    window into SQL (`dags/scanner_cactus_monitor.py:97-110`). A tick never
+    re-reads the whole table."""
+    _, max_ts, per_file = parquet_ts_stats(source_path, ts_col)
     if max_ts is None:
         return {"processed": 0, "watermark": None, "skipped": True}
-    max_ts = pd.Timestamp(max_ts)
     wm = load_watermark(watermark_file)
     if wm is not None and max_ts <= wm:
         return {"processed": 0, "watermark": wm, "skipped": True}
 
     lo = wm
     hi = min(max_ts, (wm + window) if wm is not None else max_ts)
-
-    def in_window(t: pa.Table) -> pa.Table:
-        ts = t[ts_col]
-        mask = pc.less_equal(ts, pa.scalar(hi.to_pydatetime()))
-        if lo is not None:
-            mask = pc.and_(mask, pc.greater(ts, pa.scalar(lo.to_pydatetime())))
-        return t.filter(mask)
-
-    batch = ds.map_batches(in_window, batch_format="pyarrow")
+    batch = pruned_window_read(source_path, ts_col, lo, hi, per_file)
     result = process_fn(batch)
     n = result if isinstance(result, int) else batch.count()
     save_watermark(watermark_file, hi)          # commit AFTER dispatch

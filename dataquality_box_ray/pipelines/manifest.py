@@ -42,6 +42,7 @@ import ray
 import ray.data
 
 from .. import config
+from ..sources import read_parquet
 from ..stages.reconcile import SEP
 from . import quality_filter as qf
 
@@ -161,8 +162,8 @@ def run_quality_filter(input_path: str, out_dir: str, *,
                                                n_buckets)
         result_ds.write_parquet(str(tmp_dir / "result"), compression="zstd")
 
-        res = ray.data.read_parquet(str(tmp_dir / "result"))
-        kept_slim = ray.data.read_parquet(
+        res = read_parquet(str(tmp_dir / "result"))
+        kept_slim = read_parquet(
             str(tmp_dir / "result"), columns=INDEX_COLUMNS + ["keep"]) \
             .map_batches(lambda t: t.filter(t.column("keep"))
                          .select(INDEX_COLUMNS), batch_format="pyarrow") \
@@ -200,7 +201,7 @@ def _run_partition(files: list[str], tmp_dir: str, committed: pd.DataFrame,
                                     pack_labels)
     from ..stages.scrubber import scrub_kernel
 
-    slim = ray.data.read_parquet(str(stage), columns=qf.SLIM_COLUMNS)
+    slim = read_parquet(str(stage), columns=qf.SLIM_COLUMNS)
     labels_pdf, losers_pdf = compute_label_tables(slim, n_buckets)
     packed_ref = ray.put(pack_labels(labels_pdf, losers_pdf))
     index_ref = ray.put(committed)
@@ -221,7 +222,7 @@ def _run_partition(files: list[str], tmp_dir: str, committed: pd.DataFrame,
             holder["c"] = CommittedIndexCorrections(index_ref)
         return holder["c"](batch)
 
-    ds = ray.data.read_parquet(str(stage))
+    ds = read_parquet(str(stage))
     ds = ds.map_batches(make_apply_labels(packed_ref),
                         batch_format="pyarrow",
                         batch_size=config.DEFAULT_BATCH_SIZE)
@@ -237,7 +238,7 @@ def _run_partition(files: list[str], tmp_dir: str, committed: pd.DataFrame,
 def compute_new_winners(labels_pdf: pd.DataFrame, files: list[str],
                         stage: pathlib.Path) -> pd.DataFrame:
     """(repo,path) → winning commit for this partition, from the slim stage."""
-    slim = ray.data.read_parquet(str(stage),
+    slim = read_parquet(str(stage),
                                  columns=["repo", "path", "commit"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -11,29 +11,23 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import pandas as pd
-import pyarrow as pa
-import pyarrow.compute as pc
 
 import ray.data
 
+from .incremental import parquet_ts_stats, pruned_window_read
 from .readiness import ReadinessTracker
 
 
 def window_slice(path: str, ts_col: str, start_epoch_s: int,
                  window_s: int) -> "ray.data.Dataset":
-    """Rows of one [start, start+window) event-time window (vectorized
-    pushdown filter; streams)."""
+    """Rows of one [start, start+window) event-time window. The predicate is
+    pushed into the scan (driver-side file pruning from footer stats +
+    `filter=` row-group pruning) — a tick reads only the window, never the
+    whole table."""
     lo = pd.Timestamp(start_epoch_s, unit="s")
     hi = pd.Timestamp(start_epoch_s + window_s, unit="s")
-
-    def in_window(t: pa.Table) -> pa.Table:
-        ts = t[ts_col]
-        return t.filter(pc.and_(
-            pc.greater_equal(ts, pa.scalar(lo.to_pydatetime())),
-            pc.less(ts, pa.scalar(hi.to_pydatetime()))))
-
-    return ray.data.read_parquet(path).map_batches(in_window,
-                                                   batch_format="pyarrow")
+    return pruned_window_read(path, ts_col, lo, hi,
+                              lo_inclusive=True, hi_inclusive=False)
 
 
 def coordinated_scan(sources: dict[str, str], ts_col: str,
@@ -51,13 +45,12 @@ def coordinated_scan(sources: dict[str, str], ts_col: str,
     """
     floor = None
     for name, path in sources.items():
-        ds = ray.data.read_parquet(path)
-        mx = ds.max(ts_col)
+        # footer-stats bounds — the watermark refresh reads no data
+        mn, mx, _ = parquet_ts_stats(path, ts_col)
         if mx is not None:
-            tracker.update_watermark(
-                name, int(pd.Timestamp(mx).timestamp()))
-            mn = int(pd.Timestamp(ds.min(ts_col)).timestamp())
-            floor = mn if floor is None else min(floor, mn)
+            tracker.update_watermark(name, int(mx.timestamp()))
+            floor = (int(mn.timestamp()) if floor is None
+                     else min(floor, int(mn.timestamp())))
 
     done: list[int] = []
     for w in tracker.ready_windows(start_epoch_s=floor or 0):

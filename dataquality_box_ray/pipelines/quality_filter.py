@@ -30,6 +30,7 @@ import ray
 import ray.data
 
 from .. import config
+from ..sources import read_parquet
 from ..stages.decide import decide_kernel
 from ..stages.heuristics import heuristics_kernel
 from ..stages.reconcile import (compute_label_tables, make_apply_labels,
@@ -62,7 +63,7 @@ def scored_dataset(input_path: str | list[str],
     # enough read blocks that every downstream map stage can use every core
     # (map parallelism is bounded by block count; splitting respects parquet
     # row-group boundaries, so the corpus cache writes small row groups)
-    ds = ray.data.read_parquet(input_path,
+    ds = read_parquet(input_path,
                                override_num_blocks=cpus_total * 3)
     ds = ds.map_batches(heuristics_kernel, batch_format="pyarrow",
                         batch_size=batch_size)
@@ -90,9 +91,9 @@ def finalize_dataset(stage: "str | ray.data.Dataset",
     for non-checkpointed runs whose working set fits the cluster's object
     store, which spills to disk past that)."""
     if isinstance(stage, str):
-        slim = ray.data.read_parquet(stage, columns=SLIM_COLUMNS)
+        slim = read_parquet(stage, columns=SLIM_COLUMNS)
         cpus_total = int(ray.cluster_resources().get("CPU", 8))
-        full = ray.data.read_parquet(stage,
+        full = read_parquet(stage,
                                      override_num_blocks=cpus_total * 3)
     else:
         slim = stage.select_columns(SLIM_COLUMNS)

@@ -18,6 +18,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from .. import config
+from ..sources import read_parquet
 from ..corpus import corpus_path
 from ..ops import aggregates as agg
 from ..ops import dedup, joins, similarity, text
@@ -30,7 +31,7 @@ from . import quality_filter as qf
 
 
 def _read(sf_dir: str, table: str, columns=None) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _cents(x):
@@ -45,7 +46,7 @@ def _cents(x):
 def corpus_heuristics(sf_dir: str) -> "ray.data.Dataset":
     """Fused heuristic rule flags over the synthetic corpus (M3-M5 analogue)."""
     path = corpus_path(sf_dir)
-    ds = ray.data.read_parquet(path)
+    ds = read_parquet(path)
     ds = ds.map_batches(heuristics_kernel, batch_format="pyarrow",
                         batch_size=config.DEFAULT_BATCH_SIZE)
     return ds.select_columns(["repo", "path", "commit", "char_len",
@@ -73,7 +74,7 @@ def corpus_reconcile_labels(sf_dir: str) -> "ray.data.Dataset":
     """Reconciliation + exact-dedup labels over corpus keys — the model-free
     part of the flagship (groupby over repo+path, sha dedup)."""
     path = corpus_path(sf_dir)
-    ds = ray.data.read_parquet(path)
+    ds = read_parquet(path)
     scored = ds.map_batches(heuristics_kernel, batch_format="pyarrow",
                             batch_size=config.DEFAULT_BATCH_SIZE)
     slim = scored.select_columns(qf.SLIM_COLUMNS)
@@ -222,10 +223,8 @@ def customers_without_orders(sf_dir: str) -> pd.DataFrame:
         _read(sf_dir, "customer", ["c_custkey", "c_name"]),
         _read(sf_dir, "orders", ["o_custkey"]),
         "c_custkey", source_on="o_custkey")
-    out = res["missing_ds"].to_pandas()
-    if "c_custkey" not in out.columns:        # empty result → schema lost
-        out = pd.DataFrame({"c_custkey": pd.Series([], dtype=np.int64),
-                            "c_name": pd.Series([], dtype=str)})
+    from ..ops import to_pandas_keep_schema
+    out = to_pandas_keep_schema(res["missing_ds"])
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 

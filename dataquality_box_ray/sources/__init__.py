@@ -15,9 +15,39 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pyarrow as pa
+import pyarrow.dataset as pads
+
 import ray.data
 
 _REGISTRY: dict[str, Callable[..., "ray.data.Dataset"]] = {}
+
+
+def read_parquet(paths, *, columns: list[str] | None = None,
+                 **kwargs) -> "ray.data.Dataset":
+    """`ray.data.read_parquet` with the file-level `pandas` schema metadata
+    stripped at scan time.
+
+    Parquet written through pandas carries a `pandas` metadata dict that makes
+    the resulting `pyarrow.Schema` unhashable, so Ray's block-schema
+    deduplication (`transform_pyarrow.unify_schemas`) logs "Failed to hash the
+    schemas" on every unify and re-unifies from scratch. Resolving the schema
+    once on the driver (one footer read) and passing the metadata-free version
+    to the scanner removes both the noise and the wasted re-unification —
+    zero per-batch cost.
+    """
+    if "schema" not in kwargs:
+        try:
+            schema = pads.dataset(paths, format="parquet").schema
+        except Exception:
+            schema = None          # e.g. filesystem quirk — fall through
+        if schema is not None and schema.metadata:
+            schema = schema.remove_metadata()
+            if columns is not None:
+                # Ray requires the scan schema to match the projection.
+                schema = pa.schema([schema.field(c) for c in columns])
+            kwargs["schema"] = schema
+    return ray.data.read_parquet(paths, columns=columns, **kwargs)
 
 
 def register_source(name: str, factory: Callable[..., "ray.data.Dataset"],
@@ -40,7 +70,7 @@ def read(name: str, *args, **kwargs) -> "ray.data.Dataset":
     return get_source(name)(*args, **kwargs)
 
 
-register_source("parquet", ray.data.read_parquet)
+register_source("parquet", read_parquet)
 register_source("csv", ray.data.read_csv)
 register_source("json", ray.data.read_json)
 register_source("text", ray.data.read_text)

@@ -123,7 +123,12 @@ def dedup_group_kernel(df: pd.DataFrame) -> pd.DataFrame:
 
 def _add_bucket(key_fn, n_buckets: int):
     def add(t: pa.Table) -> pa.Table:
-        return t.append_column("bucket", pa.array(bucket_of(key_fn(t), n_buckets)))
+        # replace_schema_metadata: blocks arriving from a pandas-format stage
+        # carry `pandas` schema metadata (Ray converts via from_pandas), which
+        # makes the Arrow schema unhashable and defeats Ray's shuffle-side
+        # schema dedup — strip before the groupby sees these blocks
+        return t.replace_schema_metadata(None).append_column(
+            "bucket", pa.array(bucket_of(key_fn(t), n_buckets)))
     return add
 
 
@@ -309,10 +314,9 @@ def reconcile_full(ds: "ray.data.Dataset",
     """mode='full': one full-row bucketed shuffle computing reconciliation
     labels in place (no broadcast — the path that always scales)."""
     ds = ds.map_batches(
-        lambda t: t.append_column(
-            "bucket", pa.array(bucket_of(
-                pd.Series(t.column("repo").to_pandas() + SEP + t.column("path").to_pandas()),
-                n_buckets))),
+        _add_bucket(lambda t: pd.Series(t.column("repo").to_pandas()
+                                        + SEP + t.column("path").to_pandas()),
+                    n_buckets),
         batch_format="pyarrow")
     out = ds.groupby("bucket").map_groups(reconcile_group_kernel, batch_format="pandas")
     return out.drop_columns(["bucket"])

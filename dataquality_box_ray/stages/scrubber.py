@@ -33,15 +33,16 @@ def scrub_kernel(batch: pa.Table) -> pa.Table:
     content_sha256 (post-scrub)."""
     content = pc.fill_null(batch["content"], "")
     hits = None
-    for pat, _ in PII_PATTERNS:
+    # Single count+replace chain: counting pattern i on text where patterns
+    # 1..i-1 are already replaced prevents double counting of overlapping
+    # matches (e.g. token-inside-email), and the replacement tokens themselves
+    # (<AWSKEY>/<TOKEN>/<EMAIL>/<PHONE>) cannot match any later pattern (no
+    # '@', no digits, no AKIA/ghp_ prefix), so counts are identical to
+    # counting against a neutral sentinel while the replace chain itself
+    # produces the final scrubbed text — one chain instead of two.
+    for pat, rep in PII_PATTERNS:
         c = pc.count_substring_regex(content, pat)
         hits = c if hits is None else pc.add(hits, c)
-        # remove matched spans before counting the next pattern so overlapping
-        # patterns (e.g. token-inside-email) are not double counted
-        content = pc.replace_substring_regex(content, pat, "\x00")
-    # now do the real replacements on the original text
-    content = pc.fill_null(batch["content"], "")
-    for pat, rep in PII_PATTERNS:
         content = pc.replace_substring_regex(content, pat, rep)
     hits = pc.cast(hits, pa.int32())
     out = batch.set_column(batch.schema.get_field_index("content"),

@@ -119,3 +119,36 @@ def test_decide_severity_and_reasons():
     assert d["keep"].to_pylist() == [False, True, True, True]
     assert d["drop_reasons"].to_pylist() == [["R_null_empty", "R_line_len"], [], [], []]
     assert d["severity"].to_pylist() == ["P0", "P1", "P2", ""]
+
+
+def test_empty_partition_warning_filter():
+    """The library-level log filter must drop ONLY the Ray-internal
+    empty-reduce-partition schema-divergence warning (whose empty blocks are
+    generated inside Ray's sort shuffle before any UDF runs) and let every
+    other message through — including a genuine typed-vs-typed divergence."""
+    import logging
+
+    logger = logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state")
+    flt = logger.filters[-1]
+
+    def record(msg):
+        return logging.LogRecord("x", logging.WARNING, "f", 1, msg, (), None)
+
+    base = "Operator produced a RefBundle with a different schema than the previous one. "
+    # empty Arrow schema on the new side (str(empty schema) == "")
+    assert not flt.filter(record(
+        base + "Previous schema: user_id: int64, new schema: . "
+               "This may lead to unexpected behavior."))
+    # empty pandas block schema
+    assert not flt.filter(record(
+        base + "Previous schema: PandasBlockSchema(names=['a'], "
+               "types=[dtype('int64')]), new schema: "
+               "PandasBlockSchema(names=[], types=[]). This may lead to "
+               "unexpected behavior."))
+    # GENUINE divergence (both sides typed) must pass
+    assert flt.filter(record(
+        base + "Previous schema: a: int64, new schema: a: string. "
+               "This may lead to unexpected behavior."))
+    # unrelated warnings must pass
+    assert flt.filter(record("spilling 2GiB to disk"))
