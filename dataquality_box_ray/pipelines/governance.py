@@ -130,14 +130,36 @@ def run_governance(sf_dir: str, out_dir: str | None = None,
                 "status": "FAILED", "hit_count": 0,
                 "exec_seconds": round(time.time() - t0, 3), "error": str(e)})
 
-    # aggregator: severity routing + exemption whitelist (aggregator.py:340-435)
+    # aggregator: severity routing + config-driven asset field mapping +
+    # exemption whitelist (aggregator.py:247-435)
     exempt = exemptions or set()
+    by_id = {r.rule_id: r for r in rules}
     alerts = {r: h for r, h in hits_by_rule.items()
               if _sev(rule_results, r) == "P0" and len(h)}
     assets = {r: h for r, h in hits_by_rule.items()
-              if _sev(rule_results, r) == "P1" and len(h)}
-    violations = {r: h for r, h in hits_by_rule.items()
-                  if _sev(rule_results, r) == "P2" and len(h) and r not in exempt}
+              if _sev(rule_results, r) == "P1" and len(h)
+              and by_id[r].asset.get("enabled", True)}
+
+    # P1 asset records: per-rule YAML field_mapping packs hit columns into the
+    # canonical asset payload (aggregator.py:281-331, vectorized)
+    asset_frames = [build_assets(by_id[r], h, batch_id="run")
+                    for r, h in assets.items()]
+    asset_records = (pd.concat(asset_frames, ignore_index=True)
+                     if asset_frames else _EMPTY_ASSETS.copy())
+
+    # P2 exemption: whole-rule ids from the caller + per-ROW whitelist of P1
+    # asset_ids filtered on each rule's configured exempt_field
+    # (aggregator.py:385-396)
+    whitelist = set(asset_records["asset_id"].astype(str))
+    violations = {}
+    for r, h in hits_by_rule.items():
+        if _sev(rule_results, r) != "P2" or not len(h) or r in exempt:
+            continue
+        ef = by_id[r].exemption.get("exempt_field")
+        if ef and whitelist and ef in h.columns:
+            h = h[~h[ef].astype(str).isin(whitelist)]
+        if len(h):
+            violations[r] = h
 
     summary = {
         "rules_total": len(rules),
@@ -158,9 +180,65 @@ def run_governance(sf_dir: str, out_dir: str | None = None,
         for rid, h in hits_by_rule.items():
             if len(h):
                 h.to_parquet(out / f"hits_{rid}.parquet", index=False)
+        if len(asset_records):
+            # tags is list-typed; stringify for a stable parquet schema
+            rec = asset_records.assign(
+                tags=asset_records["tags"].map(",".join))
+            rec.to_parquet(out / "governance_assets.parquet", index=False)
 
     return {"summary": summary, "rule_results": results_df,
-            "alerts": alerts, "assets": assets, "violations": violations}
+            "alerts": alerts, "assets": assets, "violations": violations,
+            "asset_records": asset_records}
+
+
+_ASSET_COLS = ["asset_id", "asset_type", "rule_id", "entity_id",
+               "start_ts", "end_ts", "tags", "target_path"]
+_EMPTY_ASSETS = pd.DataFrame({c: pd.Series([], dtype=object)
+                              for c in _ASSET_COLS})
+
+
+def build_assets(rule, hits: pd.DataFrame, batch_id: str) -> pd.DataFrame:
+    """Pack one P1 rule's hit rows into canonical asset records via the
+    rule's YAML ``asset.field_mapping`` (reference aggregator.py:281-331 —
+    which iterates ``p1_df.iter_rows``; here the mapping is applied
+    vectorized, only the path-template render is per-row).
+
+    ``field_mapping`` maps canonical field → hit column; a mapped column
+    missing from the hits falls back to ``UNKNOWN`` (ids) / ``""``
+    (timestamps), mirroring the reference's ``row.get(..., 'UNKNOWN')``."""
+    cfg = rule.asset
+    fm = cfg.get("field_mapping", {})
+    n = len(hits)
+
+    def col_or(name: str, default: str) -> pd.Series:
+        src = fm.get(name, name)
+        if src in hits.columns:
+            return hits[src].astype(str).reset_index(drop=True)
+        return pd.Series([default] * n, dtype=object)
+
+    asset_id = col_or("asset_id", "UNKNOWN")
+    entity_id = col_or("entity_id", "UNKNOWN")
+    start_ts = col_or("start_ts", "")
+    end_ts = col_or("end_ts", "")
+    tmpl = cfg.get("target_path_template",
+                   "assets/{batch_id}/{rule_id}/{asset_id}/")
+    try:
+        paths = [tmpl.format(batch_id=batch_id, rule_id=rule.rule_id,
+                             asset_id=a, entity_id=e)
+                 for a, e in zip(asset_id, entity_id)]
+    except KeyError:        # unknown placeholder → reference's fallback path
+        paths = [f"assets/{batch_id}/{a}/" for a in asset_id]
+    tags = list(cfg.get("tags", []))
+    return pd.DataFrame({
+        "asset_id": asset_id,
+        "asset_type": cfg.get("asset_type", "HIGH_VALUE_SCENARIO"),
+        "rule_id": rule.rule_id,
+        "entity_id": entity_id,
+        "start_ts": start_ts,
+        "end_ts": end_ts,
+        "tags": [tags] * n,
+        "target_path": paths,
+    })
 
 
 def _sev(rule_results: list[dict], rid: str) -> str:

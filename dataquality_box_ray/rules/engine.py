@@ -49,6 +49,13 @@ class Rule:
     target_entity: str
     logic: dict[str, Any]
     depends_on: list[str] = field(default_factory=list)
+    # aggregator configs (reference plugins/operators/aggregator.py:247-435):
+    # asset: {enabled, field_mapping: {asset_id/entity_id/start_ts/end_ts →
+    # hit column}, asset_type, tags, target_path_template}; exemption:
+    # {exempt_field}; alert: {title, trigger_id_field}
+    asset: dict[str, Any] = field(default_factory=dict)
+    exemption: dict[str, Any] = field(default_factory=dict)
+    alert: dict[str, Any] = field(default_factory=dict)
 
     @classmethod
     def from_dict(cls, doc: dict[str, Any]) -> "Rule":
@@ -75,7 +82,10 @@ class Rule:
             raise ValueError(f"invalid rule {meta.get('rule_id')!r}: {errors}")
         return cls(rule_id=meta["rule_id"], severity=meta["severity"],
                    target_entity=doc["target_entity"], logic=logic,
-                   depends_on=list(doc.get("depends_on", [])))
+                   depends_on=list(doc.get("depends_on", [])),
+                   asset=dict(doc.get("asset") or {}),
+                   exemption=dict(doc.get("exemption") or {}),
+                   alert=dict(doc.get("alert") or {}))
 
 
 def load_rule_pack(path: str | pathlib.Path) -> list[Rule]:

@@ -36,3 +36,60 @@ def test_governance_exemption_whitelist(tmp_path):
         rid = next(iter(res_all["summary"]["violations"]))
         res_ex = run_governance(SF, exemptions={rid})
         assert rid not in res_ex["summary"]["violations"]
+
+
+def test_asset_field_mapping_and_row_exemption():
+    """Config-driven aggregator (reference aggregator.py:247-435): P1 hits
+    are packed into asset records via the rule's YAML field_mapping, and P2
+    hits whose configured exempt_field value appears in the P1 asset-id
+    whitelist are exempted row-by-row."""
+    from dataquality_box_ray.pipelines.governance import build_assets
+    from dataquality_box_ray.rules.engine import Rule
+
+    rule = Rule.from_dict({
+        "meta": {"rule_id": "R_a", "severity": "P1"},
+        "target_entity": "orders",
+        "logic": {"type": "filter", "predicate": "col('x') > lit(0)"},
+        "asset": {
+            "asset_type": "SCENARIO",
+            "tags": ["t1", "t2"],
+            "field_mapping": {"asset_id": "oid", "entity_id": "veh",
+                              "start_ts": "t0"},
+            "target_path_template": "a/{batch_id}/{rule_id}/{asset_id}/",
+        }})
+    hits = pd.DataFrame({"oid": [10, 20], "veh": ["v1", "v2"],
+                         "t0": ["2024-01-01", "2024-01-02"]})
+    rec = build_assets(rule, hits, batch_id="b7")
+    assert list(rec["asset_id"]) == ["10", "20"]
+    assert list(rec["entity_id"]) == ["v1", "v2"]
+    assert list(rec["start_ts"]) == ["2024-01-01", "2024-01-02"]
+    assert list(rec["end_ts"]) == ["", ""]          # unmapped → reference default
+    assert rec["asset_type"].iloc[0] == "SCENARIO"
+    assert rec["target_path"].iloc[0] == "a/b7/R_a/10/"
+    assert rec["tags"].iloc[0] == ["t1", "t2"]
+
+    # disabled asset config short-circuits in run_governance routing
+    rule_off = Rule.from_dict({
+        "meta": {"rule_id": "R_b", "severity": "P1"},
+        "target_entity": "orders",
+        "logic": {"type": "filter", "predicate": "col('x') > lit(0)"},
+        "asset": {"enabled": False}})
+    assert rule_off.asset.get("enabled") is False
+
+
+def test_governance_asset_records_and_exemption_field(tmp_path):
+    res = run_governance(SF, out_dir=str(tmp_path))
+    rec = res["asset_records"]
+    # the tpch pack maps R_order_qty_sum assets to l_orderkey
+    qty_assets = rec[rec["rule_id"] == "R_order_qty_sum"]
+    assert len(qty_assets) == res["summary"]["assets"].get("R_order_qty_sum", 0)
+    if len(qty_assets):
+        assert (tmp_path / "governance_assets.parquet").exists()
+        assert qty_assets["asset_id"].str.isdigit().all()
+        assert qty_assets["target_path"].str.contains("R_order_qty_sum").all()
+    # row-level exemption: any P2 status-enum violation surviving must NOT
+    # carry a whitelisted o_orderkey
+    wl = set(rec["asset_id"].astype(str))
+    v = res["violations"].get("R_status_enum")
+    if v is not None and len(v):
+        assert not v["o_orderkey"].astype(str).isin(wl).any()
