@@ -1,0 +1,116 @@
+"""Notification dispatch — severity-grouped alert batching + HTML rendering
+(reference ``NotificationDispatcherOperator``,
+`plugins/operators/dispatcher.py:46-139`).
+
+The reference groups a run's alerts by severity, sends ONE batched email for
+all P0 alerts, ONE for all P2 alerts, and individual messages for everything
+else, with configurable subject templates (``{severity}_subject`` formatted
+with the batch id). This module reproduces that exact grouping and the HTML
+table body as pure rendering; actual delivery is a pluggable ``send``
+callable (this sandbox has no network — the default sink collects the
+rendered messages, which is also what the tests assert on).
+"""
+
+from __future__ import annotations
+
+import html
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+
+@dataclass
+class AlertItem:
+    rule_id: str
+    severity: str
+    title: str
+    content: str
+    trigger_ids: list[str] = field(default_factory=list)
+
+
+def build_alerts(result: dict[str, Any], rules: list | None = None
+                 ) -> list[AlertItem]:
+    """Alert items from a ``run_governance`` result: every P0 hit set and
+    every post-exemption P2 violation becomes one alert, title/trigger-id
+    field taken from the rule's YAML ``alert`` config when present."""
+    cfg = {r.rule_id: r.alert for r in (rules or [])}
+    items: list[AlertItem] = []
+    for sev, group in (("P0", result.get("alerts", {})),
+                       ("P2", result.get("violations", {}))):
+        for rid, hits in group.items():
+            a = cfg.get(rid, {})
+            tid_field = a.get("trigger_id_field")
+            tids = (hits[tid_field].astype(str).tolist()
+                    if tid_field and tid_field in getattr(hits, "columns", [])
+                    else [])
+            items.append(AlertItem(
+                rule_id=rid, severity=sev,
+                title=a.get("title", f"[{sev}] rule {rid} hit"),
+                content=f"{len(hits)} rows hit rule {rid}",
+                trigger_ids=tids))
+    return items
+
+
+def render_subject(severity: str, batch_id: str, count: int,
+                   templates: dict[str, str] | None = None) -> str:
+    """Configurable subject (dispatcher.py:162-196): template key
+    ``{severity.lower()}_subject`` formatted with batch_id/count."""
+    tmpl = (templates or {}).get(f"{severity.lower()}_subject")
+    if tmpl:
+        return tmpl.format(batch_id=batch_id, count=count, severity=severity)
+    return f"[{severity}] {batch_id} - {count} alert(s)"
+
+
+_SEV_COLOR = {"P0": "#c0392b", "P1": "#d68910", "P2": "#2874a6"}
+
+
+def render_html_body(alerts: list[AlertItem], batch_id: str) -> str:
+    """Severity-grouped HTML table body (the reference's batch-email body)."""
+    rows = []
+    for a in alerts:
+        tids = ", ".join(a.trigger_ids[:20])
+        if len(a.trigger_ids) > 20:
+            tids += f", … (+{len(a.trigger_ids) - 20})"
+        rows.append(
+            f"<tr><td style=\"color:{_SEV_COLOR.get(a.severity, '#333')}\">"
+            f"{html.escape(a.severity)}</td>"
+            f"<td>{html.escape(a.rule_id)}</td>"
+            f"<td>{html.escape(a.title)}</td>"
+            f"<td>{html.escape(a.content)}</td>"
+            f"<td>{html.escape(tids)}</td></tr>")
+    return (
+        f"<h3>Governance alerts — batch {html.escape(batch_id)}</h3>"
+        "<table border=\"1\" cellpadding=\"4\" cellspacing=\"0\">"
+        "<tr><th>severity</th><th>rule</th><th>title</th>"
+        "<th>detail</th><th>trigger ids</th></tr>"
+        + "".join(rows) + "</table>")
+
+
+def dispatch(alerts: list[AlertItem], batch_id: str = "run",
+             templates: dict[str, str] | None = None,
+             send: Callable[[str, str], None] | None = None
+             ) -> list[dict[str, Any]]:
+    """Group and deliver alerts exactly like the reference dispatcher:
+    P0 → one batched message, P2 → one batched message, everything else →
+    one message each. Returns the rendered messages (subject, html, rule
+    ids); ``send(subject, html)`` is called per message when given."""
+    p0 = [a for a in alerts if a.severity == "P0"]
+    p2 = [a for a in alerts if a.severity == "P2"]
+    other = [a for a in alerts if a.severity not in ("P0", "P2")]
+
+    messages: list[dict[str, Any]] = []
+    for sev, batch in (("P0", p0), ("P2", p2)):
+        if batch:
+            messages.append({
+                "subject": render_subject(sev, batch_id, len(batch),
+                                          templates),
+                "html": render_html_body(batch, batch_id),
+                "rules": [a.rule_id for a in batch]})
+    for a in other:
+        messages.append({
+            "subject": render_subject(a.severity, batch_id, 1, templates),
+            "html": render_html_body([a], batch_id),
+            "rules": [a.rule_id]})
+    if send is not None:
+        for m in messages:
+            send(m["subject"], m["html"])
+    return messages

@@ -93,3 +93,51 @@ def test_governance_asset_records_and_exemption_field(tmp_path):
     v = res["violations"].get("R_status_enum")
     if v is not None and len(v):
         assert not v["o_orderkey"].astype(str).isin(wl).any()
+
+
+def test_notification_dispatch_grouping():
+    """Dispatcher semantics (reference dispatcher.py:46-139): P0 alerts batch
+    into ONE message, P2 alerts batch into ONE message, other severities go
+    out individually; subjects honor configured templates."""
+    from dataquality_box_ray.pipelines.notify import (AlertItem, dispatch,
+                                                      render_html_body)
+
+    alerts = [
+        AlertItem("R1", "P0", "null keys", "12 rows hit rule R1", ["a", "b"]),
+        AlertItem("R2", "P0", "orphans", "3 rows hit rule R2"),
+        AlertItem("R3", "P2", "sla", "5 rows hit rule R3", ["x"]),
+        AlertItem("R4", "P1", "notice", "1 row hit rule R4"),
+    ]
+    sent = []
+    msgs = dispatch(alerts, batch_id="b1",
+                    templates={"p0_subject": "{batch_id} SLA ({count})"},
+                    send=lambda s, h: sent.append(s))
+    assert len(msgs) == 3                       # P0 batch, P2 batch, one P1
+    assert msgs[0]["rules"] == ["R1", "R2"]
+    assert msgs[0]["subject"] == "b1 SLA (2)"   # template applied
+    assert msgs[1]["rules"] == ["R3"]
+    assert msgs[2]["rules"] == ["R4"]
+    assert len(sent) == 3
+    body = render_html_body(alerts, "b1")
+    assert "R1" in body and "null keys" in body and "<table" in body
+
+
+def test_build_alerts_from_governance():
+    from dataquality_box_ray.pipelines.notify import build_alerts, dispatch
+    from dataquality_box_ray.rules import engine
+    import pathlib
+
+    pack = pathlib.Path(
+        "dataquality_box_ray/rules/packs/tpch")
+    rules = engine.load_rule_pack(pack)
+    res = run_governance(SF)
+    alerts = build_alerts(res, rules)
+    sev = {a.severity for a in alerts}
+    assert sev <= {"P0", "P2"}
+    # status-enum P2 alert carries its configured title + trigger ids
+    p2 = [a for a in alerts if a.rule_id == "R_status_enum"]
+    if p2:
+        assert p2[0].title == "[P2] order status outside enum"
+        assert p2[0].trigger_ids
+    msgs = dispatch(alerts, batch_id="sf0.001")
+    assert all(m["subject"] for m in msgs)
