@@ -165,6 +165,15 @@ def scan_once(source_path: str, ts_col: str, watermark_file: str,
     hi = min(max_ts, (wm + window) if wm is not None else max_ts)
     batch = pruned_window_read(source_path, ts_col, lo, hi, per_file)
     result = process_fn(batch)
-    n = result if isinstance(result, int) else batch.count()
+    if isinstance(result, int):
+        n = result
+    else:
+        # the caller did not report a count: count from the (bounded) window
+        # itself. materialize() first so the scan runs once — a second
+        # batch.count() would re-execute the pruned read the caller already
+        # consumed; the window is ≤ one `window` span, so holding it in the
+        # (spillable) object store is the cheaper side of the trade.
+        batch = batch.materialize()
+        n = batch.count()
     save_watermark(watermark_file, hi)          # commit AFTER dispatch
     return {"processed": n, "watermark": hi, "skipped": False}
