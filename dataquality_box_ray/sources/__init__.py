@@ -80,3 +80,7 @@ register_source("pandas", ray.data.from_pandas)
 register_source("arrow", ray.data.from_arrow)
 if hasattr(ray.data, "read_sql"):
     register_source("sql", ray.data.read_sql)
+
+from dataquality_box_ray.sources.timeseries import read_timeseries  # noqa: E402
+
+register_source("timeseries", read_timeseries)

@@ -1,0 +1,126 @@
+"""Windowed time-series extraction as a custom Ray ``Datasource`` (S2).
+
+The reference's ``InfluxDBExtractor.extract_single``
+(`plugins/infra/extractors/influxdb_extractor.py:18-71`) runs one Flux query
+through the vendor SDK on a single worker, collects every record into a
+Python list, drops the store's internal metadata columns (``result``,
+``table``, ``_start``, ``_stop``) and returns one DataFrame. That shape —
+one connection, one full materialization — is exactly what does not survive
+cluster scale, so the rebuild expresses the same semantics as a Ray
+``Datasource``:
+
+* the query's ``[start, stop)`` range is split into ``parallelism`` disjoint
+  windows on the driver (cheap: arithmetic only, no I/O);
+* each ``ReadTask`` executes the injected client for its own window on a
+  worker, so extraction bandwidth scales with the cluster and blocks enter
+  the object store where they were fetched;
+* meta-column dropping and the empty-result contract (an empty typed table,
+  not an error — reference `influxdb_extractor.py:58-60`) happen per task.
+
+The client is an injected ``query_fn(start, stop) -> list[dict] | Table``
+rather than a hard SDK dependency (no time-series store or vendor SDK exists
+in this sandbox; a real deployment passes a thin Flux-range closure). It
+must be picklable — a top-level function or ``functools.partial``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterable
+
+import pyarrow as pa
+
+import ray.data
+from ray.data.block import BlockMetadata
+from ray.data.datasource import Datasource, ReadTask
+
+#: store-internal metadata columns, dropped like the reference does
+#: (`influxdb_extractor.py:62-64`).
+META_COLS = ("result", "table", "_start", "_stop")
+
+
+def _records_to_table(records, schema: pa.Schema | None) -> pa.Table:
+    """records → Arrow table, meta columns dropped, empty-safe."""
+    if isinstance(records, pa.Table):
+        tbl = records
+    elif not records:
+        return pa.table({}) if schema is None else schema.empty_table()
+    else:
+        tbl = pa.Table.from_pylist(list(records), schema=schema)
+    drop = [c for c in META_COLS if c in tbl.column_names]
+    return tbl.drop_columns(drop) if drop else tbl
+
+
+def _make_read_fn(query_fn: Callable, w0, w1, schema: pa.Schema | None,
+                  ) -> Callable[[], Iterable[pa.Table]]:
+    def read_fn() -> Iterable[pa.Table]:
+        yield _records_to_table(query_fn(w0, w1), schema)
+    return read_fn
+
+
+class TimeSeriesDatasource(Datasource):
+    """Range-partitioned pull from a time-series store.
+
+    Parameters
+    ----------
+    query_fn:
+        ``(window_start, window_stop) -> list[dict] | pyarrow.Table``.
+        Runs ON THE WORKER, once per read task, for that task's window only.
+    start, stop:
+        Overall query range (numeric or anything supporting ``+``/``-``/
+        division by int, e.g. epoch seconds or ``datetime`` + ``timedelta``
+        arithmetic via ``step``).
+    step:
+        Optional explicit window width; defaults to an even
+        ``(stop - start) / parallelism`` split.
+    schema:
+        Optional Arrow schema for the records (also the empty-result schema,
+        so zero-record windows don't degrade the dataset schema).
+    """
+
+    def __init__(self, query_fn: Callable, start, stop, *,
+                 step=None, schema: pa.Schema | None = None):
+        if not (stop > start):
+            raise ValueError(f"empty query range: start={start!r} stop={stop!r}")
+        self._query_fn = query_fn
+        self._start, self._stop, self._step = start, stop, step
+        self._schema = schema
+
+    def get_name(self) -> str:
+        return "TimeSeries"
+
+    def estimate_inmemory_data_size(self):
+        return None  # unknown until the store is queried
+
+    def _windows(self, parallelism: int):
+        """Disjoint [w0, w1) windows covering [start, stop) exactly."""
+        if self._step is not None:
+            w0, out = self._start, []
+            while w0 < self._stop:
+                w1 = min(w0 + self._step, self._stop)
+                out.append((w0, w1))
+                w0 = w1
+            return out
+        span = self._stop - self._start
+        n = max(1, parallelism)
+        return [(self._start + span * i / n, self._start + span * (i + 1) / n)
+                for i in range(n - 1)] + \
+               [(self._start + span * (n - 1) / n, self._stop)]
+
+    def get_read_tasks(self, parallelism: int) -> list[ReadTask]:
+        tasks = []
+        for w0, w1 in self._windows(parallelism):
+            meta = BlockMetadata(num_rows=None, size_bytes=None,
+                                 exec_stats=None,
+                                 input_files=[f"window[{w0},{w1})"])
+            tasks.append(ReadTask(
+                _make_read_fn(self._query_fn, w0, w1, self._schema), meta))
+        return tasks
+
+
+def read_timeseries(query_fn: Callable, start, stop, *, step=None,
+                    schema: pa.Schema | None = None,
+                    **read_kwargs) -> "ray.data.Dataset":
+    """Registry-facing factory: ``sources.read("timeseries", ...)``."""
+    return ray.data.read_datasource(
+        TimeSeriesDatasource(query_fn, start, stop, step=step, schema=schema),
+        **read_kwargs)

@@ -136,3 +136,52 @@ def test_pruned_window_read_skips_files(tmp_path):
                                pd.Timestamp("2030-01-02"))
     assert empty.count() == 0
     assert set(empty.schema().names) == {"ts", "v"}
+
+
+def test_timeseries_datasource():
+    """S2: windowed time-series Datasource — per-task window pull, meta-col
+    drop, exactly-once coverage of the range, empty-window schema stability."""
+    import pyarrow as pa
+
+    from dataquality_box_ray import sources
+    from dataquality_box_ray.sources.timeseries import META_COLS
+
+    # local def → cloudpickle ships it by value (test module isn't
+    # importable on Ray workers)
+    def _fake_flux_client(w0, w1):
+        """Deterministic stand-in for a Flux range query: one record per
+        integer second in [w0, w1), with the store's internal meta columns."""
+        return [
+            {"result": "_r", "table": 0, "_start": w0, "_stop": w1,
+             "ts": t, "value": float(t) * 0.5, "sensor": f"s{t % 3}"}
+            for t in range(int(-(-w0 // 1)), int(-(-w1 // 1)))
+            if w0 <= t < w1
+        ]
+
+    ds = sources.read("timeseries", _fake_flux_client, 0, 1000,
+                      override_num_blocks=8)
+    out = ds.to_pandas().sort_values("ts").reset_index(drop=True)
+    # exactly-once: disjoint windows cover [0, 1000) with no dup/gap
+    assert list(out.ts) == list(range(1000))
+    assert (out.value == out.ts * 0.5).all()
+    # meta columns dropped like the reference extractor
+    assert not set(META_COLS) & set(out.columns)
+    # parallel read: one block per window
+    assert ds.materialize().num_blocks() == 8
+
+    # explicit step → ceil(range/step) windows, last one clamped to stop
+    from dataquality_box_ray.sources.timeseries import TimeSeriesDatasource
+    src2 = TimeSeriesDatasource(_fake_flux_client, 0, 100, step=30)
+    assert src2._windows(1) == [(0, 30), (30, 60), (60, 90), (90, 100)]
+    ds2 = sources.read("timeseries", _fake_flux_client, 0, 100, step=30)
+    assert ds2.count() == 100
+
+    # empty result → typed empty table, not an error
+    schema = pa.schema([("ts", pa.int64()), ("value", pa.float64()),
+                        ("sensor", pa.string())])
+    empty = sources.read("timeseries", lambda a, b: [], 0, 10, schema=schema)
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"ts", "value", "sensor"}
+
+    with pytest.raises(ValueError, match="empty query range"):
+        TimeSeriesDatasource(_fake_flux_client, 5, 5)
