@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # documents / text analysis
         "doc_token_stats": q.doc_token_stats,
         "doc_quality_scores": q.doc_quality_scores,
+        "doc_repetition_stats": q.doc_repetition_stats,
         "doc_lang_heuristic": q.doc_lang_heuristic,
         "doc_exact_dedup": q.doc_exact_dedup,
         "doc_minhash_dedup": q.doc_minhash_dedup,

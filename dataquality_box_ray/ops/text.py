@@ -105,3 +105,112 @@ def line_stats(ds: "ray.data.Dataset", text_col: str = "text",
             else t[text_col], "")
         return t.append_column("max_line_len", pa.array(max_line_lengths(text)))
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021, table A1 — public
+# paper constants; top_word_frac adapts the top-2-gram rule to unigrams).
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_TOP_WORD_FRAC = 0.20
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.10
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.30
+GOPHER_MAX_BULLET_LINE_FRAC = 0.90
+
+
+def _per_doc_flat_stats(flat: pa.Array, doc_idx: np.ndarray, n_docs: int):
+    """(distinct count, total count, per-doc max multiplicity) of flattened
+    string items grouped by ``doc_idx`` — dictionary-encode + integer-key
+    np.unique, no Python/object-dtype groupby."""
+    n_total = np.bincount(doc_idx, minlength=n_docs).astype(np.float64)
+    if len(flat) == 0:
+        z = np.zeros(n_docs)
+        return z, n_total, z
+    codes = pc.dictionary_encode(flat).indices.to_numpy(zero_copy_only=False)
+    n_codes = int(codes.max()) + 1
+    keys = doc_idx.astype(np.int64) * n_codes + codes
+    uniq, counts = np.unique(keys, return_counts=True)
+    udoc = uniq // n_codes
+    n_distinct = np.bincount(udoc, minlength=n_docs).astype(np.float64)
+    top = np.zeros(n_docs)
+    np.maximum.at(top, udoc, counts.astype(np.float64))
+    return n_distinct, n_total, top
+
+
+def repetition_stats(ds: "ray.data.Dataset", text_col: str = "text",
+                     ) -> "ray.data.Dataset":
+    """Gopher/C4-style repetition + symbol signals per document.
+
+    Emits ``dup_line_frac`` (1 − distinct/total over non-empty lines),
+    ``top_word_frac`` (most-frequent word's share of all words),
+    ``symbol_word_ratio`` ('#' + '...' occurrences per word),
+    ``ellipsis_line_frac``, ``bullet_line_frac``, and the combined
+    ``gopher_keep`` flag at the published thresholds. All metrics are
+    whole-batch vectorized: Arrow split/regex kernels → dictionary-encode →
+    integer-key np.unique/bincount (the reconcile-kernel pattern); no
+    object-dtype groupby, no per-row Python.
+
+    Same operator family as the reference's content-heuristic predicate
+    rules (`plugins/dq_lib/rule_engine.py` predicate evaluation); the
+    signals themselves are from the public Gopher paper.
+    """
+    import functools
+    return ds.map_batches(functools.partial(_repetition_batch, text_col=text_col),
+                          batch_format="pyarrow")
+
+
+def _repetition_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
+        text = pc.fill_null(t[text_col], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_docs = len(text)
+
+        # ---- lines ------------------------------------------------------
+        lines = pc.split_pattern(text, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        offsets = lines.offsets.to_numpy(zero_copy_only=False)
+        flat = lines.flatten()
+        doc_idx = np.repeat(np.arange(n_docs), np.diff(offsets))
+        nonempty = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        flat_ne, idx_ne = flat.filter(pa.array(nonempty)), doc_idx[nonempty]
+        n_distinct, n_lines, _ = _per_doc_flat_stats(flat_ne, idx_ne, n_docs)
+        line_denom = np.maximum(n_lines, 1.0)
+        dup_line_frac = np.where(n_lines > 0, 1.0 - n_distinct / line_denom, 0.0)
+
+        ell = pc.ends_with(flat_ne, "...").to_numpy(zero_copy_only=False)
+        bul = pc.match_substring_regex(flat_ne, r"^\s*[-*•]").to_numpy(
+            zero_copy_only=False)
+        ellipsis_line_frac = np.bincount(
+            idx_ne, weights=ell, minlength=n_docs) / line_denom
+        bullet_line_frac = np.bincount(
+            idx_ne, weights=bul, minlength=n_docs) / line_denom
+
+        # ---- words ------------------------------------------------------
+        words = pc.split_pattern_regex(text, r"[^A-Za-z0-9_]+")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        woff = words.offsets.to_numpy(zero_copy_only=False)
+        wflat = words.flatten()
+        widx = np.repeat(np.arange(n_docs), np.diff(woff))
+        wne = pc.greater(pc.utf8_length(wflat), 0).to_numpy(zero_copy_only=False)
+        _, n_words, top = _per_doc_flat_stats(
+            wflat.filter(pa.array(wne)), widx[wne], n_docs)
+        word_denom = np.maximum(n_words, 1.0)
+        top_word_frac = top / word_denom
+
+        n_sym = (pc.count_substring(text, "#").to_numpy(zero_copy_only=False)
+                 + pc.count_substring_regex(text, r"\.\.\.").to_numpy(
+                     zero_copy_only=False)).astype(np.float64)
+        symbol_word_ratio = n_sym / word_denom
+
+        keep = ((dup_line_frac <= GOPHER_MAX_DUP_LINE_FRAC)
+                & (top_word_frac <= GOPHER_MAX_TOP_WORD_FRAC)
+                & (symbol_word_ratio <= GOPHER_MAX_SYMBOL_WORD_RATIO)
+                & (ellipsis_line_frac <= GOPHER_MAX_ELLIPSIS_LINE_FRAC)
+                & (bullet_line_frac <= GOPHER_MAX_BULLET_LINE_FRAC))
+        return (t.append_column("dup_line_frac", pa.array(dup_line_frac))
+                 .append_column("top_word_frac", pa.array(top_word_frac))
+                 .append_column("symbol_word_ratio", pa.array(symbol_word_ratio))
+                 .append_column("ellipsis_line_frac", pa.array(ellipsis_line_frac))
+                 .append_column("bullet_line_frac", pa.array(bullet_line_frac))
+                 .append_column("gopher_keep", pa.array(keep)))

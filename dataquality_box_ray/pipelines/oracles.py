@@ -404,6 +404,68 @@ def build() -> dict[str, str]:
         GROUP BY text ORDER BY doc_id
     """
 
+    # Gopher-style repetition signals (ops/text.py repetition_stats).
+    # Float-op ordering mirrors the kernel exactly (1.0 - d/n, x / max(n,1))
+    # so IEEE doubles hash-match bit for bit.
+    sql["doc_repetition_stats"] = r"""
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+        nel AS (
+          SELECT doc_id, l FROM (
+            SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM d)
+          WHERE length(l) > 0),
+        lstats AS (
+          SELECT doc_id,
+                 count(*)::DOUBLE AS n_lines,
+                 count(DISTINCT l)::DOUBLE AS n_distinct,
+                 sum(CASE WHEN l LIKE '%...' THEN 1 ELSE 0 END)::DOUBLE AS n_ell,
+                 sum(CASE WHEN regexp_matches(l, '^\s*[-*•]')
+                          THEN 1 ELSE 0 END)::DOUBLE AS n_bul
+          FROM nel GROUP BY doc_id),
+        wstats AS (
+          SELECT doc_id, sum(cnt)::DOUBLE AS n_words,
+                 max(cnt)::DOUBLE AS top_cnt
+          FROM (
+            SELECT doc_id, w, count(*) AS cnt FROM (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '[^A-Za-z0-9_]+')) AS w
+              FROM d)
+            WHERE length(w) > 0 GROUP BY doc_id, w)
+          GROUP BY doc_id),
+        sym AS (
+          SELECT doc_id,
+                 ((length(text) - length(replace(text, '#', '')))
+                  + len(regexp_extract_all(text, '\.\.\.')))::DOUBLE AS n_sym
+          FROM d)
+        SELECT d.doc_id,
+               CASE WHEN coalesce(l.n_lines, 0) > 0
+                    THEN 1.0 - (l.n_distinct / l.n_lines) ELSE 0.0
+                    END AS dup_line_frac,
+               coalesce(w.top_cnt, 0) / greatest(coalesce(w.n_words, 0), 1.0)
+                   AS top_word_frac,
+               s.n_sym / greatest(coalesce(w.n_words, 0), 1.0)
+                   AS symbol_word_ratio,
+               coalesce(l.n_ell, 0) / greatest(coalesce(l.n_lines, 0), 1.0)
+                   AS ellipsis_line_frac,
+               coalesce(l.n_bul, 0) / greatest(coalesce(l.n_lines, 0), 1.0)
+                   AS bullet_line_frac,
+               (CASE WHEN
+                  CASE WHEN coalesce(l.n_lines, 0) > 0
+                       THEN 1.0 - (l.n_distinct / l.n_lines) ELSE 0.0 END <= 0.30
+                  AND coalesce(w.top_cnt, 0)
+                      / greatest(coalesce(w.n_words, 0), 1.0) <= 0.20
+                  AND s.n_sym / greatest(coalesce(w.n_words, 0), 1.0) <= 0.10
+                  AND coalesce(l.n_ell, 0)
+                      / greatest(coalesce(l.n_lines, 0), 1.0) <= 0.30
+                  AND coalesce(l.n_bul, 0)
+                      / greatest(coalesce(l.n_lines, 0), 1.0) <= 0.90
+                THEN 1 ELSE 0 END)::BIGINT AS gopher_keep
+        FROM d
+        LEFT JOIN lstats l USING (doc_id)
+        LEFT JOIN wstats w USING (doc_id)
+        JOIN sym s USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
     # ---- embeddings ------------------------------------------------------
     # ---- sketch / model queries: single-process-oracle Parquet dumps -----
     # (sketch algebra / kmeans / scorers aren't SQL-expressible; the dump is

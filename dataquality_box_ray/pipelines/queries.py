@@ -538,6 +538,17 @@ def doc_quality_scores(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition/symbol signals + keep flag per document."""
+    out = text.repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"])) \
+        .to_pandas()
+    out = out[["doc_id", "dup_line_frac", "top_word_frac",
+               "symbol_word_ratio", "ellipsis_line_frac", "bullet_line_frac",
+               "gopher_keep"]]
+    out["gopher_keep"] = out.gopher_keep.astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_lang_heuristic(sf_dir: str) -> pd.DataFrame:
     from ..stages.heuristics import content_lang_heuristic
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -133,6 +133,43 @@ def test_text_ops():
     assert (fp_per_text == 1).all()
 
 
+def test_repetition_stats_line_and_word_metrics():
+    """Gopher repetition signals on crafted multi-line docs (the synthetic
+    corpus is single-line, so the oracle can't exercise line metrics)."""
+    import pyarrow as pa
+
+    docs = [
+        "one two three four five\nsix seven eight nine ten",  # clean → keep
+        "x y\nx y\nz w",                       # dup lines 1-2/3 > 0.30
+        "alpha beta...\ngamma delta...\nepsilon zeta",  # ellipsis 2/3 > 0.30
+        "- alpha one\n- beta two\ngamma three",         # bullets 2/3 ≤ 0.90
+        "- a\n- b\n- c",                                # bullets 3/3 > 0.90
+        "# hdr\nplain line here\nmore words go here",   # sym 1/8 > 0.10
+        "",                                             # degenerate → keep
+    ]
+    t = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+    out = text._repetition_batch(t).to_pandas()
+
+    assert out.dup_line_frac.tolist() == [
+        0.0, 1.0 - 2.0 / 3.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    assert out.ellipsis_line_frac.tolist() == [
+        0.0, 0.0, 2.0 / 3.0, 0.0, 0.0, 0.0, 0.0]
+    assert out.bullet_line_frac.tolist() == [
+        0.0, 0.0, 0.0, 2.0 / 3.0, 1.0, 0.0, 0.0]
+    assert out.top_word_frac.tolist() == [
+        1.0 / 10.0, 2.0 / 6.0, 1.0 / 6.0, 1.0 / 6.0, 1.0 / 3.0,
+        2.0 / 8.0, 0.0]
+    assert out.symbol_word_ratio.tolist() == [
+        0.0, 0.0, 2.0 / 6.0, 0.0, 0.0, 1.0 / 8.0, 0.0]
+    assert out.gopher_keep.tolist() == [
+        True, False, False, True, False, False, True]
+
+    # Dataset path produces the same rows
+    ds_out = (text.repetition_stats(ray.data.from_arrow(t))
+              .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(ds_out, out)
+
+
 def test_min_label_propagation_matches_union_find():
     # chain 1-2-3 (needs >1 round), star 5-7/7-9/9-11, pair 20-21
     e = pd.DataFrame({"id_a": [1, 2, 5, 7, 9, 20],
