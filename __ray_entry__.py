@@ -72,7 +72,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality_scores": q.doc_quality_scores,
         "doc_repetition_stats": q.doc_repetition_stats,
         "doc_lang_heuristic": q.doc_lang_heuristic,
+        "doc_decontaminate": q.doc_decontaminate,
+        "doc_top_terms": q.doc_top_terms,
         "doc_exact_dedup": q.doc_exact_dedup,
+        "doc_line_dedup": q.doc_line_dedup,
         "doc_minhash_dedup": q.doc_minhash_dedup,
         "doc_simhash_pairs": q.doc_simhash_pairs,
         "doc_fingerprints": q.doc_fingerprints,

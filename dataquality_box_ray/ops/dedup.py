@@ -616,3 +616,88 @@ def embedding_near_dup(ds: "ray.data.Dataset", emb_col: str, id_col: str,
     if "id_a" not in pairs.columns:          # all buckets empty → schema lost
         pairs = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
     return pairs.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
+
+
+def line_dedup(ds: "ray.data.Dataset", text_col: str = "text",
+               id_col: str = "doc_id", n_buckets: int = 64,
+               ) -> "ray.data.Dataset":
+    """Cross-document line-level exact dedup: keep only the globally-first
+    occurrence of every distinct line (ordered by (id, line_index)) and
+    reassemble each document from its surviving lines (C4-style repeated-line
+    removal, Raffel et al. 2020 §2.2 — same dedup-vs-sink family as the
+    reference's reconciliation dedup, `plugins/services/
+    reconciliation_runner.py:586-601`, at line granularity).
+
+    Returns (id_col, clean_text, n_lines_kept); documents whose every line
+    was seen earlier elsewhere come back with clean_text="" / 0.
+
+    Scale shape: two data shuffles, no joins, no driver state —
+      1. explode to (id, line_idx, line) + hash(line) % ``n_buckets``
+         (vectorized Arrow split + np.repeat, no per-row Python);
+      2. groupby(bucket): all instances of a line land in one group; a
+         pandas sort + drop_duplicates keeps the (id, line_idx)-min instance;
+      3. union with one sentinel row per document, groupby(doc-bucket), and
+         vectorized per-bucket reassembly (sort + grouped join).
+    Line text crosses the wire twice (winner shuffle + reassembly), which is
+    the floor for a global dedup that must rebuild documents. Per-doc line
+    index is int64; documents are assumed under 2**31 lines each.
+    """
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t[text_col], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lines = pc.split_pattern(text, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        counts = np.diff(lines.offsets.to_numpy(zero_copy_only=False))
+        id_arr = t[id_col]
+        if isinstance(id_arr, pa.ChunkedArray):
+            id_arr = id_arr.combine_chunks()
+        ids = np.repeat(id_arr.to_numpy(zero_copy_only=False), counts)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        li = np.arange(counts.sum(), dtype=np.int64) - np.repeat(starts, counts)
+        flat = lines.flatten()
+        bucket = bucket_of(pd.Series(flat.to_pandas()), n_buckets)
+        return pa.table({id_col: pa.array(ids), "__li": pa.array(li),
+                         "__line": flat, "__bucket": pa.array(bucket)})
+
+    def keep_first(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([id_col, "__li"], kind="mergesort")
+        return df.drop_duplicates("__line", keep="first")[
+            [id_col, "__li", "__line"]]
+
+    def sentinels(df: pd.DataFrame) -> pd.DataFrame:
+        # pandas block to match keep_first's output schema in the union
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "__li": np.full(len(df), -1, dtype=np.int64),
+            "__line": np.full(len(df), "", dtype=object)})
+
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        b = bucket_of(pd.Series(t[id_col].to_pandas()), n_buckets)
+        return t.replace_schema_metadata(None).append_column(
+            "__dbucket", pa.array(b))
+
+    def reassemble(df: pd.DataFrame) -> pd.DataFrame:
+        real = df[df["__li"] >= 0].sort_values([id_col, "__li"],
+                                               kind="mergesort")
+        joined = real.groupby(id_col, sort=True)["__line"].agg("\n".join)
+        counts = real.groupby(id_col, sort=True).size()
+        out = pd.DataFrame({id_col: np.sort(df[id_col].unique())})
+        out["clean_text"] = out[id_col].map(joined).fillna("").astype(str)
+        out["n_lines_kept"] = (out[id_col].map(counts).fillna(0)
+                               .astype(np.int64))
+        return out
+
+    kept = (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda d: keep_first(d.drop(columns=["__bucket"])),
+                        batch_format="pandas"))
+    marked = ds.map_batches(sentinels, batch_format="pandas")
+    return (kept.union(marked)
+            .map_batches(add_doc_bucket, batch_format="pyarrow")
+            .groupby("__dbucket")
+            .map_groups(lambda d: reassemble(d.drop(columns=["__dbucket"])),
+                        batch_format="pandas"))

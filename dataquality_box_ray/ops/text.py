@@ -214,3 +214,161 @@ def _repetition_batch(t: pa.Table, text_col: str = "text") -> pa.Table:
                  .append_column("ellipsis_line_frac", pa.array(ellipsis_line_frac))
                  .append_column("bullet_line_frac", pa.array(bullet_line_frac))
                  .append_column("gopher_keep", pa.array(keep)))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (token n-gram membership against a fixed set)
+# ---------------------------------------------------------------------------
+
+_NGRAM_MUL = np.uint64(0x100000001B3)
+_DECONTAM_N = 8          # token n-gram length (GPT-3 used 13; configurable)
+
+
+def _norm_tokens(text: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """lowercase → [a-z0-9]+ tokens, flattened, with per-doc index."""
+    low = pc.utf8_lower(pc.fill_null(text, ""))
+    parts = pc.split_pattern_regex(low, r"[^a-z0-9]+")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    counts = np.diff(parts.offsets.to_numpy(zero_copy_only=False))
+    flat = parts.flatten()
+    doc_idx = np.repeat(np.arange(len(text)), counts)
+    ne = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    return flat.filter(pa.array(ne)), doc_idx[ne]
+
+
+def _ngram_hashes(tok_hash: np.ndarray, doc_idx: np.ndarray, n: int
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling hash of every within-document token n-gram (vectorized).
+    Returns (window_hash, window_doc_idx)."""
+    L = len(tok_hash)
+    if L < n:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    m = L - n + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    mul = np.uint64(1)
+    with np.errstate(over="ignore"):          # uint64 wraparound is the hash
+        for j in range(n):
+            acc += tok_hash[j:j + m] * mul
+            mul = mul * _NGRAM_MUL
+    ok = doc_idx[:m] == doc_idx[n - 1:]
+    return acc[ok], doc_idx[:m][ok]
+
+
+def _hash_tokens(flat: pa.Array) -> np.ndarray:
+    """Stable uint64 hash per token (pandas siphash with fixed key —
+    identical across processes/nodes)."""
+    return pd.util.hash_array(np.asarray(flat.to_pandas(), dtype=object),
+                              categorize=False)
+
+
+def ngram_set_of(phrases: list[str], n: int = _DECONTAM_N) -> np.ndarray:
+    """Driver-side: sorted uint64 hash array of the FIRST n-token n-gram of
+    each normalized phrase (phrases shorter than n tokens are skipped)."""
+    hashes = []
+    for p in phrases:
+        t = pa.array([p], type=pa.string())
+        flat, _ = _norm_tokens(t)
+        if len(flat) < n:
+            continue
+        th = _hash_tokens(flat)[:n]
+        h, _ = _ngram_hashes(th, np.zeros(n, np.int64), n)
+        hashes.append(h[0])
+    return np.sort(np.asarray(hashes, dtype=np.uint64))
+
+
+def decontaminate(ds: "ray.data.Dataset", benchmark_hashes: np.ndarray,
+                  text_col: str = "text", n: int = _DECONTAM_N,
+                  flag_col: str = "contaminated") -> "ray.data.Dataset":
+    """Flag documents containing any benchmark token n-gram (training-data
+    decontamination, Brown et al. 2020 appendix C). The benchmark set is a
+    fixed-size sorted uint64 array shipped once via ``ray.put`` and
+    binary-searched per batch — zero shuffle, content read exactly once;
+    corpus size never affects the broadcast. Membership is exact on the
+    normalized token sequence (lowercase [a-z0-9]+ tokens) modulo 2^64
+    rolling-hash collisions."""
+    import ray as _ray
+    ref = _ray.put(np.ascontiguousarray(benchmark_hashes))
+    holder: dict = {}
+
+    def fn(t: pa.Table) -> pa.Table:
+        if "b" not in holder:
+            holder["b"] = _ray.get(ref)
+        bench = holder["b"]
+        flat, doc_idx = _norm_tokens(
+            t[text_col].combine_chunks()
+            if isinstance(t[text_col], pa.ChunkedArray) else t[text_col])
+        contaminated = np.zeros(len(t), dtype=bool)
+        if len(flat) and len(bench):
+            th = _hash_tokens(flat)
+            wh, wd = _ngram_hashes(th, doc_idx, n)
+            pos = np.searchsorted(bench, wh)
+            pos[pos == len(bench)] = 0
+            hit = bench[pos] == wh
+            contaminated[wd[hit]] = True
+        return t.append_column(flag_col, pa.array(contaminated))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def top_terms(ds: "ray.data.Dataset", text_col: str = "text",
+              group_col: str = "source", k: int = 20, n_buckets: int = 64,
+              ) -> "ray.data.Dataset":
+    """Top-k terms per group by count (tie-break: term ascending).
+
+    Combiner shape: (1) per-batch partial counts via dictionary-encode +
+    integer-key np.unique — the token stream never leaves the batch;
+    (2) slim (group, term, cnt) partials combined per hash bucket;
+    (3) per-group top-k over distinct-term counts only. Two slim shuffles,
+    no token-level shuffle, hot groups spread across ``n_buckets`` in the
+    combine stage. Same A-family shape as the reference's grouped rule
+    aggregates (`plugins/dq_lib/rule_engine.py` aggregate rules)."""
+    from ..stages.reconcile import bucket_of
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat, doc_idx = _norm_tokens(text)
+        if len(flat) == 0:
+            return pa.table({group_col: pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        gcol = pc.fill_null(t[group_col], "")
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        gdict = pc.dictionary_encode(gcol)
+        gcodes_doc = gdict.indices.to_numpy(zero_copy_only=False)
+        tdict = pc.dictionary_encode(flat)
+        tcodes = tdict.indices.to_numpy(zero_copy_only=False)
+        n_t = len(tdict.dictionary)
+        keys = gcodes_doc[doc_idx].astype(np.int64) * n_t + tcodes
+        uniq, counts = np.unique(keys, return_counts=True)
+        return pa.table({
+            group_col: pc.take(gdict.dictionary, pa.array(uniq // n_t)),
+            "term": pc.take(tdict.dictionary, pa.array(uniq % n_t)),
+            "cnt": pa.array(counts.astype(np.int64))})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        key = pd.Series(t[group_col].to_pandas().astype(str) + "\x1f"
+                        + t["term"].to_pandas().astype(str))
+        return t.replace_schema_metadata(None).append_column(
+            "__bucket", pa.array(bucket_of(key, n_buckets)))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby([group_col, "term"], sort=False)["cnt"].sum()
+               .reset_index())
+        out["cnt"] = out.cnt.astype(np.int64)
+        return out
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cnt", "term"], ascending=[False, True],
+                            kind="mergesort").head(k)
+        return df[[group_col, "term", "cnt"]]
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    combined = (partials.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("__bucket")
+                .map_groups(lambda d: combine(d.drop(columns=["__bucket"])),
+                            batch_format="pandas"))
+    return combined.groupby(group_col).map_groups(topk, batch_format="pandas")

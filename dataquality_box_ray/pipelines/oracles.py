@@ -466,6 +466,78 @@ def build() -> dict[str, str]:
         ORDER BY d.doc_id
     """
 
+    # C4-style cross-document line dedup over decade-leader-suffixed docs
+    # (ops/dedup.line_dedup): keep the globally-first instance of each
+    # distinct line by (doc_id, line_idx), reassemble in line order.
+    sql["doc_line_dedup"] = r"""
+        WITH d AS (
+          SELECT a.doc_id,
+                 coalesce(a.text, '') || chr(10) || coalesce(b.text, '')
+                     AS text
+          FROM documents a
+          JOIN documents b ON b.doc_id = a.doc_id - (a.doc_id % 10)),
+        ln AS (
+          SELECT doc_id,
+                 unnest(string_split(text, chr(10))) AS l,
+                 unnest(generate_series(
+                     1, len(string_split(text, chr(10))))) AS i
+          FROM d),
+        k AS (
+          SELECT doc_id, l, i,
+                 row_number() OVER (PARTITION BY l ORDER BY doc_id, i) AS rn
+          FROM ln)
+        SELECT d.doc_id,
+               coalesce(a.clean_text, '') AS clean_text,
+               coalesce(a.n_lines_kept, 0)::BIGINT AS n_lines_kept
+        FROM d LEFT JOIN (
+          SELECT doc_id,
+                 string_agg(l, chr(10) ORDER BY i) AS clean_text,
+                 count(*)::BIGINT AS n_lines_kept
+          FROM k WHERE rn = 1 GROUP BY doc_id) a USING (doc_id)
+        ORDER BY d.doc_id
+    """
+
+    # Decontamination (ops/text.decontaminate): contains() on space-joined
+    # normalized tokens ⟺ the kernel's rolling-hash n-gram membership
+    # (equal token windows ⟺ padded-substring hit; hashes are 2^64).
+    sql["doc_decontaminate"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 ' ' || array_to_string(
+                     regexp_extract_all(lower(coalesce(text, '')),
+                                        '[a-z0-9]+'), ' ') || ' ' AS hay
+          FROM documents),
+        b AS (
+          SELECT ' ' || array_to_string(
+                     list_slice(regexp_extract_all(lower(coalesce(text, '')),
+                                                   '[a-z0-9]+'), 1, 8),
+                     ' ') || ' ' AS needle
+          FROM documents
+          WHERE doc_id % 50 = 0
+            AND len(regexp_extract_all(lower(coalesce(text, '')),
+                                       '[a-z0-9]+')) >= 8)
+        SELECT d.doc_id,
+               (CASE WHEN EXISTS (SELECT 1 FROM b
+                                  WHERE contains(d.hay, b.needle))
+                     THEN 1 ELSE 0 END)::BIGINT AS contaminated
+        FROM d ORDER BY d.doc_id
+    """
+
+    # Top-k terms per source (ops/text.top_terms); ties broken by term asc.
+    sql["doc_top_terms"] = r"""
+        WITH w AS (
+          SELECT source,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '[a-z0-9]+')) AS term
+          FROM documents),
+        c AS (SELECT source, term, count(*)::BIGINT AS cnt
+              FROM w GROUP BY source, term)
+        SELECT source, term, cnt FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY source ORDER BY cnt DESC, term) <= 20
+        ORDER BY source, cnt DESC, term
+    """
+
     # ---- embeddings ------------------------------------------------------
     # ---- sketch / model queries: single-process-oracle Parquet dumps -----
     # (sketch algebra / kmeans / scorers aren't SQL-expressible; the dump is

@@ -549,6 +549,38 @@ def doc_repetition_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: flag docs containing any 'benchmark'
+    8-token n-gram (the benchmark set = first 8 normalized tokens of every
+    doc_id % 50 == 0 document — a fixed-size list, broadcast once as sorted
+    uint64 rolling hashes; zero shuffle)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_tbl(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy() if not isinstance(t["doc_id"], pa.ChunkedArray) \
+            else t["doc_id"].combine_chunks().to_numpy()
+        return pa.table({"text": t.filter(pa.array(ids % 50 == 0))["text"]})
+
+    phrases = (docs.map_batches(bench_tbl, batch_format="pyarrow")
+               .to_pandas()["text"].tolist())     # benchmark list: fixed-size
+    bench = text.ngram_set_of(phrases, n=8)
+    out = (text.decontaminate(docs, bench, n=8)
+           .select_columns(["doc_id", "contaminated"]).to_pandas())
+    out["contaminated"] = out.contaminated.astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Top-20 terms per source (combiner pattern: batch-local partial counts,
+    bucketed combine, per-group top-k — the token stream never shuffles)."""
+    out = text.top_terms(_read(sf_dir, "documents", ["text", "source"]),
+                         "text", "source", k=20).to_pandas()
+    out["cnt"] = out.cnt.astype(np.int64)
+    return (out.sort_values(["source", "cnt", "term"],
+                            ascending=[True, False, True])
+            .reset_index(drop=True))
+
+
 def doc_lang_heuristic(sf_dir: str) -> pd.DataFrame:
     from ..stages.heuristics import content_lang_heuristic
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -569,6 +601,47 @@ def doc_exact_dedup(sf_dir: str) -> pd.DataFrame:
     out = dedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
                             "text", "doc_id").to_pandas()
     out = out[["doc_id"]].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_line_dedup(sf_dir: str) -> pd.DataFrame:
+    """C4-style cross-document line dedup (keep globally-first occurrence,
+    reassemble docs). The synthetic docs are single-line and all-distinct, so
+    the query first suffixes every doc with its decade-leader's text — each
+    leader line then recurs in ten documents and survives only in the leader
+    (cardinality-aware leader join: broadcast small, hash join at scale)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_dec(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy() if not isinstance(t["doc_id"], pa.ChunkedArray) \
+            else t["doc_id"].combine_chunks().to_numpy()
+        return t.append_column("__dec", pa.array(ids - ids % 10))
+
+    def leaders_tbl(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy() if not isinstance(t["doc_id"], pa.ChunkedArray) \
+            else t["doc_id"].combine_chunks().to_numpy()
+        keep = t.filter(pa.array(ids % 10 == 0))
+        return pa.table({"lead_key": keep["doc_id"], "lead_text": keep["text"]})
+
+    with_dec = docs.map_batches(add_dec, batch_format="pyarrow")
+    leaders = docs.map_batches(leaders_tbl, batch_format="pyarrow")
+    # leader cardinality ∝ data/10: broadcast below the label cap, hash join above
+    if leaders.count() <= 300_000:
+        joined = joins.broadcast_lookup_join(with_dec, leaders.to_pandas(),
+                                             "__dec", "lead_key", ["lead_text"])
+    else:
+        joined = joins.hash_join(with_dec, leaders, "__dec", "lead_key",
+                                 how="inner")
+
+    def suffix(t: pa.Table) -> pa.Table:
+        two = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""), pc.fill_null(t["lead_text"], ""), "\n")
+        return pa.table({"doc_id": t["doc_id"], "text": two})
+
+    ds2 = joined.map_batches(suffix, batch_format="pyarrow")
+    out = dedup.line_dedup(ds2, "text", "doc_id").to_pandas()
+    out["doc_id"] = out.doc_id.astype(np.int64)
+    out = out[["doc_id", "clean_text", "n_lines_kept"]]
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

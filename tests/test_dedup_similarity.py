@@ -170,6 +170,69 @@ def test_repetition_stats_line_and_word_metrics():
     pd.testing.assert_frame_equal(ds_out, out)
 
 
+def test_line_dedup_keep_first_and_reassembly():
+    """Cross-doc line dedup: global keep-first by (doc_id, line_idx),
+    within-doc dups dropped, empty lines participate, all-lines-lost docs
+    still emit a row."""
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["alpha\nbeta\ngamma",
+                 "beta\ndelta\nbeta",
+                 "alpha\ngamma",
+                 "\nepsilon\n",
+                 ""],
+    })
+    out = (dedup.line_dedup(ray.data.from_pandas(pdf), "text", "doc_id",
+                            n_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.doc_id.tolist() == [0, 1, 2, 3, 4]
+    assert out.clean_text.tolist() == [
+        "alpha\nbeta\ngamma", "delta", "", "\nepsilon", ""]
+    assert out.n_lines_kept.tolist() == [3, 1, 0, 2, 0]
+
+
+def test_decontaminate_ngram_membership():
+    """Rolling-hash n-gram decontamination: normalization, token boundaries,
+    short docs, and short benchmark phrases."""
+    from dataquality_box_ray.ops.text import decontaminate, ngram_set_of
+
+    bench = ngram_set_of(
+        ["The quick brown fox jumps over the lazy dog",
+         "too short"],              # < 4 tokens → skipped
+        n=4)
+    assert len(bench) == 1
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4],
+        "text": ["Zebra THE Quick, brown; fox!",   # window match, normalized
+                 "the quick brown wolf",            # no
+                 "prefix xthe quick brown fox",     # token boundary respected
+                 "",                                # empty
+                 "the quick brown"],                # shorter than n
+    })
+    out = (decontaminate(ray.data.from_pandas(pdf), bench, n=4)
+           .to_pandas().sort_values("doc_id"))
+    assert out.contaminated.tolist() == [True, False, False, False, False]
+
+
+def test_top_terms_counts_and_tiebreak():
+    from dataquality_box_ray.ops.text import top_terms
+
+    pdf = pd.DataFrame({
+        "source": ["a", "a", "b", "c"],
+        "text": ["cat cat dog", "dog dog bird", "x y x", "bb aa"],
+    })
+    out = (top_terms(ray.data.from_pandas(pdf), "text", "source", k=2,
+                     n_buckets=4)
+           .to_pandas()
+           .sort_values(["source", "cnt", "term"],
+                        ascending=[True, False, True])
+           .reset_index(drop=True))
+    assert out.values.tolist() == [
+        ["a", "dog", 3], ["a", "cat", 2],
+        ["b", "x", 2], ["b", "y", 1],
+        ["c", "aa", 1], ["c", "bb", 1]]
+
+
 def test_min_label_propagation_matches_union_find():
     # chain 1-2-3 (needs >1 round), star 5-7/7-9/9-11, pair 20-21
     e = pd.DataFrame({"id_a": [1, 2, 5, 7, 9, 20],
