@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_orders": q.unpivot_orders,
         "sessionize_events": q.sessionize_events,
         "tumbling_hour_counts": q.tumbling_hour_counts,
+        "events_running_total": q.events_running_total,
         # time parsing / validation / per-row funnel
         "parse_dirty_timestamps": q.parse_dirty_timestamps,
         "validate_events": q.validate_events,
@@ -74,10 +75,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_heuristic": q.doc_lang_heuristic,
         "doc_decontaminate": q.doc_decontaminate,
         "doc_top_terms": q.doc_top_terms,
+        "doc_token_budget_mix": q.doc_token_budget_mix,
+        "doc_stratified_sample": q.doc_stratified_sample,
         "doc_exact_dedup": q.doc_exact_dedup,
         "doc_line_dedup": q.doc_line_dedup,
         "doc_minhash_dedup": q.doc_minhash_dedup,
         "doc_simhash_pairs": q.doc_simhash_pairs,
+        "doc_simhash_dedup": q.doc_simhash_dedup,
         "doc_fingerprints": q.doc_fingerprints,
         # embeddings / similarity
         "embedding_topk": q.embedding_topk,

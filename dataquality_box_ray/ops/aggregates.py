@@ -220,3 +220,155 @@ def non_null_count_horizontal(ds: "ray.data.Dataset", cols: list[str],
         return t.append_column(out_col, acc)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# running totals (distributed prefix sum) + deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+# (group, shard) offset-table cap for the sharded plan: above this the offsets
+# no longer fit comfortably on the driver — use the bucketed plan (per-group
+# rows are small whenever group cardinality is this high)
+MAX_OFFSET_ROWS = 4_000_000
+# auto mode: at most this many distinct groups before switching plans
+SHARDED_MAX_GROUPS = 50_000
+
+
+def _order_key(s: pd.Series) -> np.ndarray:
+    """Orderable numpy view of the order column (timestamps → int64 us)."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return s.astype("datetime64[us]").astype("int64").to_numpy()
+    return s.to_numpy()
+
+
+def grouped_running_sum(ds: "ray.data.Dataset", group_col: str,
+                        order_col: str, val_col: str, id_col: str,
+                        out_col: str = "running_sum", mode: str = "auto",
+                        n_shards: int = 64, n_buckets: int = 32,
+                        ) -> "ray.data.Dataset":
+    """``SUM(val) OVER (PARTITION BY group ORDER BY order, id)`` — running
+    total with a deterministic total order per group ((order, id) with id
+    unique, so RANGE and ROWS window frames agree).
+
+    Two physical plans:
+
+    - ``bucketed`` — group cardinality ∝ data, every group worker-sized (the
+      lag/chain contract, O5/O6): hash-bucket the groups, one stable sort +
+      one vectorized groupby-cumsum per bucket.
+    - ``sharded`` — FEW but potentially GIANT groups (e.g. running token
+      budgets per corpus source at 100 TB, where one source is the whole
+      crawl): range-shard the ORDER domain on sampled boundaries, reduce slim
+      per-(group, shard) partial sums, exclusive-scan the offsets on the
+      driver (O(groups × shards) rows, refused above ``MAX_OFFSET_ROWS``),
+      ray.put-broadcast them, then cumsum each (group, shard) slice locally
+      and add its offset. No group ever has to fit in one worker; the only
+      full-row movement is the one (group, shard) co-location shuffle any
+      order-dependent scan needs.
+
+    ``auto`` counts distinct groups from the slim partials and picks sharded
+    at ≤ ``SHARDED_MAX_GROUPS`` groups, bucketed above. Use integer ``val``
+    for cross-engine exactness: float cumsums are order-associativity-bound.
+    """
+    if mode == "auto":
+        from ..rules.engine import _distinct_on
+        n_groups = _distinct_on(ds.select_columns([group_col]),
+                                group_col).count()
+        mode = "sharded" if n_groups <= SHARDED_MAX_GROUPS else "bucketed"
+
+    if mode == "bucketed":
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values([group_col, order_col, id_col],
+                                kind="mergesort")
+            df[out_col] = df.groupby(group_col, sort=False)[val_col].cumsum()
+            return df
+
+        return _bucketed_groups(ds, group_col, fn, n_buckets)
+
+    if mode != "sharded":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    # ---- sharded plan ----
+    # 1. order-domain boundaries from a per-block sample (exactness does not
+    #    depend on boundary placement — only balance does)
+    def sample_fn(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(_order_key(df[order_col]))
+        idx = np.linspace(0, len(v) - 1, num=min(32, len(v))).astype(int)
+        return pd.DataFrame({"v": v[idx]}) if len(v) else pd.DataFrame({"v": []})
+
+    sampled = ds.select_columns([order_col]).map_batches(
+        sample_fn, batch_format="pandas").to_pandas()["v"].to_numpy()
+    qs = np.linspace(0, 1, num=n_shards + 1)[1:-1]
+    boundaries = np.unique(np.quantile(np.sort(sampled), qs)) \
+        if len(sampled) else np.array([])
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # side='right': rows with an order value EQUAL to a boundary all land
+        # in the same shard, so shard ranges stay totally ordered
+        df["__shard"] = np.searchsorted(boundaries, _order_key(df[order_col]),
+                                        side="right").astype(np.int64)
+        return df
+
+    sharded = ds.map_batches(add_shard, batch_format="pandas")
+
+    # 2. slim per-(group, shard) partial sums → driver exclusive scan
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([group_col, "__shard"], sort=False)[val_col]
+                .sum().reset_index(name="__s"))
+
+    parts = (sharded.map_batches(partial, batch_format="pandas")
+             .to_pandas())
+    offsets = (parts.groupby([group_col, "__shard"], sort=False)["__s"]
+               .sum().reset_index()
+               .sort_values([group_col, "__shard"], kind="mergesort"))
+    if len(offsets) > MAX_OFFSET_ROWS:
+        raise ValueError(
+            f"sharded running sum: {len(offsets)} (group, shard) offsets "
+            f"exceed MAX_OFFSET_ROWS={MAX_OFFSET_ROWS}; group cardinality is "
+            "too high for the sharded plan — use mode='bucketed'")
+    csum = offsets.groupby(group_col, sort=False)["__s"].cumsum()
+    offsets["__off"] = csum - offsets["__s"]          # exclusive scan
+    offsets_ref = ray.put(offsets[[group_col, "__shard", "__off"]])
+
+    # 3. co-locate each (group, shard) slice, local sort + cumsum + offset
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[group_col].astype(str) + "\x01" + df["__shard"].astype(str)
+        df = df.copy()
+        df["__bucket"] = bucket_of(key, n_buckets)
+        return df
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)                    # worker-local after 1st
+        df = df.drop(columns=["__bucket"]).sort_values(
+            [group_col, "__shard", order_col, id_col], kind="mergesort")
+        cum = df.groupby([group_col, "__shard"], sort=False)[val_col].cumsum()
+        df = df.merge(off, on=[group_col, "__shard"], how="left")
+        df[out_col] = cum.to_numpy() + df["__off"].fillna(0).to_numpy()
+        return df.drop(columns=["__shard", "__off"])
+
+    return (sharded.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(scan, batch_format="pandas"))
+
+
+def stratified_sample(ds: "ray.data.Dataset", group_col: str, id_col: str,
+                      n: int, hash_col: str = "hkey",
+                      mult: int = 2654435761, mod: int = 2 ** 32
+                      ) -> pd.DataFrame:
+    """Deterministic stratified sample: the ``n`` rows with the smallest
+    Knuth-multiplicative id hash per group — a seedable, engine-independent
+    stand-in for random per-stratum sampling (same combiner shape as `top_k`:
+    per-block per-group head-n partials, driver merge of ≤ n × groups × blocks
+    slim rows; the sampled output is small by definition, SURVEY.md §7.4
+    item 6 determinism rule)."""
+    keys = [group_col, hash_col, id_col]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[hash_col] = (df[id_col].to_numpy(dtype=np.int64) * mult) % mod
+        df = df.sort_values(keys, kind="mergesort")
+        return df.groupby(group_col, sort=False).head(n)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (parts.sort_values(keys, kind="mergesort")
+            .groupby(group_col, sort=False).head(n)
+            .sort_values([id_col]).reset_index(drop=True))

@@ -560,6 +560,33 @@ def simhash_candidates(ds: "ray.data.Dataset", text_col: str, id_col: str,
             if len(pairs) else pairs.reset_index(drop=True))
 
 
+def simhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
+                  hamming_max: int = 3, **kw) -> "ray.data.Dataset":
+    """Full SimHash near-dup dedup: banded candidates with the vectorized
+    hamming verify built in (`simhash_candidates_ds`) → connected components
+    (driver union-find below ``MAX_DRIVER_PAIRS`` pairs, else distributed
+    min-label propagation) → keep min id per component — the same
+    survivors-via-anti-join tail as `minhash_dedup` (reference dedup-vs-sink
+    family, `plugins/services/reconciliation_runner.py:586-601`)."""
+    pairs = simhash_candidates_ds(ds, text_col, id_col,
+                                  hamming_max=hamming_max, **kw).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ds
+    if n_pairs <= MAX_DRIVER_PAIRS:
+        losers = union_find_losers(pairs.to_pandas())
+        if not losers:
+            return ds
+        if len(losers) <= MAX_BROADCAST_IDS:
+            return broadcast_anti_join(ds, losers, id_col)
+        losers_ds = ray.data.from_pandas(
+            pd.DataFrame({id_col: sorted(losers)}))
+    else:
+        losers_ds = rename_cols(min_label_losers_ds(pairs), {"node": id_col})
+    from .joins import partitioned_anti_join
+    return partitioned_anti_join(ds, losers_ds, id_col, id_col)
+
+
 def embedding_near_dup_ds(ds: "ray.data.Dataset", emb_col: str, id_col: str,
                           threshold: float = 0.95, n_planes: int = 12,
                           seed: int = 11) -> "ray.data.Dataset":

@@ -358,6 +358,40 @@ def build() -> dict[str, str]:
         FROM documents ORDER BY doc_id
     """
 
+    sql["doc_token_budget_mix"] = r"""
+        WITH t AS (SELECT doc_id, source,
+                     len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens
+                   FROM documents),
+             c AS (SELECT doc_id, source, ws_tokens,
+                     (SUM(ws_tokens) OVER (PARTITION BY source
+                                           ORDER BY doc_id))::BIGINT
+                         AS cum_tokens
+                   FROM t)
+        SELECT doc_id, source, ws_tokens, cum_tokens
+        FROM c WHERE cum_tokens <= 20000 ORDER BY doc_id
+    """
+
+    sql["doc_stratified_sample"] = """
+        WITH h AS (SELECT doc_id, source,
+                     ((doc_id * 2654435761) % 4294967296)::BIGINT AS hkey
+                   FROM documents)
+        SELECT doc_id, source, hkey FROM h
+        QUALIFY row_number() OVER (
+            PARTITION BY source ORDER BY hkey, doc_id) <= 10
+        ORDER BY doc_id
+    """
+
+    sql["events_running_total"] = f"""
+        WITH t AS (SELECT event_id, user_id, ts,
+                     {_cents_sql('value')} AS value_cents
+                   FROM events)
+        SELECT event_id, user_id, value_cents,
+               (SUM(value_cents) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))::BIGINT
+                   AS running_cents
+        FROM t ORDER BY event_id
+    """
+
     sql["doc_quality_scores"] = r"""
         WITH c AS (
           SELECT doc_id,
@@ -546,7 +580,8 @@ def build() -> dict[str, str]:
     from . import sketch_oracles
 
     for name in ("corpus_quality_filter", "corpus_scoreboard",
-                 "doc_minhash_dedup", "doc_simhash_pairs", "doc_fingerprints",
+                 "doc_minhash_dedup", "doc_simhash_pairs",
+                 "doc_simhash_dedup", "doc_fingerprints",
                  "embedding_lsh_topk", "embedding_ivf_topk",
                  "embedding_near_dup_pairs", "two_tier_events"):
         path = sketch_oracles.dump(name, _CORRECTNESS_SF_DIR)

@@ -645,10 +645,69 @@ def doc_line_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_token_budget_mix(sf_dir: str) -> pd.DataFrame:
+    """Token-budget source mixing: keep each source's docs (in doc_id order)
+    until its cumulative whitespace-token budget is spent — the
+    training-data-mix take-while. Sources are FEW and GIANT, so the running
+    sum runs on the sharded plan (range-sharded order domain + driver offset
+    scan), never holding a whole source on one worker."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    toks = text.token_stats(docs).select_columns(
+        ["doc_id", "source", "ws_tokens"])
+    rs = agg.grouped_running_sum(toks, "source", "doc_id", "ws_tokens",
+                                 id_col="doc_id", out_col="cum_tokens",
+                                 mode="sharded")
+    out = (rs.map_batches(lambda df: df[df.cum_tokens <= 20_000],
+                          batch_format="pandas").to_pandas())
+    out = out[["doc_id", "source", "ws_tokens", "cum_tokens"]].astype(
+        {"doc_id": np.int64, "ws_tokens": np.int64, "cum_tokens": np.int64})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 10-doc sample per source by Knuth-multiplicative id
+    hash order."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    out = agg.stratified_sample(docs, "source", "doc_id", n=10)
+    out = out[["doc_id", "source", "hkey"]].astype(
+        {"doc_id": np.int64, "hkey": np.int64})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def events_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-user running total of event value (cents — integer, so the cumsum
+    is associative and exact on both engines), ordered by (ts, event_id).
+    User groups are worker-sized → bucketed plan."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_cents"] = _cents(df["value"].to_numpy())
+        return df.drop(columns=["value"])
+
+    slim = ev.map_batches(cents, batch_format="pandas")
+    rs = agg.grouped_running_sum(slim, "user_id", "ts", "value_cents",
+                                 id_col="event_id", out_col="running_cents",
+                                 mode="bucketed")
+    out = rs.to_pandas()[["event_id", "user_id", "value_cents",
+                          "running_cents"]]
+    out = out.astype({c: np.int64 for c in out.columns})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def doc_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup dedup (rows-only: sketch algebra not in SQL)."""
     kept = dedup.minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
                                "text", "doc_id", threshold=0.9)
+    out = kept.to_pandas()[["doc_id"]].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_simhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup dedup survivors (rows-only: sketch algebra not in
+    SQL; value-hash-verified against a sequential-oracle dump)."""
+    kept = dedup.simhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),
+                               "text", "doc_id")
     out = kept.to_pandas()[["doc_id"]].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
 

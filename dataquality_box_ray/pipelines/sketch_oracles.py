@@ -138,6 +138,31 @@ def simhash_pairs(docs: pd.DataFrame, hamming_max: int = 3) -> pd.DataFrame:
                       "id_b": pd.Series([], dtype=np.int64)})
 
 
+def simhash_dedup_kept(docs: pd.DataFrame, hamming_max: int = 3
+                       ) -> pd.DataFrame:
+    """Sequential SimHash dedup: the candidate discovery reuses
+    `simhash_pairs` above; components + keep-min-id survivors re-derived in
+    plain python (independent of ops/dedup.py's distributed tail)."""
+    pairs = simhash_pairs(docs, hamming_max)
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+
+    losers = {x for x in parent if find(x) != x}
+    kept = sorted(set(docs["doc_id"]) - losers)
+    return pd.DataFrame({"doc_id": pd.array(kept, dtype="int64")})
+
+
 def fingerprints(docs: pd.DataFrame, n_mins: int = 4) -> pd.DataFrame:
     """Sequential winnowing fingerprints (shared 8-gram hash kernel; the
     min-selection + hex join re-derived here)."""
@@ -446,11 +471,13 @@ def dump(name: str, sf_dir: str) -> str:
         return str(out)
     out.parent.mkdir(parents=True, exist_ok=True)
 
-    if name in ("doc_minhash_dedup", "doc_simhash_pairs", "doc_fingerprints"):
+    if name in ("doc_minhash_dedup", "doc_simhash_pairs",
+                "doc_simhash_dedup", "doc_fingerprints"):
         docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
         res = {"doc_minhash_dedup": lambda: minhash_dedup_kept(docs),
                "doc_simhash_pairs": lambda: simhash_pairs(docs),
+               "doc_simhash_dedup": lambda: simhash_dedup_kept(docs),
                "doc_fingerprints": lambda: fingerprints(docs)}[name]()
     elif name == "two_tier_events":
         ev = pd.read_parquet(f"{sf_dir}/events.parquet",

@@ -1,0 +1,111 @@
+"""Running totals (distributed prefix sum), stratified sampling, and
+simhash full dedup."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from dataquality_box_ray.ops import aggregates as agg
+from dataquality_box_ray.ops import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+def _frame(n=5000, groups=40, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "id": np.arange(n),
+        "g": rng.integers(0, groups, n).astype(np.int64),
+        "o": rng.integers(0, 1000, n).astype(np.int64),   # heavy order ties
+        "v": rng.integers(-50, 100, n).astype(np.int64),
+    })
+
+
+def _oracle(df):
+    df = df.sort_values(["g", "o", "id"], kind="mergesort").copy()
+    df["rs"] = df.groupby("g", sort=False)["v"].cumsum()
+    return df.sort_values("id").reset_index(drop=True)
+
+
+def _run(df, mode, **kw):
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = agg.grouped_running_sum(ds, "g", "o", "v", id_col="id",
+                                  out_col="rs", mode=mode, **kw).to_pandas()
+    return out.sort_values("id").reset_index(drop=True)
+
+
+def test_running_sum_bucketed_matches_pandas():
+    df = _frame()
+    out = _run(df, "bucketed")
+    exp = _oracle(df)
+    pd.testing.assert_frame_equal(out[["id", "g", "o", "v", "rs"]],
+                                  exp[["id", "g", "o", "v", "rs"]])
+
+
+def test_running_sum_sharded_matches_bucketed():
+    df = _frame()
+    a = _run(df, "sharded")[["id", "rs"]]
+    b = _run(df, "bucketed")[["id", "rs"]]
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_running_sum_one_giant_group_spans_shards():
+    # a single group larger than any shard: the exclusive-scan offsets are
+    # what make the result correct, so this fails if offsets are wrong
+    df = _frame(n=8000, groups=1)
+    out = _run(df, "sharded", n_shards=16)
+    exp = _oracle(df)
+    assert (out["rs"].to_numpy() == exp["rs"].to_numpy()).all()
+    # total equals the plain sum
+    assert out["rs"].iloc[-1] == exp["rs"].iloc[-1]
+
+
+def test_running_sum_timestamp_order():
+    df = _frame(n=2000, groups=5)
+    df["o"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(df["o"], unit="s")
+    out = _run(df, "sharded")
+    exp = _oracle(df)
+    assert (out["rs"].to_numpy() == exp["rs"].to_numpy()).all()
+
+
+def test_running_sum_auto_picks_a_working_plan():
+    df = _frame(n=3000, groups=10)
+    out = _run(df, "auto")
+    exp = _oracle(df)
+    assert (out["rs"].to_numpy() == exp["rs"].to_numpy()).all()
+
+
+def test_stratified_sample_deterministic():
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    out = agg.stratified_sample(docs, "source", "doc_id", n=10)
+    pdf = pd.read_parquet(f"{SF}/documents.parquet",
+                          columns=["doc_id", "source"])
+    pdf["hkey"] = (pdf.doc_id.to_numpy(dtype=np.int64) * 2654435761) % 2 ** 32
+    exp = (pdf.sort_values(["source", "hkey", "doc_id"], kind="mergesort")
+           .groupby("source", sort=False).head(10)
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.doc_id.tolist() == exp.doc_id.tolist()
+    assert (out.groupby("source").size() <= 10).all()
+    # repeated runs identical (block order must not leak into the sample)
+    out2 = agg.stratified_sample(docs, "source", "doc_id", n=10)
+    assert out.doc_id.tolist() == out2.doc_id.tolist()
+
+
+def test_simhash_dedup_matches_sequential_oracle():
+    from dataquality_box_ray.pipelines.sketch_oracles import simhash_dedup_kept
+
+    a = "import numpy as np\nresult = np.sum(values) * scale_factor\n" * 5
+    b = a + "x"                       # near dup of a (hamming ≤ 3)
+    c = "SELECT o_orderkey, SUM(l_extendedprice) FROM lineitem GROUP BY 1" * 4
+    docs = pd.read_parquet(f"{SF}/documents.parquet",
+                           columns=["doc_id", "text"]).head(80)
+    planted = pd.DataFrame({"doc_id": [90001, 90002, 90003],
+                            "text": [a, b, c]})
+    df = pd.concat([docs, planted], ignore_index=True)
+    kept = dedup.simhash_dedup(ray.data.from_pandas(df).repartition(4),
+                               "text", "doc_id").to_pandas()
+    got = sorted(kept.doc_id)
+    exp = simhash_dedup_kept(df).doc_id.tolist()
+    assert got == exp
+    assert 90001 in got and 90002 not in got and 90003 in got
