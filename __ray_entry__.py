@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": q.sessionize_events,
         "tumbling_hour_counts": q.tumbling_hour_counts,
         "events_running_total": q.events_running_total,
+        "event_value_quantiles": q.event_value_quantiles,
         # time parsing / validation / per-row funnel
         "parse_dirty_timestamps": q.parse_dirty_timestamps,
         "validate_events": q.validate_events,

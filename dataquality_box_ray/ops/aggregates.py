@@ -350,6 +350,134 @@ def grouped_running_sum(ds: "ray.data.Dataset", group_col: str,
             .groupby("__bucket").map_groups(scan, batch_format="pandas"))
 
 
+def grouped_quantile(ds: "ray.data.Dataset", group_col: str, val_col: str,
+                     qs: "float | list[float]", mode: str = "auto",
+                     n_shards: int = 64, n_buckets: int = 32) -> pd.DataFrame:
+    """EXACT per-group discrete quantiles (rank ``ceil(q·n) − 1``, 0-based —
+    DuckDB's ``quantile_disc`` convention; nulls excluded) as distributed
+    order-statistic selection.
+
+    - ``sharded`` plan (few/giant groups): range-shard the VALUE domain on
+      sampled boundaries; one slim per-(group, shard) counting pass; the
+      driver locates each target rank's shard + local rank from the
+      cumulative counts (O(groups × shards) rows, capped at
+      ``MAX_OFFSET_ROWS``); a second pass moves ONLY the rows of target
+      (group, shard) pairs — ≈ |data| / n_shards per quantile — and selects
+      the local rank per slice. The full dataset is never sorted and never
+      shuffled.
+    - ``bucketed`` plan (many worker-sized groups): hash-bucket the slim
+      (group, value) projection and select ranks per group in-worker.
+
+    Returns pandas ``(group, q, value)`` — one row per group per quantile
+    (small by the same cap that admits the sharded plan).
+    """
+    qs = [qs] if isinstance(qs, (int, float)) else list(qs)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df[val_col].notna(), [group_col, val_col]]
+
+    slim = ds.map_batches(prep, batch_format="pandas")
+
+    if mode == "auto":
+        from ..rules.engine import _distinct_on
+        n_groups = _distinct_on(ds.select_columns([group_col]),
+                                group_col).count()
+        mode = "sharded" if n_groups <= SHARDED_MAX_GROUPS else "bucketed"
+
+    out_cols = [group_col, "q", "value"]
+
+    if mode == "bucketed":
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            rows = []
+            for g, sub in df.groupby(group_col, sort=False):
+                v = np.sort(sub[val_col].to_numpy())
+                for q in qs:
+                    k = min(max(int(np.ceil(q * len(v))) - 1, 0), len(v) - 1)
+                    rows.append((g, q, v[k]))
+            return pd.DataFrame(rows, columns=out_cols)
+
+        res = _bucketed_groups(slim, group_col, fn, n_buckets).to_pandas()
+        return res.sort_values([group_col, "q"]).reset_index(drop=True)
+
+    if mode != "sharded":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    # 1. value-domain boundaries from a per-block sample (placement affects
+    #    only balance, never the selected value)
+    def sample_fn(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df[val_col].to_numpy())
+        idx = np.linspace(0, len(v) - 1, num=min(32, len(v))).astype(int)
+        return pd.DataFrame({"v": v[idx]}) if len(v) else pd.DataFrame({"v": []})
+
+    sampled = slim.map_batches(sample_fn, batch_format="pandas") \
+        .to_pandas()["v"].to_numpy()
+    cut = np.linspace(0, 1, num=n_shards + 1)[1:-1]
+    boundaries = np.unique(np.quantile(np.sort(sampled), cut)) \
+        if len(sampled) else np.array([])
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__shard"] = np.searchsorted(boundaries, df[val_col].to_numpy(),
+                                        side="right").astype(np.int64)
+        return df
+
+    sharded = slim.map_batches(add_shard, batch_format="pandas")
+
+    # 2. slim counting pass → driver rank→(shard, local rank) resolution
+    counts = (sharded.map_batches(
+        lambda df: df.groupby([group_col, "__shard"], sort=False)
+        .size().reset_index(name="__c"), batch_format="pandas").to_pandas())
+    counts = (counts.groupby([group_col, "__shard"], sort=False)["__c"].sum()
+              .reset_index().sort_values([group_col, "__shard"],
+                                         kind="mergesort"))
+    if len(counts) > MAX_OFFSET_ROWS:
+        raise ValueError(
+            f"sharded quantile: {len(counts)} (group, shard) count rows "
+            f"exceed MAX_OFFSET_ROWS={MAX_OFFSET_ROWS} — use mode='bucketed'")
+    targets = []
+    for g, sub in counts.groupby(group_col, sort=False):
+        cum = sub["__c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        for q in qs:
+            k = min(max(int(np.ceil(q * n)) - 1, 0), n - 1)
+            pos = int(np.searchsorted(cum, k, side="right"))
+            before = int(cum[pos - 1]) if pos > 0 else 0
+            targets.append((g, q, int(sub["__shard"].iloc[pos]), k - before))
+    tdf = pd.DataFrame(targets, columns=[group_col, "q", "__shard", "__rank"])
+    tref = ray.put(tdf)
+
+    # 3. move only target-(group, shard) rows; select local ranks per slice
+    def filter_targets(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(tref)
+        keys = pd.MultiIndex.from_frame(df[[group_col, "__shard"]])
+        want = pd.MultiIndex.from_frame(t[[group_col, "__shard"]]).unique()
+        return df[keys.isin(want)]
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[group_col].astype(str) + "\x01" + df["__shard"].astype(str)
+        df = df.copy()
+        df["__bucket"] = bucket_of(key, n_buckets)
+        return df
+
+    def select(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(tref)
+        rows = []
+        for (g, sh), sub in df.groupby([group_col, "__shard"], sort=False):
+            v = np.sort(sub[val_col].to_numpy())
+            tt = t[(t[group_col] == g) & (t["__shard"] == sh)]
+            for q, rank in zip(tt["q"], tt["__rank"]):
+                rows.append((g, q, v[int(rank)]))
+        return pd.DataFrame(rows, columns=out_cols)
+
+    res = (sharded.map_batches(filter_targets, batch_format="pandas")
+           .map_batches(add_bucket, batch_format="pandas")
+           .groupby("__bucket")
+           .map_groups(lambda d: select(d.drop(columns=["__bucket"])),
+                       batch_format="pandas")
+           .to_pandas())
+    return res.sort_values([group_col, "q"]).reset_index(drop=True)
+
+
 def stratified_sample(ds: "ray.data.Dataset", group_col: str, id_col: str,
                       n: int, hash_col: str = "hkey",
                       mult: int = 2654435761, mod: int = 2 ** 32

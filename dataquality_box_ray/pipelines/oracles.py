@@ -392,6 +392,17 @@ def build() -> dict[str, str]:
         FROM t ORDER BY event_id
     """
 
+    sql["event_value_quantiles"] = f"""
+        WITH t AS (SELECT event_type,
+                     {_cents_sql('value')} AS value_cents
+                   FROM events)
+        SELECT event_type,
+               quantile_disc(value_cents, 0.25)::BIGINT AS p25,
+               quantile_disc(value_cents, 0.5)::BIGINT AS p50,
+               quantile_disc(value_cents, 0.9)::BIGINT AS p90
+        FROM t GROUP BY event_type ORDER BY event_type
+    """
+
     sql["doc_quality_scores"] = r"""
         WITH c AS (
           SELECT doc_id,

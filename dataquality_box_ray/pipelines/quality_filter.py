@@ -52,8 +52,20 @@ RESULT_COLUMNS = [
 def scored_dataset(input_path: str | list[str],
                    batch_size: int = config.DEFAULT_BATCH_SIZE,
                    scorer_batch_size: int = config.SCORER_BATCH_SIZE,
+                   use_actor_pool: bool = False,
                    ) -> "ray.data.Dataset":
-    """Pass 1: row-local scoring (heuristics + actor-pool models)."""
+    """Pass 1: row-local scoring (heuristics + stateful model scoring).
+
+    The fused scorer's state is a broadcast-ref fetch (models built ONCE on
+    the driver, ``ray.put``), so by default it runs as a TASK-pool
+    map_batches whose closure caches the constructed ``FusedScorers`` once
+    per WORKER PROCESS — identical once-per-worker state semantics to an
+    actor pool, but with no pool spin-up (measured ~14 s per run at 16 cpus)
+    and no ``concurrency=`` cap: the scorer stage can use every core the
+    streaming executor gives it. ``use_actor_pool=True`` keeps the classic
+    callable-class actor pool (the ST1/ST2 shape — right when state is
+    EXPENSIVE to build per worker or holds connections, as in ops/polling
+    and ops/multimodal)."""
     from ..corpus import training_text
     from ..stages import ngram
     from ..stages.langid import build_tables
@@ -67,18 +79,24 @@ def scored_dataset(input_path: str | list[str],
                                override_num_blocks=cpus_total * 3)
     ds = ds.map_batches(heuristics_kernel, batch_format="pyarrow",
                         batch_size=batch_size)
-    # build the models ONCE on the driver, broadcast via the object store —
-    # actors fetch a ref instead of re-deriving the tables (per-actor builds
-    # serialize pool spin-up and waste cpus × build_time). One FUSED pool
-    # (langid + perplexity share the decode/hash) instead of two.
+    # one FUSED scorer (langid + perplexity share the decode/hash) instead
+    # of two; models broadcast via the object store, never rebuilt per worker
     langid_ref = ray.put(build_tables())
     ppl_ref = ray.put(ngram.CondTrigramLM(training_text()))
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    pool = max(2, cpus // 2)
-    ds = ds.map_batches(FusedScorers, batch_format="pyarrow",
-                        batch_size=scorer_batch_size, concurrency=pool,
-                        fn_constructor_args=(langid_ref, ppl_ref))
-    return ds
+    if use_actor_pool:
+        pool = max(2, cpus_total // 2)
+        return ds.map_batches(FusedScorers, batch_format="pyarrow",
+                              batch_size=scorer_batch_size, concurrency=pool,
+                              fn_constructor_args=(langid_ref, ppl_ref))
+    holder: dict = {}
+
+    def score(batch: pa.Table) -> pa.Table:
+        if "s" not in holder:
+            holder["s"] = FusedScorers(langid_ref, ppl_ref)
+        return holder["s"](batch)
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=scorer_batch_size)
 
 
 def finalize_dataset(stage: "str | ray.data.Dataset",

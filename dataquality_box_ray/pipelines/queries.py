@@ -695,6 +695,27 @@ def events_running_total(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def event_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-event-type value quantiles (p25/p50/p90 of integer cents)
+    via distributed order-statistic selection: one slim counting pass, then
+    only the target shards' rows move — the full table is never sorted."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_cents"] = _cents(df["value"].to_numpy())
+        return df[["event_type", "value_cents"]]
+
+    slim = ev.map_batches(cents, batch_format="pandas")
+    res = agg.grouped_quantile(slim, "event_type", "value_cents",
+                               [0.25, 0.5, 0.9], mode="sharded")
+    wide = res.pivot(index="event_type", columns="q", values="value") \
+        .reset_index()
+    wide.columns = ["event_type", "p25", "p50", "p90"]
+    wide = wide.astype({"p25": np.int64, "p50": np.int64, "p90": np.int64})
+    return wide.sort_values("event_type").reset_index(drop=True)
+
+
 def doc_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup dedup (rows-only: sketch algebra not in SQL)."""
     kept = dedup.minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),

@@ -75,6 +75,35 @@ def test_running_sum_auto_picks_a_working_plan():
     assert (out["rs"].to_numpy() == exp["rs"].to_numpy()).all()
 
 
+def test_grouped_quantile_both_plans_match_duckdb_convention():
+    df = _frame(n=6000, groups=7)
+
+    def oracle(q):
+        rows = []
+        for g, sub in df.groupby("g"):
+            v = np.sort(sub["v"].to_numpy())
+            k = min(max(int(np.ceil(q * len(v))) - 1, 0), len(v) - 1)
+            rows.append((g, q, v[k]))
+        return sorted(rows)
+
+    ds = ray.data.from_pandas(df).repartition(8)
+    for mode in ("sharded", "bucketed"):
+        res = agg.grouped_quantile(ds, "g", "v", [0.25, 0.5, 0.9], mode=mode)
+        got = sorted(map(tuple, res[["g", "q", "value"]].values))
+        exp = sorted(oracle(0.25) + oracle(0.5) + oracle(0.9))
+        assert got == exp, mode
+
+
+def test_grouped_quantile_giant_group_and_nulls():
+    df = _frame(n=9000, groups=1).astype({"v": "float64"})
+    df.loc[df.index % 7 == 0, "v"] = np.nan        # nulls excluded
+    ds = ray.data.from_pandas(df).repartition(6)
+    res = agg.grouped_quantile(ds, "g", "v", 0.5, mode="sharded", n_shards=16)
+    v = np.sort(df["v"].dropna().to_numpy())
+    k = int(np.ceil(0.5 * len(v))) - 1
+    assert res["value"].iloc[0] == v[k]
+
+
 def test_stratified_sample_deterministic():
     docs = ray.data.read_parquet(f"{SF}/documents.parquet",
                                  columns=["doc_id", "source"])
@@ -90,6 +119,23 @@ def test_stratified_sample_deterministic():
     # repeated runs identical (block order must not leak into the sample)
     out2 = agg.stratified_sample(docs, "source", "doc_id", n=10)
     assert out.doc_id.tolist() == out2.doc_id.tolist()
+
+
+def test_scorer_task_pool_equals_actor_pool():
+    """The default task-pool scorer (worker-cached FusedScorers) must be
+    bit-identical to the classic actor-pool path."""
+    from dataquality_box_ray.corpus import corpus_path
+    from dataquality_box_ray.pipelines.quality_filter import scored_dataset
+
+    corpus = corpus_path("/root/testdata/sf0.001")
+    cols = ["repo", "path", "commit", "langid_lang", "langid_score",
+            "perplexity", "r_ppl", "r_lang_mismatch"]
+    a = (scored_dataset(corpus).select_columns(cols).to_pandas()
+         .sort_values(["repo", "path", "commit"]).reset_index(drop=True))
+    b = (scored_dataset(corpus, use_actor_pool=True)
+         .select_columns(cols).to_pandas()
+         .sort_values(["repo", "path", "commit"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_simhash_dedup_matches_sequential_oracle():
