@@ -121,11 +121,14 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same job, same input, fresh processes at 8 and 32 CPUs.
 
-    Uses a corpus large enough (default 1.6 M files) that data-parallel
-    compute dominates the per-job fixed costs (worker/actor spin-up, stage
-    barriers) — the regime a multi-node 100 TB job runs in. Each level is
-    measured twice and the faster run taken (ambient-noise guard)."""
-    rows = int(os.environ.get("DQ_SCALING_CORPUS_ROWS", "1600000"))
+    Uses a corpus large enough (default 12.8 M files — ~270 s of 4-cpu
+    parallel work) that data-parallel compute dominates the per-job fixed
+    costs (~10 s: label-shuffle stage latency + ENTITY materialize) — the
+    regime a multi-node 100 TB job runs in. After the round-3 per-file
+    speedups, 1.6 M files caps even perfect-machine 4→16 efficiency at
+    ~0.61 on fixed costs alone (BASELINE.md §6a). Each level is measured
+    min-of-reps (ambient-noise guard)."""
+    rows = int(os.environ.get("DQ_SCALING_CORPUS_ROWS", "12800000"))
 
     def one(ncpu: int, reps: int = 2) -> dict:
         best = None
