@@ -104,6 +104,20 @@ def test_grouped_quantile_giant_group_and_nulls():
     assert res["value"].iloc[0] == v[k]
 
 
+def test_sharded_plans_refuse_oversized_offset_tables(monkeypatch):
+    """The sharded plans must REFUSE (not OOM) when group cardinality makes
+    the driver offset/count table exceed its cap."""
+    import pytest
+    monkeypatch.setattr(agg, "MAX_OFFSET_ROWS", 10)
+    df = _frame(n=2000, groups=50)
+    ds = ray.data.from_pandas(df).repartition(4)
+    with pytest.raises(ValueError, match="MAX_OFFSET_ROWS"):
+        agg.grouped_running_sum(ds, "g", "o", "v", id_col="id",
+                                mode="sharded").materialize()
+    with pytest.raises(ValueError, match="MAX_OFFSET_ROWS"):
+        agg.grouped_quantile(ds, "g", "v", 0.5, mode="sharded")
+
+
 def test_stratified_sample_deterministic():
     docs = ray.data.read_parquet(f"{SF}/documents.parquet",
                                  columns=["doc_id", "source"])
