@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lang_heuristic": q.doc_lang_heuristic,
         "doc_decontaminate": q.doc_decontaminate,
         "doc_top_terms": q.doc_top_terms,
+        "doc_top_discriminative_term": q.doc_top_discriminative_term,
         "doc_token_budget_mix": q.doc_token_budget_mix,
         "doc_stratified_sample": q.doc_stratified_sample,
         "doc_exact_dedup": q.doc_exact_dedup,

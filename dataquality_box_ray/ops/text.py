@@ -311,6 +311,91 @@ def decontaminate(ds: "ray.data.Dataset", benchmark_hashes: np.ndarray,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def top_discriminative_term(ds: "ray.data.Dataset", text_col: str = "text",
+                            id_col: str = "doc_id", n_buckets: int = 64,
+                            ) -> "ray.data.Dataset":
+    """TF-IDF-flavored top term per document, INTEGER-EXACT: the winning term
+    maximizes (tf desc, df asc, term asc) — highest in-document frequency,
+    rarest across the corpus on ties — so no floating-point idf enters the
+    ordering and results are bit-stable across engines.
+
+    Shape: (1) per-batch (doc, term, tf) — exact, since a document never
+    spans batches; per-batch (term, partial_df) presence counts;
+    (2) bucketed combine of the slim df partials; (3) term-keyed hash join
+    of tf rows onto df; (4) doc-keyed bucketed argmax. The token stream
+    itself never shuffles — only (doc, term, tf) triples and (term, df)
+    pairs do."""
+    from .joins import hash_join
+    from ..stages.reconcile import bucket_of
+
+    def tf_partial(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        flat, doc_idx = _norm_tokens(text)
+        ids_np = t[id_col].to_numpy(zero_copy_only=False) \
+            if not isinstance(t[id_col], pa.ChunkedArray) \
+            else t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({id_col: pa.array([], t[id_col].type),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        tdict = pc.dictionary_encode(flat)
+        tcodes = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_t = len(tdict.dictionary)
+        keys = doc_idx.astype(np.int64) * n_t + tcodes
+        uniq, counts = np.unique(keys, return_counts=True)
+        return pa.table({
+            id_col: pa.array(ids_np[(uniq // n_t).astype(np.int64)]),
+            "term": pc.take(tdict.dictionary, pa.array(uniq % n_t)),
+            "tf": pa.array(counts.astype(np.int64))})
+
+    tf = ds.map_batches(tf_partial, batch_format="pyarrow").materialize()
+
+    # df partials ride on the tf rows: one row per (doc, term) IS a presence
+    def df_partial(t: pa.Table) -> pa.Table:
+        term = t["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        tdict = pc.dictionary_encode(term)
+        cnt = np.bincount(tdict.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(tdict.dictionary))
+        return pa.table({"term": tdict.dictionary,
+                         "df": pa.array(cnt.astype(np.int64))})
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        key = pd.Series(t["term"].to_pandas().astype(str))
+        return t.replace_schema_metadata(None).append_column(
+            "__bucket", pa.array(bucket_of(key, n_buckets)))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("term", sort=False)["df"].sum().reset_index()
+        out["df"] = out["df"].astype(np.int64)
+        return out
+
+    dfreq = (tf.map_batches(df_partial, batch_format="pyarrow")
+             .map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("__bucket")
+             .map_groups(lambda d: combine(d.drop(columns=["__bucket"])),
+                         batch_format="pandas"))
+
+    joined = hash_join(tf, dfreq, "term", "term", how="inner")
+
+    def doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = bucket_of(df[id_col].astype(str), n_buckets)
+        return df
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["__bucket"]).sort_values(
+            [id_col, "tf", "df", "term"],
+            ascending=[True, False, True, True], kind="mergesort")
+        return df[~df[id_col].duplicated(keep="first")]
+
+    return (joined.map_batches(doc_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(argmax, batch_format="pandas"))
+
+
 def top_terms(ds: "ray.data.Dataset", text_col: str = "text",
               group_col: str = "source", k: int = 20, n_buckets: int = 64,
               ) -> "ray.data.Dataset":

@@ -583,6 +583,24 @@ def build() -> dict[str, str]:
         ORDER BY source, cnt DESC, term
     """
 
+    sql["doc_top_discriminative_term"] = r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(coalesce(text, '')),
+                                           '[a-z0-9]+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+               FROM tok GROUP BY doc_id, term),
+        df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+               FROM tok GROUP BY term)
+        SELECT tf.doc_id, tf.term, tf.tf, df.df
+        FROM tf JOIN df USING (term)
+        QUALIFY row_number() OVER (
+            PARTITION BY tf.doc_id
+            ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) = 1
+        ORDER BY tf.doc_id
+    """
+
     # ---- embeddings ------------------------------------------------------
     # ---- sketch / model queries: single-process-oracle Parquet dumps -----
     # (sketch algebra / kmeans / scorers aren't SQL-expressible; the dump is

@@ -581,6 +581,17 @@ def doc_top_terms(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def doc_top_discriminative_term(sf_dir: str) -> pd.DataFrame:
+    """TF-IDF-flavored top term per doc: argmax by (tf desc, df asc, term
+    asc) — integer-exact, two slim shuffles (term-keyed df join, doc-keyed
+    argmax), the token stream never leaves its batch."""
+    out = text.top_discriminative_term(
+        _read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    out = out[["doc_id", "term", "tf", "df"]].astype(
+        {"doc_id": np.int64, "tf": np.int64, "df": np.int64})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_lang_heuristic(sf_dir: str) -> pd.DataFrame:
     from ..stages.heuristics import content_lang_heuristic
     ds = _read(sf_dir, "documents", ["doc_id", "text"])

@@ -152,6 +152,23 @@ def test_scorer_task_pool_equals_actor_pool():
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_top_discriminative_term():
+    from dataquality_box_ray.ops import text as topstext
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["apple apple banana common",       # tf(apple)=2 wins
+                 "banana common common",            # tf(common)=2 wins
+                 "cherry common"]})                 # tie tf=1 → rarer df wins
+    out = (topstext.top_discriminative_term(
+        ray.data.from_pandas(df).repartition(2)).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True))
+    assert out.term.tolist() == ["apple", "common", "cherry"]
+    assert out.tf.tolist() == [2, 2, 1]
+    # df: apple 1 doc, common 3 docs, cherry 1 doc
+    assert out.df.tolist() == [1, 3, 1]
+
+
 def test_simhash_dedup_matches_sequential_oracle():
     from dataquality_box_ray.pipelines.sketch_oracles import simhash_dedup_kept
 
