@@ -102,12 +102,29 @@ def scored_dataset(input_path: str | list[str],
 def finalize_dataset(stage: "str | ray.data.Dataset",
                      n_buckets: int = config.RECONCILE_BUCKETS,
                      extra_losers=None,
+                     label_join: str = "auto",
                      ) -> "ray.data.Dataset":
     """Passes 2+3 given an ENTITY stage: either a Parquet directory (the
     durable, resumable form — manifest runs use this) or a MATERIALIZED
     scored Dataset (object-store staging: skips the parquet round-trip; right
     for non-checkpointed runs whose working set fits the cluster's object
-    store, which spills to disk past that)."""
+    store, which spills to disk past that).
+
+    ``label_join`` picks how exception/dedup labels rejoin the full rows:
+
+    - ``"broadcast"`` — ray.put the packed label arrays (fast; raises above
+      ``config.MAX_BROADCAST_LABELS``);
+    - ``"partitioned"`` — one hash-partitioned LEFT join of a merged slim
+      label table (`stages.reconcile.apply_labels_partitioned`) — no O(labels)
+      driver structure, the 100-TB path;
+    - ``"auto"`` (default) — broadcast while the label tables fit the cap,
+      partitioned beyond it: at web scale a few percent exception rows no
+      longer stop the pipeline, they degrade it to the shuffle join-back.
+    """
+    from ..stages.reconcile import (DRIVER_LABEL_MAX_ROWS,
+                                    apply_labels_partitioned,
+                                    compute_label_datasets)
+
     if isinstance(stage, str):
         slim = read_parquet(stage, columns=SLIM_COLUMNS)
         cpus_total = int(ray.cluster_resources().get("CPU", 8))
@@ -116,15 +133,37 @@ def finalize_dataset(stage: "str | ray.data.Dataset",
     else:
         slim = stage.select_columns(SLIM_COLUMNS)
         full = stage
-    labels_pdf, losers_pdf = compute_label_tables(slim, n_buckets)
-    if extra_losers is not None and len(extra_losers):
-        import pandas as pd
-        losers_pdf = pd.concat([losers_pdf, extra_losers], ignore_index=True)
-    packed_ref = ray.put(pack_labels(labels_pdf, losers_pdf))
 
-    ds = full.map_batches(make_apply_labels(packed_ref),
-                          batch_format="pyarrow",
-                          batch_size=config.DEFAULT_BATCH_SIZE)
+    import pandas as pd
+    n_extra = len(extra_losers) if extra_losers is not None else 0
+
+    def _broadcast_apply(labels_pdf, losers_pdf):
+        if n_extra:
+            losers_pdf = pd.concat([losers_pdf, extra_losers],
+                                   ignore_index=True)
+        packed_ref = ray.put(pack_labels(labels_pdf, losers_pdf))
+        return full.map_batches(make_apply_labels(packed_ref),
+                                batch_format="pyarrow",
+                                batch_size=config.DEFAULT_BATCH_SIZE)
+
+    if label_join == "broadcast" or (
+            label_join == "auto" and slim.count() <= DRIVER_LABEL_MAX_ROWS):
+        # small slim table: driver-side label kernels + broadcast join-back
+        # (driver mode implies label tables far below the broadcast cap)
+        ds = _broadcast_apply(*compute_label_tables(slim, n_buckets))
+    else:
+        labels_ds, losers_ds = compute_label_datasets(slim, n_buckets)
+        over_cap = max(labels_ds.count(), losers_ds.count() + n_extra) \
+            > config.MAX_BROADCAST_LABELS
+        if label_join == "auto" and not over_cap:
+            losers_pdf = losers_ds.to_pandas()
+            if not len(losers_pdf):
+                losers_pdf = pd.DataFrame(
+                    {"repo": [], "path": [], "commit": []}, dtype=object)
+            ds = _broadcast_apply(labels_ds.to_pandas(), losers_pdf)
+        else:
+            ds = apply_labels_partitioned(full, labels_ds, losers_ds,
+                                          extra_losers, n_buckets)
     ds = ds.map_batches(scrub_kernel, batch_format="pyarrow",
                         batch_size=config.DEFAULT_BATCH_SIZE)
     ds = ds.map_batches(decide_kernel, batch_format="pyarrow",

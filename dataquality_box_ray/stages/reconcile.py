@@ -158,6 +158,19 @@ def _label_tables_driver(slim_pdf: pd.DataFrame
 DRIVER_LABEL_MAX_ROWS = 300_000
 
 
+def compute_label_datasets(slim: "ray.data.Dataset",
+                           n_buckets: int = config.RECONCILE_BUCKETS,
+                           ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """DATASET-valued (exception labels, dedup loser keys) from the slim
+    projection — the always-scales form: neither table ever lands on the
+    driver, so callers can count them and choose broadcast vs partitioned
+    join-back (`apply_labels_partitioned`) without OOM risk. Both returned
+    datasets are materialized (they are slim; counting must not re-run the
+    two shuffles)."""
+    labels_ds, losers_ds = _label_datasets_lazy(slim, n_buckets)
+    return labels_ds.materialize(), losers_ds.materialize()
+
+
 def compute_label_tables(slim: "ray.data.Dataset",
                          n_buckets: int = config.RECONCILE_BUCKETS,
                          mode: str = "auto",
@@ -179,6 +192,17 @@ def compute_label_tables(slim: "ray.data.Dataset",
         mode = "driver" if n <= DRIVER_LABEL_MAX_ROWS else "shuffle"
     if mode == "driver":
         return _label_tables_driver(slim.to_pandas())
+    labels_ds, losers_ds = _label_datasets_lazy(slim, n_buckets)
+    labels_pdf = labels_ds.to_pandas()
+    losers_pdf = losers_ds.to_pandas()
+    if not len(losers_pdf):
+        losers_pdf = pd.DataFrame({"repo": [], "path": [], "commit": []},
+                                  dtype=object)
+    return labels_pdf, losers_pdf
+
+
+def _label_datasets_lazy(slim: "ray.data.Dataset", n_buckets: int
+                         ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     s1 = slim.map_batches(
         _add_bucket(lambda t: pd.Series(t.column("repo").to_pandas()
                                         + SEP + t.column("path").to_pandas()),
@@ -196,9 +220,10 @@ def compute_label_tables(slim: "ray.data.Dataset",
             pc.not_equal(t["matched_status"], config.STATUS_STRICT),
             t["group_conflict"])),
         batch_format="pyarrow")
-    labels_pdf = exceptions.to_pandas()[
-        ["repo", "path", "commit", "matched_status",
-         "r_stale_commit", "group_conflict"]]
+    labels_ds = exceptions.map_batches(
+        lambda t: t.select(["repo", "path", "commit", "matched_status",
+                            "r_stale_commit", "group_conflict"]),
+        batch_format="pyarrow")
 
     cand = labeled.map_batches(
         lambda t: t.filter(pc.invert(pc.or_(t["r_stale_commit"],
@@ -207,13 +232,9 @@ def compute_label_tables(slim: "ray.data.Dataset",
     s2 = cand.map_batches(
         _add_bucket(lambda t: pd.Series(t.column("sha_pre").to_pandas()), n_buckets),
         batch_format="pyarrow")
-    losers = s2.groupby("bucket").map_groups(dedup_group_kernel,
-                                             batch_format="pandas")
-    losers_pdf = losers.to_pandas()
-    if not len(losers_pdf):
-        losers_pdf = pd.DataFrame({"repo": [], "path": [], "commit": []},
-                                  dtype=object)
-    return labels_pdf, losers_pdf
+    losers_ds = s2.groupby("bucket").map_groups(dedup_group_kernel,
+                                                batch_format="pandas")
+    return labels_ds, losers_ds
 
 
 def pack_labels(labels: pd.DataFrame, losers: pd.DataFrame) -> dict:
@@ -307,6 +328,126 @@ def make_apply_labels(packed_ref):
         return holder["a"](batch)
 
     return apply
+
+
+def _batch_key_hash(t: pa.Table) -> np.ndarray:
+    """Per-row uint64 key hash of (repo, path, commit) — identical hash
+    function to `pack_labels`, so the partitioned and broadcast join-backs
+    are output-equivalent by construction."""
+    key = (pd.Series(t.column("repo").to_pandas())
+           + SEP + t.column("path").to_pandas()
+           + SEP + t.column("commit").to_pandas())
+    return pd.util.hash_array(key.to_numpy(dtype=object), categorize=False)
+
+
+def merged_label_ds(labels_ds: "ray.data.Dataset",
+                    losers_ds: "ray.data.Dataset",
+                    extra_losers: pd.DataFrame | None = None,
+                    n_buckets: int = config.RECONCILE_BUCKETS,
+                    ) -> "ray.data.Dataset":
+    """One slim (key-hash → status/stale/conflict/loser) table from the two
+    label datasets, deduped per key — built entirely in the cluster so the
+    partitioned join-back (`apply_labels_partitioned`) needs exactly ONE
+    full-row shuffle and no O(labels) driver structure.
+
+    Loser-only keys carry the ``-1`` status sentinel (resolved to STRICT by
+    the apply kernel); a key can be both an exception and a dedup loser, and
+    the per-bucket max-combine reproduces the broadcast path's independent
+    lookups exactly (duplicate label keys always carry identical values)."""
+    def tag_labels(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = len(t)
+        return pa.table({
+            "__khr": pa.array(_batch_key_hash(t), type=pa.uint64()),
+            "__status": pc.cast(t["matched_status"], pa.int32()),
+            "__stale": pc.cast(t["r_stale_commit"], pa.bool_()),
+            "__conflict": pc.cast(t["group_conflict"], pa.bool_()),
+            "__loser": pa.array(np.zeros(n, dtype=bool)),
+        })
+
+    def tag_losers(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({
+            "__khr": pa.array(_batch_key_hash(t), type=pa.uint64()),
+            "__status": pa.array(np.full(n, -1, dtype=np.int32)),
+            "__stale": pa.array(np.zeros(n, dtype=bool)),
+            "__conflict": pa.array(np.zeros(n, dtype=bool)),
+            "__loser": pa.array(np.ones(n, dtype=bool)),
+        })
+
+    parts = [labels_ds.map_batches(tag_labels, batch_format="pyarrow"),
+             losers_ds.map_batches(tag_losers, batch_format="pyarrow")]
+    if extra_losers is not None and len(extra_losers):
+        import ray.data as rd
+        parts.append(rd.from_pandas(extra_losers[["repo", "path", "commit"]])
+                     .map_batches(tag_losers, batch_format="pyarrow"))
+    tagged = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        kh = t.column("__khr").to_numpy(zero_copy_only=False)
+        return t.replace_schema_metadata(None).append_column(
+            "__bucket", pa.array((kh % np.uint64(n_buckets)).astype(np.int32)))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("__khr", sort=False)
+               .agg(__status=("__status", "max"), __stale=("__stale", "max"),
+                    __conflict=("__conflict", "max"),
+                    __loser=("__loser", "max"))
+               .reset_index())
+        out["__status"] = out["__status"].astype(np.int32)
+        return out
+
+    return (tagged.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__bucket")
+            .map_groups(lambda d: combine(d.drop(columns=["__bucket"])),
+                        batch_format="pandas"))
+
+
+def apply_labels_partitioned(full: "ray.data.Dataset",
+                             labels_ds: "ray.data.Dataset",
+                             losers_ds: "ray.data.Dataset",
+                             extra_losers: pd.DataFrame | None = None,
+                             n_buckets: int = config.RECONCILE_BUCKETS,
+                             ) -> "ray.data.Dataset":
+    """Scale-path label join-back: when the exception/loser tables exceed
+    ``config.MAX_BROADCAST_LABELS``, merge them into one slim per-key table
+    (`merged_label_ds`) and LEFT-join it onto the full rows with a
+    hash-partitioned join — content crosses the object store exactly once,
+    and no label structure ever lands on the driver. Output-equivalent to
+    the ``ApplyReconcileLabels`` broadcast path (equality-tested in
+    tests/test_pipeline_e2e.py)."""
+    from ..ops.joins import hash_join
+
+    merged = merged_label_ds(labels_ds, losers_ds, extra_losers, n_buckets)
+
+    def add_kh(t: pa.Table) -> pa.Table:
+        return t.replace_schema_metadata(None).append_column(
+            "__kh", pa.array(_batch_key_hash(t), type=pa.uint64()))
+
+    joined = hash_join(full.map_batches(add_kh, batch_format="pyarrow"),
+                       merged, "__kh", "__khr", how="left_outer")
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        status = pc.fill_null(t["__status"], -1).to_numpy(zero_copy_only=False)
+        status = np.where(status < 0, config.STATUS_STRICT,
+                          status).astype(np.int32)
+        stale = pc.fill_null(t["__stale"], False).to_numpy(zero_copy_only=False)
+        conflict = pc.fill_null(t["__conflict"],
+                                False).to_numpy(zero_copy_only=False)
+        loser = pc.fill_null(t["__loser"], False).to_numpy(zero_copy_only=False)
+        null_empty = t["r_null_empty"].to_numpy(zero_copy_only=False)
+        dup = loser & ~stale & ~null_empty
+        status = np.where(dup, config.STATUS_DUPLICATE, status).astype(np.int32)
+        out = t.drop_columns([c for c in ("__kh", "__khr", "__status",
+                                          "__stale", "__conflict", "__loser")
+                              if c in t.column_names])
+        return (out.append_column("matched_status", pa.array(status))
+                .append_column("r_stale_commit", pa.array(stale))
+                .append_column("group_conflict", pa.array(conflict))
+                .append_column("r_exact_dup", pa.array(dup)))
+
+    return joined.map_batches(fin, batch_format="pyarrow")
 
 
 def reconcile_full(ds: "ray.data.Dataset",

@@ -135,6 +135,50 @@ def test_reconcile_full_mode(tmp_path):
             == merged["r_stale_commit_x"].fillna(False)).all()
 
 
+def test_partitioned_label_join_matches_broadcast(monkeypatch):
+    """The broadcast-refusal fallback: finalize_dataset with
+    label_join='partitioned' (merged slim label table + one hash-partitioned
+    LEFT join) produces the exact same RESULT frame as the broadcast path —
+    including dedup losers and extra_losers — and the auto mode switches to
+    it when the label tables exceed MAX_BROADCAST_LABELS instead of raising."""
+    from dataquality_box_ray import config
+    from dataquality_box_ray.pipelines.quality_filter import (
+        finalize_dataset, scored_dataset)
+    from dataquality_box_ray.stages import reconcile
+
+    path = corpus_path("/root/testdata/sf0.001")
+    stage = scored_dataset(path).materialize()
+    # extra losers (the minhash/near-dup loser keys fed back by corpus
+    # pipelines): take two real keys so the join-back actually fires
+    head = stage.take(2)
+    extra = pd.DataFrame([{k: r[k] for k in ("repo", "path", "commit")}
+                          for r in head])
+
+    sort_cols = ["repo", "path", "commit", "content_sha256"]
+
+    def run(**kw):
+        return (finalize_dataset(stage, n_buckets=16, extra_losers=extra, **kw)
+                .to_pandas().sort_values(sort_cols, kind="mergesort")
+                .reset_index(drop=True))
+
+    base = run(label_join="broadcast")
+    part = run(label_join="partitioned")
+    lists = base["drop_reasons"].map(tuple)
+    assert lists.equals(part["drop_reasons"].map(tuple))
+    pd.testing.assert_frame_equal(base.drop(columns=["drop_reasons"]),
+                                  part.drop(columns=["drop_reasons"]),
+                                  check_like=True)
+    assert base.loc[base.r_exact_dup].shape[0] > 0   # losers actually marked
+
+    # auto mode past the caps: must degrade to the partitioned join, not raise
+    monkeypatch.setattr(config, "MAX_BROADCAST_LABELS", 0)
+    monkeypatch.setattr(reconcile, "DRIVER_LABEL_MAX_ROWS", 0)
+    auto = run(label_join="auto")
+    pd.testing.assert_frame_equal(base.drop(columns=["drop_reasons"]),
+                                  auto.drop(columns=["drop_reasons"]),
+                                  check_like=True)
+
+
 def test_scoreboard(result_and_oracle, tmp_path):
     path = corpus_path("/root/testdata/sf0.001")
     ds = quality_filter_dataset(path, str(tmp_path), n_buckets=16)
