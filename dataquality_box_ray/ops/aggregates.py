@@ -228,9 +228,13 @@ def non_null_count_horizontal(ds: "ray.data.Dataset", cols: list[str],
 
 # (group, shard) offset-table cap for the sharded plan: above this the offsets
 # no longer fit comfortably on the driver — use the bucketed plan (per-group
-# rows are small whenever group cardinality is this high)
+# rows are small whenever group cardinality is this high). The cap is checked
+# on the DISTRIBUTED combined offsets count BEFORE anything is collected, so
+# high group cardinality refuses (or auto-falls-back) instead of OOMing the
+# driver with uncombined partials.
 MAX_OFFSET_ROWS = 4_000_000
-# auto mode: at most this many distinct groups before switching plans
+# kept for API compatibility; auto mode now decides from the combined offset
+# count (no extra distinct-group pass)
 SHARDED_MAX_GROUPS = 50_000
 
 
@@ -265,26 +269,25 @@ def grouped_running_sum(ds: "ray.data.Dataset", group_col: str,
       full-row movement is the one (group, shard) co-location shuffle any
       order-dependent scan needs.
 
-    ``auto`` counts distinct groups from the slim partials and picks sharded
-    at ≤ ``SHARDED_MAX_GROUPS`` groups, bucketed above. Use integer ``val``
-    for cross-engine exactness: float cumsums are order-associativity-bound.
+    ``auto`` runs the sharded machinery and falls back to the bucketed plan
+    (over the same materialized sharded rows — no recompute) when the
+    combined (group, shard) offset count exceeds ``MAX_OFFSET_ROWS``; forced
+    ``sharded`` refuses instead. The refusal/fallback decision is made on a
+    DISTRIBUTED combined count before anything reaches the driver. Use
+    integer ``val`` for cross-engine exactness: float cumsums are
+    order-associativity-bound.
     """
-    if mode == "auto":
-        from ..rules.engine import _distinct_on
-        n_groups = _distinct_on(ds.select_columns([group_col]),
-                                group_col).count()
-        mode = "sharded" if n_groups <= SHARDED_MAX_GROUPS else "bucketed"
+    def bucketed_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if "__shard" in df.columns:
+            df = df.drop(columns=["__shard"])
+        df = df.sort_values([group_col, order_col, id_col], kind="mergesort")
+        df[out_col] = df.groupby(group_col, sort=False)[val_col].cumsum()
+        return df
 
     if mode == "bucketed":
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.sort_values([group_col, order_col, id_col],
-                                kind="mergesort")
-            df[out_col] = df.groupby(group_col, sort=False)[val_col].cumsum()
-            return df
+        return _bucketed_groups(ds, group_col, bucketed_fn, n_buckets)
 
-        return _bucketed_groups(ds, group_col, fn, n_buckets)
-
-    if mode != "sharded":
+    if mode not in ("sharded", "auto"):
         raise ValueError(f"unknown mode {mode!r}")
 
     # ---- sharded plan ----
@@ -309,23 +312,39 @@ def grouped_running_sum(ds: "ray.data.Dataset", group_col: str,
                                         side="right").astype(np.int64)
         return df
 
-    sharded = ds.map_batches(add_shard, batch_format="pandas")
+    # materialized ONCE: the partial pass, the final scan, and the auto-mode
+    # bucketed fallback all read these blocks instead of re-executing the
+    # full upstream lineage per pass (the object store spills past memory —
+    # the trade for single-read is deliberate in the giant-corpus regime
+    # this plan targets)
+    sharded = ds.map_batches(add_shard, batch_format="pandas").materialize()
 
-    # 2. slim per-(group, shard) partial sums → driver exclusive scan
+    # 2. slim per-(group, shard) partial sums → DISTRIBUTED bucketed combine
+    #    (all of a group's shards meet in its hash bucket) → cap check on the
+    #    combined count → only then a driver exclusive scan
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return (df.groupby([group_col, "__shard"], sort=False)[val_col]
                 .sum().reset_index(name="__s"))
 
-    parts = (sharded.map_batches(partial, batch_format="pandas")
-             .to_pandas())
-    offsets = (parts.groupby([group_col, "__shard"], sort=False)["__s"]
-               .sum().reset_index()
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([group_col, "__shard"], sort=False)["__s"]
+                .sum().reset_index())
+
+    combined = _bucketed_groups(
+        sharded.map_batches(partial, batch_format="pandas"),
+        group_col, comb, n_buckets).materialize()
+    n_off = combined.count()
+    if n_off > MAX_OFFSET_ROWS:
+        if mode == "sharded":
+            raise ValueError(
+                f"sharded running sum: {n_off} (group, shard) offsets "
+                f"exceed MAX_OFFSET_ROWS={MAX_OFFSET_ROWS}; group cardinality "
+                "is too high for the sharded plan — use mode='bucketed'")
+        # auto: groups this numerous are worker-sized — bucketed plan over
+        # the already-materialized rows
+        return _bucketed_groups(sharded, group_col, bucketed_fn, n_buckets)
+    offsets = (combined.to_pandas()
                .sort_values([group_col, "__shard"], kind="mergesort"))
-    if len(offsets) > MAX_OFFSET_ROWS:
-        raise ValueError(
-            f"sharded running sum: {len(offsets)} (group, shard) offsets "
-            f"exceed MAX_OFFSET_ROWS={MAX_OFFSET_ROWS}; group cardinality is "
-            "too high for the sharded plan — use mode='bucketed'")
     csum = offsets.groupby(group_col, sort=False)["__s"].cumsum()
     offsets["__off"] = csum - offsets["__s"]          # exclusive scan
     offsets_ref = ray.put(offsets[[group_col, "__shard", "__off"]])
@@ -369,7 +388,11 @@ def grouped_quantile(ds: "ray.data.Dataset", group_col: str, val_col: str,
       (group, value) projection and select ranks per group in-worker.
 
     Returns pandas ``(group, q, value)`` — one row per group per quantile
-    (small by the same cap that admits the sharded plan).
+    (small by the same cap that admits the sharded plan). Groups whose
+    values are ALL null are omitted from the output (the slim projection
+    drops nulls before grouping); DuckDB's ``quantile_disc`` instead emits a
+    NULL-quantile row for such a group — callers comparing against SQL must
+    either have no all-null group or outer-join the group list back.
     """
     qs = [qs] if isinstance(qs, (int, float)) else list(qs)
 
@@ -378,28 +401,25 @@ def grouped_quantile(ds: "ray.data.Dataset", group_col: str, val_col: str,
 
     slim = ds.map_batches(prep, batch_format="pandas")
 
-    if mode == "auto":
-        from ..rules.engine import _distinct_on
-        n_groups = _distinct_on(ds.select_columns([group_col]),
-                                group_col).count()
-        mode = "sharded" if n_groups <= SHARDED_MAX_GROUPS else "bucketed"
-
     out_cols = [group_col, "q", "value"]
 
-    if mode == "bucketed":
-        def fn(df: pd.DataFrame) -> pd.DataFrame:
-            rows = []
-            for g, sub in df.groupby(group_col, sort=False):
-                v = np.sort(sub[val_col].to_numpy())
-                for q in qs:
-                    k = min(max(int(np.ceil(q * len(v))) - 1, 0), len(v) - 1)
-                    rows.append((g, q, v[k]))
-            return pd.DataFrame(rows, columns=out_cols)
+    def bucketed_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if "__shard" in df.columns:
+            df = df.drop(columns=["__shard"])
+        rows = []
+        for g, sub in df.groupby(group_col, sort=False):
+            v = np.sort(sub[val_col].to_numpy())
+            for q in qs:
+                k = min(max(int(np.ceil(q * len(v))) - 1, 0), len(v) - 1)
+                rows.append((g, q, v[k]))
+        return pd.DataFrame(rows, columns=out_cols)
 
-        res = _bucketed_groups(slim, group_col, fn, n_buckets).to_pandas()
+    if mode == "bucketed":
+        res = _bucketed_groups(slim, group_col, bucketed_fn,
+                               n_buckets).to_pandas()
         return res.sort_values([group_col, "q"]).reset_index(drop=True)
 
-    if mode != "sharded":
+    if mode not in ("sharded", "auto"):
         raise ValueError(f"unknown mode {mode!r}")
 
     # 1. value-domain boundaries from a per-block sample (placement affects
@@ -421,19 +441,35 @@ def grouped_quantile(ds: "ray.data.Dataset", group_col: str, val_col: str,
                                         side="right").astype(np.int64)
         return df
 
-    sharded = slim.map_batches(add_shard, batch_format="pandas")
+    # slim 3 columns, materialized ONCE: the counting pass and the target
+    # filter pass read these blocks instead of re-executing upstream lineage
+    sharded = slim.map_batches(add_shard, batch_format="pandas").materialize()
 
-    # 2. slim counting pass → driver rank→(shard, local rank) resolution
-    counts = (sharded.map_batches(
-        lambda df: df.groupby([group_col, "__shard"], sort=False)
-        .size().reset_index(name="__c"), batch_format="pandas").to_pandas())
-    counts = (counts.groupby([group_col, "__shard"], sort=False)["__c"].sum()
-              .reset_index().sort_values([group_col, "__shard"],
-                                         kind="mergesort"))
-    if len(counts) > MAX_OFFSET_ROWS:
-        raise ValueError(
-            f"sharded quantile: {len(counts)} (group, shard) count rows "
-            f"exceed MAX_OFFSET_ROWS={MAX_OFFSET_ROWS} — use mode='bucketed'")
+    # 2. slim counting pass → DISTRIBUTED bucketed combine → cap check on
+    #    the combined count BEFORE any driver collect → rank resolution
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([group_col, "__shard"], sort=False)["__c"].sum()
+                .reset_index())
+
+    combined = _bucketed_groups(
+        sharded.map_batches(
+            lambda df: df.groupby([group_col, "__shard"], sort=False)
+            .size().reset_index(name="__c"), batch_format="pandas"),
+        group_col, comb, n_buckets).materialize()
+    n_cnt = combined.count()
+    if n_cnt > MAX_OFFSET_ROWS:
+        if mode == "sharded":
+            raise ValueError(
+                f"sharded quantile: {n_cnt} (group, shard) count rows "
+                f"exceed MAX_OFFSET_ROWS={MAX_OFFSET_ROWS} — use "
+                "mode='bucketed'")
+        # auto: worker-sized groups — bucketed plan over the materialized
+        # slim rows
+        res = _bucketed_groups(sharded, group_col, bucketed_fn,
+                               n_buckets).to_pandas()
+        return res.sort_values([group_col, "q"]).reset_index(drop=True)
+    counts = (combined.to_pandas()
+              .sort_values([group_col, "__shard"], kind="mergesort"))
     targets = []
     for g, sub in counts.groupby(group_col, sort=False):
         cum = sub["__c"].cumsum().to_numpy()
@@ -480,23 +516,66 @@ def grouped_quantile(ds: "ray.data.Dataset", group_col: str, val_col: str,
 
 def stratified_sample(ds: "ray.data.Dataset", group_col: str, id_col: str,
                       n: int, hash_col: str = "hkey",
-                      mult: int = 2654435761, mod: int = 2 ** 32
-                      ) -> pd.DataFrame:
+                      mult: int = 2654435761, mod: int = 2 ** 32,
+                      mode: str = "auto", max_driver_rows: int = 1_000_000,
+                      n_buckets: int = 32) -> pd.DataFrame:
     """Deterministic stratified sample: the ``n`` rows with the smallest
     Knuth-multiplicative id hash per group — a seedable, engine-independent
-    stand-in for random per-stratum sampling (same combiner shape as `top_k`:
-    per-block per-group head-n partials, driver merge of ≤ n × groups × blocks
-    slim rows; the sampled output is small by definition, SURVEY.md §7.4
-    item 6 determinism rule)."""
+    stand-in for random per-stratum sampling (SURVEY.md §7.4 item 6
+    determinism rule).
+
+    Ids are assumed NONNEGATIVE integers; the hash multiply runs in uint64
+    (wraparound mod 2^64 is exact mod 2^32 for any id), matching the DuckDB
+    BIGINT oracle wherever ITS multiply does not overflow (id < ~3.47e9 —
+    the oracle's limitation, not this op's).
+
+    Scale shape: the per-block grouped head-n combiner runs over a SLIM
+    (group, id, hash) projection, so full-width rows never ride to the
+    driver; winners' full rows come back through one semi join (broadcast or
+    hash-partitioned by size). ``mode='driver'`` merges the ≤
+    n × strata × blocks slim partials on the driver; ``'bucketed'`` routes
+    them through a hash-bucketed grouped head-n shuffle first (the scale
+    path when strata cardinality is itself O(data), e.g. per-repo samples
+    over millions of repos); ``'auto'`` picks by the partial count vs
+    ``max_driver_rows``. The OUTPUT is pandas by contract — n × strata rows —
+    so strata cardinality must still be driver-sized; the bucketed plan
+    removes the × blocks factor, not the output itself."""
     keys = [group_col, hash_col, id_col]
 
+    def _hash(ids: pd.Series) -> np.ndarray:
+        u = ids.to_numpy(dtype=np.int64).astype(np.uint64)
+        return ((u * np.uint64(mult)) % np.uint64(mod)).astype(np.int64)
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df[hash_col] = (df[id_col].to_numpy(dtype=np.int64) * mult) % mod
+        out = df[[group_col, id_col]].copy()
+        out[hash_col] = _hash(df[id_col])
+        out = out.sort_values(keys, kind="mergesort")
+        return out.groupby(group_col, sort=False).head(n)
+
+    def head_fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(keys, kind="mergesort")
         return df.groupby(group_col, sort=False).head(n)
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    return (parts.sort_values(keys, kind="mergesort")
-            .groupby(group_col, sort=False).head(n)
-            .sort_values([id_col]).reset_index(drop=True))
+    parts_ds = ds.map_batches(partial, batch_format="pandas").materialize()
+    if mode == "auto":
+        mode = "driver" if parts_ds.count() <= max_driver_rows else "bucketed"
+    if mode == "driver":
+        winners = head_fn(parts_ds.to_pandas())
+    elif mode == "bucketed":
+        winners = _bucketed_groups(parts_ds, group_col, head_fn,
+                                   n_buckets).to_pandas()
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    extra_cols = [c for c in ds.schema().names
+                  if c not in (group_col, id_col)]
+    if not extra_cols:
+        return (winners.sort_values([id_col]).reset_index(drop=True))
+    # fetch the winners' full rows (ids are unique by the id_col contract)
+    import ray.data as rd
+
+    from .joins import semi_join_auto
+    rows = semi_join_auto(ds, rd.from_pandas(winners[[id_col]]),
+                          id_col).to_pandas()
+    rows[hash_col] = _hash(rows[id_col])
+    return rows.sort_values([id_col]).reset_index(drop=True)

@@ -37,6 +37,12 @@ MAX_DRIVER_PAIRS = 500_000
 # above this many loser ids, survivors are selected with a hash-partitioned
 # anti join instead of a ray.put broadcast of the id set
 MAX_BROADCAST_IDS = 2_000_000
+# candidate TEXT bytes the driver verify path may pull; the pair-count gate
+# alone is not byte-aware (500k pairs × multi-KB docs ≈ GBs), so the text
+# pull is separately gated on the EXACT candidate byte total (computed with a
+# column-pruned distributed length sum) and falls back to the distributed
+# verify when exceeded
+MAX_DRIVER_TEXT_BYTES = 256 * 1024 * 1024
 
 _P = np.uint64((1 << 61) - 1)      # Mersenne prime for affine permutations
 _SHINGLE_MUL = np.uint64(0x100000001B3)
@@ -410,41 +416,55 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
     if n_pairs == 0:
         return ds
 
+    distinct_pairs = None
     if n_pairs <= MAX_DRIVER_PAIRS:
-        # small candidate set: verify on the driver with texts fetched by a
-        # broadcast IN-filter — avoids spinning up two hash-join aggregator
-        # pools for a few thousand pairs
+        # small candidate PAIR set (16 B/row — always driver-safe): dedup the
+        # band-duplicated pairs in pandas, then check whether the candidate
+        # TEXTS also fit: the exact byte total comes from one column-pruned
+        # distributed length sum (no text leaves the workers)
         import pyarrow.compute as pc
         pairs_pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
         cand_ids = set(pairs_pdf["id_a"]) | set(pairs_pdf["id_b"])
         id_arr = pa.array(list(cand_ids))
-        texts = (ds.map_batches(
+        cand = ds.map_batches(
             lambda t: t.filter(pc.is_in(t[id_col], value_set=id_arr)),
             batch_format="pyarrow")
-            .select_columns([id_col, text_col]).to_pandas()
-            .set_index(id_col)[text_col])
-        verified_pdf = verify_jaccard(pairs_pdf, texts, shingle_k=shingle_k,
-                                      threshold=threshold)
-        losers = union_find_losers(verified_pdf)
-        if not losers:
-            return ds
-        if len(losers) <= MAX_BROADCAST_IDS:
-            return broadcast_anti_join(ds, losers, id_col)
-        losers_ds = ray.data.from_pandas(pd.DataFrame({id_col: sorted(losers)}))
-    else:
-        # scale path: slim distinct shuffle (a near-identical pair collides
-        # in ~all bands; verifying it once is cheaper than bands× verifies),
-        # then distributed verify (texts via slim hash joins) + min-label
-        # propagation components
+        cand_bytes = int(cand.map_batches(
+            lambda t: pa.table({"b": [pc.sum(pc.binary_length(
+                pc.cast(t[text_col], pa.binary()))).as_py() or 0]}),
+            batch_format="pyarrow").sum("b") or 0)
+        if cand_bytes <= MAX_DRIVER_TEXT_BYTES:
+            texts = (cand.select_columns([id_col, text_col]).to_pandas()
+                     .set_index(id_col)[text_col])
+            verified_pdf = verify_jaccard(pairs_pdf, texts,
+                                          shingle_k=shingle_k,
+                                          threshold=threshold)
+            losers = union_find_losers(verified_pdf)
+            if not losers:
+                return ds
+            if len(losers) <= MAX_BROADCAST_IDS:
+                return broadcast_anti_join(ds, losers, id_col)
+            losers_ds = ray.data.from_pandas(
+                pd.DataFrame({id_col: sorted(losers)}))
+            from .joins import partitioned_anti_join
+            return partitioned_anti_join(ds, losers_ds, id_col, id_col)
+        # wide texts: keep the (cheap, already-deduped) driver pair set but
+        # verify distributedly — fall through to the scale path
+        distinct_pairs = ray.data.from_pandas(pairs_pdf)
+
+    # scale path: slim distinct shuffle (a near-identical pair collides
+    # in ~all bands; verifying it once is cheaper than bands× verifies),
+    # then distributed verify (texts via slim hash joins) + min-label
+    # propagation components
+    if distinct_pairs is None:
         distinct_pairs = _distinct_pairs_ds(pairs)
-        verified = (verify_jaccard_ds(distinct_pairs, ds, text_col, id_col,
-                                      shingle_k=shingle_k,
-                                      threshold=threshold)
-                    .materialize())
-        if verified.count() == 0:
-            return ds
-        losers_ds = rename_cols(min_label_losers_ds(verified),
-                                {"node": id_col})
+    verified = (verify_jaccard_ds(distinct_pairs, ds, text_col, id_col,
+                                  shingle_k=shingle_k,
+                                  threshold=threshold)
+                .materialize())
+    if verified.count() == 0:
+        return ds
+    losers_ds = rename_cols(min_label_losers_ds(verified), {"node": id_col})
     from .joins import partitioned_anti_join
     return partitioned_anti_join(ds, losers_ds, id_col, id_col)
 

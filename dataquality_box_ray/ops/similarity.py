@@ -52,14 +52,52 @@ def brute_force_topk(ds: "ray.data.Dataset", emb_col: str, id_col: str,
     return parts.groupby("query_id", sort=True).head(k).reset_index(drop=True)
 
 
+def _emb_hash(m: np.ndarray) -> np.ndarray:
+    """Deterministic uint64 hash per embedding row (from the float32 bit
+    pattern) — engine- and block-order-independent, so hash-ranked sampling
+    is stable across runs and cluster layouts."""
+    b = (np.ascontiguousarray(m.astype(np.float32)).view(np.uint32)
+         .astype(np.uint64).reshape(len(m), -1))
+    mul = np.uint64(0x9E3779B97F4A7C15)
+    pows = mul ** np.arange(1, b.shape[1] + 1, dtype=np.uint64)
+    return (b * pows).sum(axis=1, dtype=np.uint64) * mul
+
+
+def sample_embeddings(ds: "ray.data.Dataset", emb_col: str,
+                      sample_rows: int) -> np.ndarray:
+    """Deterministic REPRESENTATIVE sample of embedding rows: the
+    ``sample_rows`` rows with the smallest content hash. Per-block smallest-n
+    partials (the `top_k` combiner shape) → driver merge of ≤
+    sample_rows × blocks slim rows — unlike a ``limit()`` block prefix, the
+    sample is hash-uniform over the WHOLE dataset, so a corpus sorted by
+    source/time still trains an unbiased quantizer."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df[emb_col].to_numpy())
+        h = _emb_hash(m)
+        k = min(sample_rows, len(df))
+        idx = np.argpartition(h, k - 1)[:k] if k < len(df) \
+            else np.arange(len(df))
+        out = df.iloc[idx][[emb_col]].copy()
+        out["__h"] = h[idx]
+        return out
+
+    parts = (ds.select_columns([emb_col])
+             .map_batches(partial, batch_format="pandas").to_pandas())
+    # hash ties are either identical vectors (same k-means result) or 64-bit
+    # collisions (negligible) — the sorted sample is value-deterministic
+    sample = parts.sort_values("__h", kind="mergesort").head(sample_rows)
+    return np.stack(sample[emb_col].to_numpy()).astype(np.float64)
+
+
 def build_ivf_centroids(ds: "ray.data.Dataset", emb_col: str,
                         n_clusters: int = 16, sample_rows: int = 4096,
                         iters: int = 8, seed: int = 13) -> np.ndarray:
-    """IVF coarse quantizer: k-means on a driver-side sample (Lloyd's, fixed
-    iterations, deterministic seed). The sample is small by design — the
-    clustering only has to be good enough to partition the space."""
-    sample = ds.limit(sample_rows).to_pandas()   # deterministic block prefix
-    x = _normalize(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    """IVF coarse quantizer: k-means on a hash-sampled driver-side sample
+    (Lloyd's, fixed iterations, deterministic seed). The sample is small by
+    design — the clustering only has to be good enough to partition the
+    space — and comes from `sample_embeddings`, NOT a block prefix, so
+    sorted corpora train the same quality of quantizer as shuffled ones."""
+    x = _normalize(sample_embeddings(ds, emb_col, sample_rows))
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
     for _ in range(iters):

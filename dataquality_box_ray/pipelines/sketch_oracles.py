@@ -236,9 +236,13 @@ def ivf_topk(emb: pd.DataFrame, k: int = 10, n_clusters: int = 16,
              n_probe: int = 4, seed: int = 13, sample_rows: int = 4096,
              iters: int = 8) -> pd.DataFrame:
     """Sequential IVF top-k: the quantizer fit (Lloyd's on the deterministic
-    row prefix), assignment, probe routing and search all in one process."""
-    x = _normalize(np.stack(emb["embedding"].head(sample_rows).to_numpy())
-                   .astype(np.float64))
+    hash-ranked sample — the global smallest content hashes, which is what
+    the distributed per-block smallest-n merge selects), assignment, probe
+    routing and search all in one process."""
+    from ..ops.similarity import _emb_hash
+    m_all = np.stack(emb["embedding"].to_numpy())
+    order0 = np.argsort(_emb_hash(m_all), kind="stable")[:sample_rows]
+    x = _normalize(m_all[order0].astype(np.float64))
     rng = np.random.default_rng(seed)
     cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
     for _ in range(iters):

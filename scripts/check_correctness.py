@@ -125,9 +125,10 @@ def main(only: list[str]) -> int:
             else:
                 eq = (a == b).all()
             if not eq:
-                bad = (a != b) if not np.issubdtype(a.dtype, np.floating) \
+                bad = (a != b).to_numpy() \
+                    if not np.issubdtype(a.dtype, np.floating) \
                     else ~np.isclose(a, b, rtol=0, atol=ATOL, equal_nan=True)
-                i = int(np.argmax(bad.to_numpy()))
+                i = int(np.argmax(bad))
                 print(f"FAIL {name}: column {c} differs; first at row {i}: "
                       f"{a.iloc[i]!r} vs {b.iloc[i]!r}")
                 same = False

@@ -95,6 +95,50 @@ def test_ivf_topk_recall():
     assert hits / 25 >= 0.5
 
 
+def test_ivf_sample_is_representative_on_sorted_corpus():
+    """IVF centroids train on a hash-uniform sample, not a block prefix: on
+    a corpus SORTED so that early blocks contain only one region of the
+    space, recall must be no worse than on the shuffled corpus."""
+    rng = np.random.default_rng(7)
+    # two well-separated clusters; sorted layout puts cluster A first
+    a = rng.standard_normal((200, 16)) + 8.0
+    b = rng.standard_normal((200, 16)) - 8.0
+    emb_sorted = np.vstack([a, b])
+    ids = np.arange(400)
+    queries = np.vstack([a[:3], b[:3]])
+
+    def recall(order):
+        # same vectors/ids, different ROW ORDER (sorted vs shuffled layout)
+        df = pd.DataFrame({"vec_id": ids[order],
+                           "embedding": list(emb_sorted[order].astype(np.float32))})
+        # many small blocks so a prefix sample would see only cluster A
+        ds = ray.data.from_pandas(df).repartition(16)
+        exact = similarity.brute_force_topk(ds, "embedding", "vec_id",
+                                            queries, k=5)
+        approx = similarity.ivf_topk(ds, "embedding", "vec_id", queries, k=5,
+                                     n_clusters=4, n_probe=1)
+        hits = 0
+        for qi in range(len(queries)):
+            hits += len(set(exact[exact.query_id == qi].vec_id)
+                        & set(approx[approx.query_id == qi].vec_id))
+        return hits / (5 * len(queries))
+
+    # sample itself must span both clusters even on the sorted layout
+    df_sorted = pd.DataFrame({"vec_id": ids,
+                              "embedding": list(emb_sorted.astype(np.float32))})
+    ds_sorted = ray.data.from_pandas(df_sorted).repartition(16)
+    samp = similarity.sample_embeddings(ds_sorted, "embedding", 64)
+    means = samp.mean(axis=1)
+    assert (means > 4).any() and (means < -4).any()
+
+    r_sorted = recall(np.arange(400))
+    r_shuffled = recall(rng.permutation(400))
+    assert r_sorted >= r_shuffled - 1e-9
+    assert r_sorted >= 0.8          # separated clusters + self queries
+    # (n_probe=1 of 4 clusters: k-means may split a true cluster, so a few
+    # cross-list neighbours are legitimately missed on BOTH layouts)
+
+
 def test_lsh_topk_recall():
     rng = np.random.default_rng(1)
     emb = rng.standard_normal((300, 24))
@@ -261,6 +305,30 @@ def test_minhash_dedup_distributed_paths_match_driver():
             .to_pandas().doc_id)
     finally:
         dedup.MAX_DRIVER_PAIRS, dedup.MAX_BROADCAST_IDS = old_pairs, old_bcast
+    assert kept_driver == kept_dist
+    assert len(kept_driver) == 15
+
+
+def test_minhash_byte_gate_forces_distributed_verify():
+    """The driver verify path is gated on candidate TEXT bytes, not just pair
+    count: with the byte cap forced to 0 a wide-text corpus must take the
+    distributed verify (texts via slim hash joins) and still produce the
+    same survivors."""
+    texts = ["document number %d body text with shared filler words" % (i // 3)
+             for i in range(45)]
+    df = pd.DataFrame({"doc_id": np.arange(45), "text": texts})
+    ds = ray.data.from_pandas(df)
+    kept_driver = sorted(
+        dedup.minhash_dedup(ds, "text", "doc_id", threshold=0.9)
+        .to_pandas().doc_id)
+    old = dedup.MAX_DRIVER_TEXT_BYTES
+    try:
+        dedup.MAX_DRIVER_TEXT_BYTES = 0
+        kept_dist = sorted(
+            dedup.minhash_dedup(ds, "text", "doc_id", threshold=0.9)
+            .to_pandas().doc_id)
+    finally:
+        dedup.MAX_DRIVER_TEXT_BYTES = old
     assert kept_driver == kept_dist
     assert len(kept_driver) == 15
 

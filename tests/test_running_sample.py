@@ -135,6 +135,25 @@ def test_stratified_sample_deterministic():
     assert out.doc_id.tolist() == out2.doc_id.tolist()
 
 
+def test_stratified_sample_bucketed_mode_and_full_row_fetch():
+    """The bucketed (distributed-merge) plan picks the same winners as the
+    driver merge, and inputs with extra columns come back full-width via the
+    semi-join fetch."""
+    docs_slim = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                      columns=["doc_id", "source"])
+    a = agg.stratified_sample(docs_slim, "source", "doc_id", n=10,
+                              mode="driver")
+    b = agg.stratified_sample(docs_slim, "source", "doc_id", n=10,
+                              mode="bucketed")
+    assert a.doc_id.tolist() == b.doc_id.tolist()
+    assert a.hkey.tolist() == b.hkey.tolist()
+
+    docs_full = ray.data.read_parquet(f"{SF}/documents.parquet")
+    c = agg.stratified_sample(docs_full, "source", "doc_id", n=10)
+    assert c.doc_id.tolist() == a.doc_id.tolist()
+    assert "text" in c.columns and "hkey" in c.columns
+
+
 def test_scorer_task_pool_equals_actor_pool():
     """The default task-pool scorer (worker-cached FusedScorers) must be
     bit-identical to the classic actor-pool path."""
