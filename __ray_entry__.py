@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_nation_lookup": q.customer_nation_lookup,
         "asof_click_view": q.asof_click_view,
         "two_tier_events": q.two_tier_events,
+        "two_tier_events_bucketed": q.two_tier_events_bucketed,
         # aggregations / windows / ordering
         "window_customer_total": q.window_customer_total,
         "three_sigma_prices": q.three_sigma_prices,

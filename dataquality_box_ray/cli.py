@@ -43,6 +43,16 @@ def main(argv: list[str] | None = None) -> int:
                      help="comma-separated columns to keep in failure cases")
     val.add_argument("--num-cpus", type=int, default=None)
 
+    pipe = sub.add_parser("pipeline",
+                          help="run a YAML pipeline spec end to end "
+                               "(sources -> entity -> rule pack -> report)")
+    pipe.add_argument("--spec", required=True, help="pipeline spec YAML")
+    pipe.add_argument("--param", action="append", default=[],
+                      help="spec path parameter, KEY=VALUE (repeatable)")
+    pipe.add_argument("--out", default=None,
+                      help="optional report/hits output directory")
+    pipe.add_argument("--num-cpus", type=int, default=None)
+
     gc = sub.add_parser("gc", help="retention sweep over a runs directory")
     gc.add_argument("--root", required=True)
     gc.add_argument("--max-age-days", type=float, default=7.0)
@@ -76,6 +86,18 @@ def main(argv: list[str] | None = None) -> int:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.enable_tensor_extension_casting = False
+
+    if args.cmd == "pipeline":
+        from .pipelines.spec import run_pipeline_spec
+        params = dict(p.split("=", 1) for p in args.param)
+        ctx_out = run_pipeline_spec(args.spec, params, out_dir=args.out)
+        if "summary" in ctx_out:
+            print(json.dumps(ctx_out["summary"]))
+        else:
+            print(json.dumps({k: v.count()
+                              for k, v in ctx_out["datasets"].items()}))
+        ray.shutdown()
+        return 0
 
     if args.cmd == "validate":
         import ray.data

@@ -38,20 +38,28 @@ MEDIA_BATCH_SIZE = 64
 class DecodeFeatures:
     """Actor-pool stage: payload bytes → fixed-size feature vector.
 
-    Real integration point: replace `_decode` with PIL/torchvision/librosa
-    decode + model forward (loaded in __init__, once per actor)."""
+    ``decoder`` is the real-codec integration seam (the same injectable-
+    client pattern as ops/polling.py): pass any CALLABLE
+    ``bytes -> np.ndarray`` — e.g. a closure over a PIL / librosa / pyav
+    decode + model forward — and it is constructed/shipped once per actor.
+    The string forms are the no-dependency defaults: ``"fake"`` derives a
+    deterministic unit vector from the payload bytes (keeps the Ray plumbing
+    honestly testable), ``"none"`` raises at the integration point."""
 
-    def __init__(self, decoder: str = "fake", feature_dim: int = 16) -> None:
-        if decoder not in ("fake", "none"):
+    def __init__(self, decoder="fake", feature_dim: int = 16) -> None:
+        if not callable(decoder) and decoder not in ("fake", "none"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
         self.dim = feature_dim
 
     def _decode(self, payload: bytes) -> np.ndarray:
+        if callable(self.decoder):
+            return np.asarray(self.decoder(payload), dtype=np.float64)
         if self.decoder == "none":
             raise NotImplementedError(
-                "no image/audio codec libraries in this environment; plug a "
-                "real decoder (PIL / librosa / pyav) in DecodeFeatures._decode")
+                "no image/audio codec libraries in this environment; pass a "
+                "callable decoder (bytes -> np.ndarray) to DecodeFeatures — "
+                "e.g. a PIL / librosa / pyav decode closure")
         # deterministic fake: sha256 bytes → unit-norm float vector
         h = hashlib.sha256(payload or b"").digest()
         v = np.frombuffer((h * ((self.dim * 4) // len(h) + 1))[: self.dim * 4],
@@ -101,6 +109,59 @@ def sample_frames(ds: "ray.data.Dataset", every_k: int = 4,
     return ds.map_batches(FrameSampler, batch_format="pandas",
                           batch_size=MEDIA_BATCH_SIZE, concurrency=concurrency,
                           fn_constructor_kwargs=dict(every_k=every_k))
+
+
+def wav_feature_decoder(n_bins: int = 8):
+    """Pure-stdlib WAV decoder closure for `DecodeFeatures` (the injectable
+    seam exercised with a REAL container format, no codec libraries): parses
+    PCM16 WAV bytes with the ``wave`` module and emits
+    ``[rms, zero_crossing_rate] + n_bins`` mean-|amplitude| window bins —
+    shaped like a real librosa feature pipeline."""
+    import io
+    import wave
+
+    def decode(payload: bytes) -> np.ndarray:
+        with wave.open(io.BytesIO(payload)) as w:
+            raw = w.readframes(w.getnframes())
+        x = np.frombuffer(raw, dtype=np.int16).astype(np.float64) / 32768.0
+        if not len(x):
+            return np.zeros(2 + n_bins)
+        rms = float(np.sqrt((x * x).mean()))
+        zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean())
+        edges = np.linspace(0, len(x), n_bins + 1).astype(int)
+        bins = [float(np.abs(x[a:b]).mean()) if b > a else 0.0
+                for a, b in zip(edges[:-1], edges[1:])]
+        return np.array([rms, zcr] + bins)
+
+    return decode
+
+
+def ppm_feature_decoder():
+    """Pure-python P6 PPM (binary RGB) decoder closure for `DecodeFeatures`:
+    parses the header and emits ``[width, height, mean_R, mean_G, mean_B]``."""
+    def decode(payload: bytes) -> np.ndarray:
+        fields: list[bytes] = []
+        i = 0
+        while len(fields) < 4:                    # magic, width, height, maxval
+            while i < len(payload) and payload[i:i + 1].isspace():
+                i += 1
+            if payload[i:i + 1] == b"#":          # comment line
+                i = payload.index(b"\n", i) + 1
+                continue
+            j = i
+            while j < len(payload) and not payload[j:j + 1].isspace():
+                j += 1
+            fields.append(payload[i:j])
+            i = j
+        if fields[0] != b"P6":
+            raise ValueError("not a P6 PPM payload")
+        w, h = int(fields[1]), int(fields[2])
+        px = np.frombuffer(payload, dtype=np.uint8,
+                           count=w * h * 3, offset=i + 1)
+        rgb = px.reshape(-1, 3).mean(axis=0)
+        return np.array([float(w), float(h), *rgb])
+
+    return decode
 
 
 def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:

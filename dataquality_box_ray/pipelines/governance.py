@@ -103,7 +103,15 @@ def run_governance(sf_dir: str, out_dir: str | None = None,
         pathlib.Path(__file__).parent.parent / "rules" / "packs" / "tpch")
     rules = engine.load_rule_pack(pack_dir)
     datasets = load_entities(sf_dir)
+    return run_rules(datasets, rules, out_dir=out_dir, exemptions=exemptions)
 
+
+def run_rules(datasets: dict[str, "ray.data.Dataset"], rules,
+              out_dir: str | None = None,
+              exemptions: set[str] | None = None) -> dict[str, Any]:
+    """Rules → aggregator → report over ALREADY-LOADED entity datasets —
+    the shared tail of the code-driven (`run_governance`) and YAML-driven
+    (`pipelines.spec.run_pipeline_spec`) assembly paths."""
     rule_results: list[dict[str, Any]] = []
     hits_by_rule: dict[str, pd.DataFrame] = {}
     for rule in rules:

@@ -615,6 +615,9 @@ def build() -> dict[str, str]:
                  "embedding_near_dup_pairs", "two_tier_events"):
         path = sketch_oracles.dump(name, _CORRECTNESS_SF_DIR)
         sql[name] = f"SELECT * FROM read_parquet('{path}')"
+    # the forced-many-buckets variant must reproduce the SAME sequential
+    # result — bucket layout is an execution detail, not a semantic one
+    sql["two_tier_events_bucketed"] = sql["two_tier_events"]
 
     sql["embedding_topk"] = """
         SELECT a.vec_id AS query_id, b.vec_id,

@@ -285,6 +285,18 @@ def two_tier_events(sf_dir: str) -> pd.DataFrame:
     sequential reference matcher (sketch_oracles.two_tier_status) dumped to
     Parquet, since the iterative keep-first contention has no closed-form
     SQL."""
+    return _two_tier_events(sf_dir, n_buckets=16)
+
+
+def two_tier_events_bucketed(sf_dir: str) -> pd.DataFrame:
+    """Same op forced through MANY buckets (256 — far more than groups per
+    worker at battery scale), pinning the bucketed shuffle path against the
+    identical sequential dump: bucket layout must never leak into statuses,
+    tie-breaks, or Δt values."""
+    return _two_tier_events(sf_dir, n_buckets=256)
+
+
+def _two_tier_events(sf_dir: str, n_buckets: int) -> pd.DataFrame:
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
     def mk_left(df: pd.DataFrame) -> pd.DataFrame:
@@ -307,7 +319,7 @@ def two_tier_events(sf_dir: str) -> pd.DataFrame:
     left = ev.map_batches(mk_left, batch_format="pandas")
     right = ev.map_batches(mk_right, batch_format="pandas")
     out = two_tier_match(left, right, strict_tol_s=300,
-                         loose_tol_s=3600).to_pandas()
+                         loose_tol_s=3600, n_buckets=n_buckets).to_pandas()
     res = pd.DataFrame({
         "left_key": out["key"].astype("float64").fillna(-1).astype(np.int64),
         "right_id": out["id"].astype("float64").fillna(-1).astype(np.int64),

@@ -1,0 +1,197 @@
+"""Config-driven pipeline assembly: drop a YAML spec → a pipeline appears.
+
+The reference auto-generates whole Airflow DAGs from Pydantic-validated
+source configs (`plugins/schemas/source_config_schema.py:153-177`,
+`plugins/orchestration/dag_factory.py:59-132`). The Ray-native analogue is a
+single declarative spec that assembles Datasets, funnels, joins, the
+compiled field projection, and a rule pack into one run:
+
+```yaml
+name: governance_tpch
+sources:                      # topo-sorted by depends_on
+  orders:   {format: parquet, path: "{sf_dir}/orders.parquet"}
+  lineitem:
+    format: parquet
+    path: "{sf_dir}/lineitem.parquet"
+    depends_on: {source: orders, key: l_orderkey, upstream_key: o_orderkey}
+entity:                       # optional adapter stage
+  name: order_entity
+  base: orders
+  joins:
+    - {right: customer, left_on: o_custkey, right_on: c_custkey,
+       kind: hash, how: left_outer}
+    - {right: nation, left_on: c_nationkey, right_on: n_nationkey,
+       kind: broadcast, columns: [n_name]}
+  fields:                     # sandboxed expression compiler projections
+    - {target: order_key, expr: "col('o_orderkey')"}
+rules: {pack: rules/packs/tpch}   # relative to the package root
+```
+
+Validation is strict: unknown keys and missing required keys fail fast at
+load time (the hand-rolled analogue of the reference's Pydantic models —
+a typo'd spec must never silently assemble a different pipeline).
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Any
+
+import ray.data
+
+_PKG_ROOT = pathlib.Path(__file__).parent.parent
+
+_TOP_KEYS = {"name", "sources", "entity", "rules", "aggregator"}
+_SOURCE_KEYS = {"format", "path", "columns", "depends_on"}
+_DEP_KEYS = {"source", "key", "upstream_key"}
+_ENTITY_KEYS = {"name", "base", "joins", "fields"}
+_JOIN_KEYS = {"right", "left_on", "right_on", "kind", "how", "columns"}
+
+
+def _check_keys(obj: dict, allowed: set, required: set, where: str) -> None:
+    unknown = set(obj) - allowed
+    if unknown:
+        raise ValueError(f"{where}: unknown keys {sorted(unknown)} "
+                         f"(allowed: {sorted(allowed)})")
+    missing = required - set(obj)
+    if missing:
+        raise ValueError(f"{where}: missing required keys {sorted(missing)}")
+
+
+def load_pipeline_spec(path: str) -> dict[str, Any]:
+    """Parse + validate a pipeline spec YAML (strict key checking)."""
+    import yaml
+
+    spec = yaml.safe_load(pathlib.Path(path).read_text())
+    if not isinstance(spec, dict):
+        raise ValueError(f"{path}: pipeline spec must be a mapping")
+    _check_keys(spec, _TOP_KEYS, {"name", "sources"}, path)
+    for name, src in spec["sources"].items():
+        _check_keys(src, _SOURCE_KEYS, {"format", "path"},
+                    f"{path}: source {name!r}")
+        if src["format"] != "parquet":
+            raise ValueError(f"source {name!r}: unsupported format "
+                             f"{src['format']!r} (only 'parquet')")
+        if "depends_on" in src:
+            _check_keys(src["depends_on"], _DEP_KEYS, _DEP_KEYS,
+                        f"{path}: source {name!r} depends_on")
+            if src["depends_on"]["source"] not in spec["sources"]:
+                raise ValueError(f"source {name!r} depends on unknown source "
+                                 f"{src['depends_on']['source']!r}")
+    if "entity" in spec:
+        ent = spec["entity"]
+        _check_keys(ent, _ENTITY_KEYS, {"name", "base"}, f"{path}: entity")
+        for j in ent.get("joins", []):
+            _check_keys(j, _JOIN_KEYS, {"right", "left_on", "right_on"},
+                        f"{path}: entity join")
+            if j.get("kind", "broadcast") not in ("broadcast", "hash"):
+                raise ValueError(f"entity join: unknown kind {j['kind']!r}")
+    return spec
+
+
+def _topo_sources(sources: dict[str, dict]) -> list[str]:
+    """Dependency order over the source DAG (reference topo sort,
+    `plugins/operators/loader.py:70-110`); cycles fail fast."""
+    order: list[str] = []
+    seen: set[str] = set()
+    visiting: set[str] = set()
+
+    def visit(name: str) -> None:
+        if name in seen:
+            return
+        if name in visiting:
+            raise ValueError(f"source dependency cycle through {name!r}")
+        visiting.add(name)
+        dep = sources[name].get("depends_on")
+        if dep:
+            visit(dep["source"])
+        visiting.discard(name)
+        seen.add(name)
+        order.append(name)
+
+    for name in sources:
+        visit(name)
+    return order
+
+
+def build_sources(spec: dict[str, Any],
+                  params: dict[str, str]) -> dict[str, "ray.data.Dataset"]:
+    """Loader stage from the spec: reads in dependency order; a
+    ``depends_on`` entry funnels the read through ``semi_join_auto`` on the
+    upstream's live keys (IN-filter pushdown, broadcast or hash-partitioned
+    by key cardinality)."""
+    from ..ops.joins import semi_join_auto
+    from ..sources import read_parquet
+
+    out: dict[str, ray.data.Dataset] = {}
+    for name in _topo_sources(spec["sources"]):
+        src = spec["sources"][name]
+        ds = read_parquet(src["path"].format(**params),
+                          columns=src.get("columns"))
+        dep = src.get("depends_on")
+        if dep:
+            ds = semi_join_auto(ds, out[dep["source"]], dep["key"],
+                                source_on=dep["upstream_key"])
+        out[name] = ds
+    return out
+
+
+def build_entity_from_spec(spec_entity: dict[str, Any],
+                           datasets: dict[str, "ray.data.Dataset"],
+                           ) -> "ray.data.Dataset":
+    """Adapter stage from the spec: chained joins (``kind: broadcast`` ships
+    the right side once via ray.put; ``kind: hash`` runs the partitioned
+    join) + the compiled field-mapping projection."""
+    import pandas as pd
+
+    from ..ops.joins import broadcast_lookup_join, hash_join
+    from ..rules.expressions import compile_expr
+
+    ds = datasets[spec_entity["base"]]
+    for j in spec_entity.get("joins", []):
+        right = datasets[j["right"]]
+        cols = j.get("columns")
+        if j.get("kind", "broadcast") == "broadcast":
+            small = right.to_pandas()
+            ds = broadcast_lookup_join(ds, small, j["left_on"], j["right_on"],
+                                       cols)
+        else:
+            if cols:
+                right = right.select_columns(
+                    [j["right_on"]] + [c for c in cols if c != j["right_on"]])
+            ds = hash_join(ds, right, j["left_on"], j["right_on"],
+                           how=j.get("how", "left_outer"))
+    fields = spec_entity.get("fields")
+    if fields:
+        fns = [(f["target"], compile_expr(f["expr"])) for f in fields]
+
+        def project(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({name: fn(df) for name, fn in fns})
+
+        ds = ds.map_batches(project, batch_format="pandas")
+    return ds
+
+
+def run_pipeline_spec(spec_path: str, params: dict[str, str],
+                      out_dir: str | None = None) -> dict[str, Any]:
+    """Execute a pipeline spec end to end: sources → (entity) → rule pack →
+    aggregator → report. Returns the same context dict as
+    `governance.run_governance` when a rule pack is configured, else
+    ``{"datasets": ..., "entity": ...}``."""
+    from ..rules import engine
+    from .governance import run_rules
+
+    spec = load_pipeline_spec(spec_path)
+    datasets = build_sources(spec, params)
+    if "entity" in spec:
+        datasets[spec["entity"]["name"]] = build_entity_from_spec(
+            spec["entity"], datasets)
+    if "rules" not in spec:
+        return {"datasets": datasets,
+                "entity": datasets.get(spec.get("entity", {}).get("name"))}
+    pack = spec["rules"]["pack"]
+    pack_dir = pack if pathlib.Path(pack).is_absolute() \
+        else str(_PKG_ROOT / pack)
+    rules = engine.load_rule_pack(pack_dir)
+    exemptions = set(spec.get("aggregator", {}).get("exemptions", []))
+    return run_rules(datasets, rules, out_dir=out_dir, exemptions=exemptions)

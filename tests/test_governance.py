@@ -30,6 +30,72 @@ def test_governance_end_to_end(tmp_path):
     assert (tmp_path / "governance_run_summary.parquet").exists()
 
 
+def test_yaml_pipeline_spec_matches_code_driven_governance(tmp_path):
+    """Config-driven assembly: the shipped governance_tpch.yaml spec must
+    reproduce the code-driven run_governance() results exactly — same rule
+    scoreboard, same severity routing — and write the same report files."""
+    import pathlib
+
+    from dataquality_box_ray.pipelines.spec import run_pipeline_spec
+
+    spec = str(pathlib.Path("dataquality_box_ray/pipelines/specs/"
+                            "governance_tpch.yaml"))
+    got = run_pipeline_spec(spec, {"sf_dir": SF}, out_dir=str(tmp_path))
+    exp = run_governance(SF)
+    cols = ["rule_id", "severity", "status", "hit_count"]
+    pd.testing.assert_frame_equal(
+        got["rule_results"][cols].sort_values("rule_id").reset_index(drop=True),
+        exp["rule_results"][cols].sort_values("rule_id").reset_index(drop=True))
+    assert got["summary"] == exp["summary"]
+    assert (tmp_path / "governance_rule_results.parquet").exists()
+    # the spec's adapter entity: checked via a rules-free variant, which
+    # returns the assembled datasets instead of the governance context
+    import yaml
+    raw = yaml.safe_load(pathlib.Path(spec).read_text())
+    raw.pop("rules"); raw.pop("aggregator")
+    nospec = tmp_path / "norules.yaml"
+    nospec.write_text(yaml.safe_dump(raw))
+    ctx = run_pipeline_spec(str(nospec), {"sf_dir": SF})
+    ent = ctx["entity"].to_pandas()
+    assert set(ent.columns) == {"order_key", "cust_key", "status",
+                                "total_cents", "priority_class", "nation_name"}
+    orders = pd.read_parquet(f"{SF}/orders.parquet")
+    assert len(ent) == len(orders)
+    assert set(ent.priority_class) <= {"urgent", "normal"}
+
+
+def test_pipeline_spec_validation_rejects_bad_specs(tmp_path):
+    import pytest
+    import yaml
+
+    from dataquality_box_ray.pipelines.spec import load_pipeline_spec
+
+    def write(d):
+        p = tmp_path / "s.yaml"
+        p.write_text(yaml.safe_dump(d))
+        return str(p)
+
+    ok = {"name": "x", "sources": {"a": {"format": "parquet", "path": "p"}}}
+    load_pipeline_spec(write(ok))
+    with pytest.raises(ValueError, match="unknown keys"):
+        load_pipeline_spec(write({**ok, "sinks": {}}))
+    with pytest.raises(ValueError, match="missing required"):
+        load_pipeline_spec(write({"name": "x"}))
+    with pytest.raises(ValueError, match="unsupported format"):
+        load_pipeline_spec(write(
+            {"name": "x", "sources": {"a": {"format": "csv", "path": "p"}}}))
+    with pytest.raises(ValueError, match="unknown source"):
+        load_pipeline_spec(write(
+            {"name": "x", "sources": {"a": {
+                "format": "parquet", "path": "p",
+                "depends_on": {"source": "zz", "key": "k",
+                               "upstream_key": "u"}}}}))
+    with pytest.raises(ValueError, match="cycle"):
+        from dataquality_box_ray.pipelines.spec import _topo_sources
+        _topo_sources({"a": {"depends_on": {"source": "b"}},
+                       "b": {"depends_on": {"source": "a"}}})
+
+
 def test_governance_exemption_whitelist(tmp_path):
     res_all = run_governance(SF)
     if res_all["summary"]["violations"]:
