@@ -117,7 +117,10 @@ class MinHasher:
         self.rows_per_band = num_perm // bands
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingle_hashes(text, self.k)
+        # unique-ing is exact: the per-permutation MIN is invariant under
+        # shingle duplication, and repeated shingles (common in code) would
+        # otherwise multiply the heavy affine transform's width ~1.4x
+        sh = np.unique(_shingle_hashes(text, self.k))
         if not len(sh):
             return np.zeros(self.num_perm, dtype=np.uint64)
         # affine permutations, min per permutation
@@ -131,7 +134,7 @@ class MinHasher:
         affine transform over the concatenated shingle stream, then per-doc
         minima via np.minimum.reduceat at the doc offsets — no per-doc loop in
         the heavy math."""
-        shingle_lists = [_shingle_hashes(t or "", self.k)
+        shingle_lists = [np.unique(_shingle_hashes(t or "", self.k))
                          for t in df[self.text_col]]
         counts = np.array([len(s) for s in shingle_lists])
         n = len(df)
@@ -160,6 +163,25 @@ def rename_cols(ds: "ray.data.Dataset", mapping: dict) -> "ray.data.Dataset":
         return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _split_for_compute(ds: "ray.data.Dataset",
+                       per_cpu: float = 2.0) -> "ray.data.Dataset":
+    """Signature stages are COMPUTE-bound per row and their task parallelism
+    is capped by the input block count — a single-file parquet read gives
+    1-2 blocks and serializes the heaviest math while the cluster idles.
+    When the input is a plain file read with fewer files than ~2 blocks/CPU,
+    repartition it up; multi-thousand-file web-scale reads (and non-read
+    lineages, whose block count is unknowable without executing) pass
+    through untouched."""
+    target = int(ray.cluster_resources().get("CPU", 8) * per_cpu)
+    try:
+        nfiles = len(ds.input_files())
+    except Exception:
+        nfiles = 0
+    if 1 <= nfiles < target:
+        return ds.repartition(target)
+    return ds
 
 
 def minhash_lsh_candidates_ds(ds: "ray.data.Dataset", text_col: str,
@@ -195,7 +217,7 @@ def minhash_lsh_candidates_ds(ds: "ray.data.Dataset", text_col: str,
         pb = (bh * np.uint64(0x9E3779B97F4A7C15) + bd) % np.uint64(cand_buckets)
         return out.assign(__pb=pb.astype(np.int64))
 
-    sig = ds.map_batches(sig_fn, batch_format="pandas")
+    sig = _split_for_compute(ds).map_batches(sig_fn, batch_format="pandas")
 
     def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series([], dtype=df["id"].dtype),
@@ -417,25 +439,25 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
         return ds
 
     distinct_pairs = None
+    verify_source = ds
     if n_pairs <= MAX_DRIVER_PAIRS:
         # small candidate PAIR set (16 B/row — always driver-safe): dedup the
-        # band-duplicated pairs in pandas, then check whether the candidate
-        # TEXTS also fit: the exact byte total comes from one column-pruned
-        # distributed length sum (no text leaves the workers)
+        # band-duplicated pairs in pandas, then pull ONLY the candidate text
+        # columns into the cluster ONCE (broadcast IN-filter + materialize)
+        # and gate the driver text pull on the EXACT byte total, summed over
+        # the already-materialized blocks (no extra input scan)
         import pyarrow.compute as pc
+        from .joins import broadcast_semi_join
         pairs_pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
         cand_ids = set(pairs_pdf["id_a"]) | set(pairs_pdf["id_b"])
-        id_arr = pa.array(list(cand_ids))
-        cand = ds.map_batches(
-            lambda t: t.filter(pc.is_in(t[id_col], value_set=id_arr)),
-            batch_format="pyarrow")
+        cand = (broadcast_semi_join(ds, cand_ids, id_col)
+                .select_columns([id_col, text_col]).materialize())
         cand_bytes = int(cand.map_batches(
             lambda t: pa.table({"b": [pc.sum(pc.binary_length(
                 pc.cast(t[text_col], pa.binary()))).as_py() or 0]}),
             batch_format="pyarrow").sum("b") or 0)
         if cand_bytes <= MAX_DRIVER_TEXT_BYTES:
-            texts = (cand.select_columns([id_col, text_col]).to_pandas()
-                     .set_index(id_col)[text_col])
+            texts = cand.to_pandas().set_index(id_col)[text_col]
             verified_pdf = verify_jaccard(pairs_pdf, texts,
                                           shingle_k=shingle_k,
                                           threshold=threshold)
@@ -449,8 +471,10 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
             from .joins import partitioned_anti_join
             return partitioned_anti_join(ds, losers_ds, id_col, id_col)
         # wide texts: keep the (cheap, already-deduped) driver pair set but
-        # verify distributedly — fall through to the scale path
+        # verify distributedly against the (smaller) materialized candidate
+        # text table instead of rescanning the full input
         distinct_pairs = ray.data.from_pandas(pairs_pdf)
+        verify_source = cand
 
     # scale path: slim distinct shuffle (a near-identical pair collides
     # in ~all bands; verifying it once is cheaper than bands× verifies),
@@ -458,8 +482,8 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
     # propagation components
     if distinct_pairs is None:
         distinct_pairs = _distinct_pairs_ds(pairs)
-    verified = (verify_jaccard_ds(distinct_pairs, ds, text_col, id_col,
-                                  shingle_k=shingle_k,
+    verified = (verify_jaccard_ds(distinct_pairs, verify_source, text_col,
+                                  id_col, shingle_k=shingle_k,
                                   threshold=threshold)
                 .materialize())
     if verified.count() == 0:
@@ -526,7 +550,9 @@ def simhash_candidates_ds(ds: "ray.data.Dataset", text_col: str, id_col: str,
         return holder["h"](df)
 
     # smaller batches: the batched bit matrix is shingles×64 bytes
-    hashed = ds.map_batches(hash_fn, batch_format="pandas", batch_size=256)
+    hashed = _split_for_compute(ds).map_batches(hash_fn,
+                                                batch_format="pandas",
+                                                batch_size=256)
     slim = hashed.select_columns([id_col, "simhash"])
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
