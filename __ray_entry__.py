@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_dirty_timestamps": q.parse_dirty_timestamps,
         "validate_events": q.validate_events,
         "supplier_lineitems_funnel": q.supplier_lineitems_funnel,
+        "templated_batch_funnel": q.templated_batch_funnel,
+        "templated_per_row_funnel": q.templated_per_row_funnel,
         # documents / text analysis
         "doc_token_stats": q.doc_token_stats,
         "doc_quality_scores": q.doc_quality_scores,

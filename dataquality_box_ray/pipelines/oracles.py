@@ -348,6 +348,22 @@ def build() -> dict[str, str]:
         ORDER BY l.l_orderkey, l.l_linenumber
     """
 
+    sql["templated_batch_funnel"] = """
+        WITH up AS (SELECT c_custkey FROM customer WHERE c_nationkey = 3)
+        SELECT o_orderkey, o_custkey,
+               (SELECT COUNT(*) FROM up)::BIGINT AS n_upstream
+        FROM orders WHERE o_custkey IN (SELECT c_custkey FROM up)
+        ORDER BY o_orderkey
+    """
+
+    sql["templated_per_row_funnel"] = """
+        SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_quantity,
+               s.s_name
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE s.s_suppkey < 10
+        ORDER BY l.l_orderkey, l.l_linenumber
+    """
+
     # ---- documents -------------------------------------------------------
     sql["doc_token_stats"] = r"""
         SELECT doc_id,

@@ -531,6 +531,46 @@ def supplier_lineitems_funnel(sf_dir: str) -> pd.DataFrame:
             .reset_index(drop=True))
 
 
+def templated_batch_funnel(sf_dir: str) -> pd.DataFrame:
+    """S4/S5 batch-mode TEMPLATED funnel (reference loader.py:290-309 +
+    UpstreamRef base.py:13-57): the upstream customer set renders into one
+    downstream query string via ``{{ ref.values(...) }}`` / ``{{ ref.count }}``
+    and a generic-SQL extractor runs it."""
+    from ..sources.templates import batch_funnel_query, duckdb_extractor
+
+    upstream = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(lambda df: df[df.c_nationkey == 3],
+                     batch_format="pandas")
+    tpl = ("SELECT o_orderkey, o_custkey, {{ ref.count }}::BIGINT AS n_upstream "
+           "FROM orders "
+           "WHERE o_custkey IN ({{ ref.values('c_custkey', quote=False) }}) "
+           "ORDER BY o_orderkey")
+    out = batch_funnel_query(upstream, tpl, duckdb_extractor(sf_dir))
+    out = out.astype({"o_orderkey": np.int64, "o_custkey": np.int64,
+                      "n_upstream": np.int64})
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def templated_per_row_funnel(sf_dir: str) -> pd.DataFrame:
+    """S4 per-row TEMPLATED funnel (reference loader.py:315-363): each
+    driving supplier row renders its own query via ``{{ row.col }}``; results
+    concat diagonally inside the fan-out tasks."""
+    from ..sources.templates import duckdb_extractor, per_row_funnel_query
+
+    driving = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).map_batches(
+        lambda df: df[df.s_suppkey < 10], batch_format="pandas")
+    tpl = ("SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity "
+           "FROM lineitem WHERE l_suppkey = {{ row.s_suppkey }}")
+    out = per_row_funnel_query(
+        driving, tpl, lambda: duckdb_extractor(sf_dir),
+        param_cols=["s_suppkey"], stamp_cols=["s_name"],
+        rows_per_batch=2).to_pandas()
+    out = out.astype({"l_orderkey": np.int64, "l_linenumber": np.int64,
+                      "l_suppkey": np.int64})
+    return (out.sort_values(["l_orderkey", "l_linenumber"])
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------------
 # documents / text analysis
 # ---------------------------------------------------------------------------

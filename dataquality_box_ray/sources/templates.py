@@ -1,0 +1,206 @@
+"""Templated query strings for the dependent-extraction funnel.
+
+The reference parameterizes downstream extractions with Jinja templates
+(`plugins/operators/loader.py:290-363`, `plugins/infra/extractors/base.py:
+13-57`): ``{{ ref.values('col') }}`` renders the upstream result into a SQL
+IN list (batch mode), ``{{ row.col }}`` renders one query per upstream row
+(per-row mode). This module provides the same template surface without a
+Jinja dependency: a SANDBOXED ``{{ expr }}`` renderer (no builtins, only the
+``ref`` / ``row`` / ``params`` namespaces — same policy as
+rules/expressions.py) plus an `UpstreamRef` that computes its values
+DISTRIBUTEDLY when the upstream is a Dataset (distinct via the bucketed
+combiner, refused above the broadcast key cap).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+from typing import Any
+
+import pandas as pd
+
+import ray.data
+
+_EXPR = re.compile(r"\{\{(.*?)\}\}", re.S)
+
+
+class UpstreamRef:
+    """Upstream-result reference exposed to templates as ``ref`` (reference
+    `plugins/infra/extractors/base.py:13-57`):
+
+    - ``ref.values('col')`` → ``'a','b','c'`` (SQL IN list; quote=False for
+      numerics; distinct by default)
+    - ``ref.count`` / ``ref.empty``
+    - ``ref.min('col')`` / ``ref.max('col')`` / ``ref.distinct('col')`` /
+      ``ref.column('col')``
+
+    Wraps a pandas frame OR a Dataset; Dataset-backed refs compute
+    distinct/min/max in the cluster and REFUSE to render a key list larger
+    than ``max_values`` — a template IN list is a driver-side artifact by
+    definition, and past that size the funnel should run as a semi join
+    (ops.joins.semi_join_auto), not a rendered string."""
+
+    def __init__(self, data: "pd.DataFrame | ray.data.Dataset",
+                 max_values: int = 100_000) -> None:
+        self._data = data
+        self._max = max_values
+
+    @property
+    def _is_ds(self) -> bool:
+        return not isinstance(self._data, pd.DataFrame)
+
+    @property
+    def count(self) -> int:
+        return self._data.count() if self._is_ds else len(self._data)
+
+    @property
+    def empty(self) -> bool:
+        return self.count == 0
+
+    def distinct(self, column: str) -> list:
+        if self._is_ds:
+            from ..ops.joins import distinct_ds
+            keys = distinct_ds(self._data.select_columns([column]), column)
+            pdf = keys.to_pandas()
+            if len(pdf) > self._max:
+                raise ValueError(
+                    f"ref.distinct({column!r}): {len(pdf)} keys exceed "
+                    f"max_values={self._max}; run the funnel as a semi join "
+                    "instead of a rendered IN list")
+            vals = pdf[column].tolist()
+        else:
+            vals = self._data[column].drop_duplicates().tolist()
+            if len(vals) > self._max:
+                raise ValueError(
+                    f"ref.distinct({column!r}): {len(vals)} keys exceed "
+                    f"max_values={self._max}")
+        return sorted(vals)
+
+    def values(self, column: str, quote: bool = True,
+               distinct: bool = True) -> str:
+        vals = self.distinct(column) if distinct else self.column(column)
+        if quote:
+            return ",".join("'{}'".format(str(v).replace("'", "''"))
+                            for v in vals)
+        return ",".join(str(v) for v in vals)
+
+    def column(self, column: str) -> list:
+        if self._is_ds:
+            pdf = self._data.select_columns([column]).to_pandas()
+            if len(pdf) > self._max:
+                raise ValueError(f"ref.column({column!r}) exceeds max_values")
+            return pdf[column].tolist()
+        return self._data[column].tolist()
+
+    def min(self, column: str) -> str:
+        if self._is_ds:
+            return str(self._data.min(column))
+        return str(self._data[column].min())
+
+    def max(self, column: str) -> str:
+        if self._is_ds:
+            return str(self._data.max(column))
+        return str(self._data[column].max())
+
+
+class _RowNS:
+    """``row.col`` attribute access over a plain dict."""
+
+    def __init__(self, row: dict) -> None:
+        self._row = row
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self._row[name]
+        except KeyError:
+            raise AttributeError(f"row has no column {name!r}") from None
+
+
+def render_template(template: str, *, ref: UpstreamRef | None = None,
+                    row: dict | None = None,
+                    params: dict | None = None) -> str:
+    """Render ``{{ expr }}`` placeholders with a SANDBOXED eval: no builtins,
+    no imports — only the ``ref`` / ``row`` / ``params`` namespaces (the same
+    allowlist policy as the rules expression compiler). Anything else in the
+    expression raises NameError at render time."""
+    ns: dict[str, Any] = {"__builtins__": {}}
+    if ref is not None:
+        ns["ref"] = ref
+    if row is not None:
+        ns["row"] = _RowNS(row)
+    if params:
+        ns["params"] = _RowNS(params)
+
+    def sub(m: re.Match) -> str:
+        return str(eval(m.group(1).strip(), ns))  # noqa: S307 — sandboxed
+
+    return _EXPR.sub(sub, template)
+
+
+def duckdb_extractor(sf_dir: str) -> Callable[[str], pd.DataFrame]:
+    """Generic-SQL extractor over the testdata parquet tables (the stand-in
+    for the reference's live DB extractors): executes a rendered query with
+    DuckDB views registered per table file. One connection per task/worker
+    (holder pattern)."""
+    import pathlib
+    holder: dict = {}
+
+    def run(query: str) -> pd.DataFrame:
+        if "con" not in holder:
+            import duckdb
+            con = duckdb.connect()
+            for p in pathlib.Path(sf_dir).glob("*.parquet"):
+                con.execute(f"CREATE VIEW {p.stem} AS SELECT * FROM "
+                            f"read_parquet('{p}')")
+            holder["con"] = con
+        return holder["con"].execute(query).df()
+
+    return run
+
+
+def batch_funnel_query(upstream: "pd.DataFrame | ray.data.Dataset",
+                       template: str,
+                       extractor: Callable[[str], pd.DataFrame],
+                       params: dict | None = None) -> pd.DataFrame:
+    """Batch-mode templated funnel (reference `loader.py:290-309`): the whole
+    upstream renders into ONE query via ``ref`` and the extractor runs it
+    once. The IN-pushdown itself happens inside the extractor's engine."""
+    rendered = render_template(template, ref=UpstreamRef(upstream),
+                               params=params)
+    return extractor(rendered)
+
+
+def per_row_funnel_query(driving: "ray.data.Dataset", template: str,
+                         extractor_factory: Callable[[], Callable[[str],
+                                                                  pd.DataFrame]],
+                         param_cols: list[str],
+                         stamp_cols: list[str] | None = None,
+                         rows_per_batch: int = 8,
+                         params: dict | None = None) -> "ray.data.Dataset":
+    """Per-row templated funnel (reference `loader.py:315-363`): each driving
+    row renders its own query (``{{ row.col }}``) and the results concat
+    diagonally — distributed through `sources.funnel.per_row_funnel`, so the
+    fan-out parallelism is the driving table's batch count and each task owns
+    ONE extractor instance (``extractor_factory`` is called once per worker,
+    the holder pattern). A row whose extraction fails is skipped with a
+    warning, like the reference's row-level try/except."""
+    from .funnel import per_row_funnel
+
+    holder: dict = {}
+
+    def extract(row_params: dict[str, Any]) -> pd.DataFrame:
+        if "x" not in holder:
+            holder["x"] = extractor_factory()
+        rendered = render_template(template, row=row_params, params=params)
+        try:
+            return holder["x"](rendered)
+        except Exception as e:                      # reference loader.py:353
+            import logging
+            logging.getLogger(__name__).warning(
+                "per-row extraction failed, row skipped: %s", e)
+            return pd.DataFrame()
+
+    return per_row_funnel(driving, extract, param_cols,
+                          stamp_cols=stamp_cols,
+                          rows_per_batch=rows_per_batch)

@@ -130,3 +130,69 @@ def test_expand_id_variants_in_filter():
     kept = broadcast_semi_join(ray.data.from_pandas(rows), variants,
                                "vid").to_pandas()
     assert sorted(kept["v"]) == [1, 2, 4]
+
+
+def test_template_render_ref_row_and_sandbox():
+    import numpy as np
+    import pytest
+
+    from dataquality_box_ray.sources.templates import (UpstreamRef,
+                                                       render_template)
+    up = pd.DataFrame({"vid": ["V2", "V1", "V2"], "n": [3, 1, 2]})
+    ref = UpstreamRef(up)
+    assert render_template("IN ({{ ref.values('vid') }})", ref=ref) \
+        == "IN ('V1','V2')"
+    assert render_template("IN ({{ ref.values('n', quote=False) }})",
+                           ref=ref) == "IN (1,2,3)"
+    assert render_template("{{ ref.count }}|{{ ref.min('n') }}|"
+                           "{{ ref.max('n') }}", ref=ref) == "3|1|3"
+    assert render_template("x={{ row.vid }} d={{ params.ds }}",
+                           row={"vid": "V9"}, params={"ds": "2026-01-01"}) \
+        == "x=V9 d=2026-01-01"
+    # values() SQL-escapes embedded quotes
+    ref2 = UpstreamRef(pd.DataFrame({"s": ["a'b"]}))
+    assert render_template("{{ ref.values('s') }}", ref=ref2) == "'a''b'"
+    # sandbox: no builtins reachable from a template expression
+    with pytest.raises(Exception):
+        render_template("{{ __import__('os').getcwd() }}")
+    with pytest.raises(Exception):
+        render_template("{{ open('/etc/passwd') }}")
+
+
+def test_template_ref_dataset_backed_and_refusal():
+    import pytest
+
+    from dataquality_box_ray.sources.templates import UpstreamRef
+    ds = ray.data.from_pandas(pd.DataFrame({"k": [5, 1, 5, 3]}))
+    ref = UpstreamRef(ds)
+    assert ref.count == 4
+    assert ref.distinct("k") == [1, 3, 5]
+    assert ref.min("k") == "1" and ref.max("k") == "5"
+    small = UpstreamRef(ds, max_values=2)
+    with pytest.raises(ValueError, match="semi join"):
+        small.distinct("k")
+
+
+def test_templated_funnels_match_plain_funnel():
+    """The templated per-row funnel (query strings + DuckDB extractor) must
+    produce the same rows as the callable-based per-row funnel."""
+    from dataquality_box_ray.pipelines.queries import (
+        supplier_lineitems_funnel, templated_batch_funnel,
+        templated_per_row_funnel)
+    sf = "/root/testdata/sf0.001"
+    a = supplier_lineitems_funnel(sf)
+    b = templated_per_row_funnel(sf)
+
+    def norm(df):
+        cols = sorted(df.columns)
+        return (df[cols].sort_values(cols, kind="mergesort")
+                .reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(norm(a), norm(b))
+    out = templated_batch_funnel(sf)
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    keys = set(cust.loc[cust.c_nationkey == 3, "c_custkey"])
+    exp = orders[orders.o_custkey.isin(keys)]
+    assert len(out) == len(exp)
+    assert (out.n_upstream == len(keys)).all()
