@@ -149,8 +149,12 @@ def run_scaling() -> dict:
     lo = int(os.environ.get("DQ_SCALING_CPUS_LO", "4"))
     hi = int(os.environ.get("DQ_SCALING_CPUS_HI", "16"))
     # wall clocks on this VM swing ±40% with ambient noise; min-of-reps on
-    # BOTH levels estimates each level's true capability symmetrically
-    r_lo, r_hi = one(lo, reps=2), one(hi, reps=3)
+    # BOTH levels estimates each level's true capability symmetrically.
+    # Rep counts are env-tunable: in the VM's degraded state a 4-cpu rep can
+    # exceed 20 min, and a bounded-time rerun beats a timed-out one.
+    reps_lo = int(os.environ.get("DQ_SCALING_REPS_LO", "2"))
+    reps_hi = int(os.environ.get("DQ_SCALING_REPS_HI", "3"))
+    r_lo, r_hi = one(lo, reps=reps_lo), one(hi, reps=reps_hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {

@@ -197,19 +197,15 @@ def _run_partition(files: list[str], tmp_dir: str, committed: pd.DataFrame,
     qf.scored_dataset(files).write_parquet(str(stage), compression="zstd")
 
     from ..stages.decide import decide_kernel
-    from ..stages.reconcile import (compute_label_tables, make_apply_labels,
-                                    pack_labels)
     from ..stages.scrubber import scrub_kernel
 
     slim = read_parquet(str(stage), columns=qf.SLIM_COLUMNS)
-    labels_pdf, losers_pdf = compute_label_tables(slim, n_buckets)
-    packed_ref = ray.put(pack_labels(labels_pdf, losers_pdf))
     index_ref = ray.put(committed)
 
     # lineage: committed keys that a newer arriving commit supersedes
     superseded: list[str] = []
     if len(committed):
-        win_new = compute_new_winners(labels_pdf, files, stage)
+        win_new = compute_new_winners(files, stage)
         cw = committed.assign(rp=committed["repo"] + SEP + committed["path"])
         merged = cw.merge(win_new, on="rp", how="inner")
         newer = merged[merged["new_commit"] > merged["commit"]]
@@ -222,10 +218,10 @@ def _run_partition(files: list[str], tmp_dir: str, committed: pd.DataFrame,
             holder["c"] = CommittedIndexCorrections(index_ref)
         return holder["c"](batch)
 
-    ds = read_parquet(str(stage))
-    ds = ds.map_batches(make_apply_labels(packed_ref),
-                        batch_format="pyarrow",
-                        batch_size=config.DEFAULT_BATCH_SIZE)
+    # label join-back with the broadcast-vs-partitioned auto switch — the
+    # same escape hatch as the non-checkpointed pipeline (a partition is the
+    # memory unit, but a mega-partition's labels must degrade, not crash)
+    ds = qf.apply_labels_auto(slim, read_parquet(str(stage)), n_buckets)
     ds = ds.map_batches(corrections, batch_format="pyarrow",
                         batch_size=config.DEFAULT_BATCH_SIZE)
     ds = ds.map_batches(scrub_kernel, batch_format="pyarrow",
@@ -235,7 +231,7 @@ def _run_partition(files: list[str], tmp_dir: str, committed: pd.DataFrame,
     return ds.select_columns(qf.RESULT_COLUMNS), superseded
 
 
-def compute_new_winners(labels_pdf: pd.DataFrame, files: list[str],
+def compute_new_winners(files: list[str],
                         stage: pathlib.Path) -> pd.DataFrame:
     """(repo,path) → winning commit for this partition, from the slim stage."""
     slim = read_parquet(str(stage),

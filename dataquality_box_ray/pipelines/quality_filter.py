@@ -121,10 +121,6 @@ def finalize_dataset(stage: "str | ray.data.Dataset",
       partitioned beyond it: at web scale a few percent exception rows no
       longer stop the pipeline, they degrade it to the shuffle join-back.
     """
-    from ..stages.reconcile import (DRIVER_LABEL_MAX_ROWS,
-                                    apply_labels_partitioned,
-                                    compute_label_datasets)
-
     if isinstance(stage, str):
         slim = read_parquet(stage, columns=SLIM_COLUMNS)
         cpus_total = int(ray.cluster_resources().get("CPU", 8))
@@ -133,6 +129,26 @@ def finalize_dataset(stage: "str | ray.data.Dataset",
     else:
         slim = stage.select_columns(SLIM_COLUMNS)
         full = stage
+    ds = apply_labels_auto(slim, full, n_buckets, extra_losers, label_join)
+    ds = ds.map_batches(scrub_kernel, batch_format="pyarrow",
+                        batch_size=config.DEFAULT_BATCH_SIZE)
+    ds = ds.map_batches(decide_kernel, batch_format="pyarrow",
+                        batch_size=config.DEFAULT_BATCH_SIZE)
+    return ds.select_columns(RESULT_COLUMNS)
+
+
+def apply_labels_auto(slim: "ray.data.Dataset", full: "ray.data.Dataset",
+                      n_buckets: int = config.RECONCILE_BUCKETS,
+                      extra_losers=None, label_join: str = "auto",
+                      ) -> "ray.data.Dataset":
+    """Label pass 2 alone (compute + join back onto the full rows, no
+    scrub/decide) with the broadcast-vs-partitioned auto switch — shared by
+    `finalize_dataset` and the checkpointed per-partition runner
+    (pipelines/manifest.py), which inserts its cross-partition corrections
+    stage between this and the scrub."""
+    from ..stages.reconcile import (DRIVER_LABEL_MAX_ROWS,
+                                    apply_labels_partitioned,
+                                    compute_label_datasets)
 
     import pandas as pd
     n_extra = len(extra_losers) if extra_losers is not None else 0
@@ -150,25 +166,18 @@ def finalize_dataset(stage: "str | ray.data.Dataset",
             label_join == "auto" and slim.count() <= DRIVER_LABEL_MAX_ROWS):
         # small slim table: driver-side label kernels + broadcast join-back
         # (driver mode implies label tables far below the broadcast cap)
-        ds = _broadcast_apply(*compute_label_tables(slim, n_buckets))
-    else:
-        labels_ds, losers_ds = compute_label_datasets(slim, n_buckets)
-        over_cap = max(labels_ds.count(), losers_ds.count() + n_extra) \
-            > config.MAX_BROADCAST_LABELS
-        if label_join == "auto" and not over_cap:
-            losers_pdf = losers_ds.to_pandas()
-            if not len(losers_pdf):
-                losers_pdf = pd.DataFrame(
-                    {"repo": [], "path": [], "commit": []}, dtype=object)
-            ds = _broadcast_apply(labels_ds.to_pandas(), losers_pdf)
-        else:
-            ds = apply_labels_partitioned(full, labels_ds, losers_ds,
-                                          extra_losers, n_buckets)
-    ds = ds.map_batches(scrub_kernel, batch_format="pyarrow",
-                        batch_size=config.DEFAULT_BATCH_SIZE)
-    ds = ds.map_batches(decide_kernel, batch_format="pyarrow",
-                        batch_size=config.DEFAULT_BATCH_SIZE)
-    return ds.select_columns(RESULT_COLUMNS)
+        return _broadcast_apply(*compute_label_tables(slim, n_buckets))
+    labels_ds, losers_ds = compute_label_datasets(slim, n_buckets)
+    over_cap = max(labels_ds.count(), losers_ds.count() + n_extra) \
+        > config.MAX_BROADCAST_LABELS
+    if label_join == "auto" and not over_cap:
+        losers_pdf = losers_ds.to_pandas()
+        if not len(losers_pdf):
+            losers_pdf = pd.DataFrame(
+                {"repo": [], "path": [], "commit": []}, dtype=object)
+        return _broadcast_apply(labels_ds.to_pandas(), losers_pdf)
+    return apply_labels_partitioned(full, labels_ds, losers_ds,
+                                    extra_losers, n_buckets)
 
 
 def quality_filter_dataset(input_path: str | list[str],

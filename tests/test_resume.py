@@ -88,3 +88,24 @@ def test_cross_partition_dedup(tmp_path):
     # can only reassign canonicals, never lose the dup
     assert int(b["r_exact_dup"].sum()) >= int(a["r_exact_dup"].sum()) - \
         int(a["r_stale_commit"].sum())
+
+
+def test_checkpointed_run_partitioned_label_path(tmp_path, monkeypatch):
+    """The per-partition runner shares the broadcast-refusal auto switch:
+    with the caps forced to 0 every partition's labels join back through the
+    hash-partitioned path, and the manifest (rows/kept/rule hits) is
+    identical to the broadcast run."""
+    from dataquality_box_ray import config
+    from dataquality_box_ray.pipelines.manifest import run_quality_filter
+    from dataquality_box_ray.stages import reconcile
+
+    src = corpus_path("/root/testdata/sf0.001")
+    base = run_quality_filter(src, str(tmp_path / "a"), partitions=2)
+    monkeypatch.setattr(config, "MAX_BROADCAST_LABELS", 0)
+    monkeypatch.setattr(reconcile, "DRIVER_LABEL_MAX_ROWS", 0)
+    part = run_quality_filter(src, str(tmp_path / "b"), partitions=2)
+    for pid, e in base["partitions"].items():
+        f = part["partitions"][pid]
+        assert (e["rows"], e["kept"]) == (f["rows"], f["kept"]), pid
+        assert e["rule_hits"] == f["rule_hits"], pid
+        assert e["status_distribution"] == f["status_distribution"], pid
