@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_lsh_topk": q.embedding_lsh_topk,
         "embedding_ivf_topk": q.embedding_ivf_topk,
         "embedding_near_dup_pairs": q.embedding_near_dup_pairs,
+        "embedding_dedup": q.embedding_dedup,
     }
 
 

@@ -691,6 +691,34 @@ def embedding_near_dup(ds: "ray.data.Dataset", emb_col: str, id_col: str,
     return pairs.drop_duplicates(subset=["id_a", "id_b"]).reset_index(drop=True)
 
 
+def embedding_dedup(ds: "ray.data.Dataset", emb_col: str, id_col: str,
+                    threshold: float = 0.95, n_planes: int = 12,
+                    seed: int = 11) -> "ray.data.Dataset":
+    """Full embedding-cosine near-dup DEDUP: hyperplane-LSH bucketed pairs
+    (`embedding_near_dup_ds`) → connected components (driver union-find below
+    ``MAX_DRIVER_PAIRS``, else distributed min-label propagation) → keep the
+    min id per component — the same survivors-via-anti-join tail as
+    `minhash_dedup` / `simhash_dedup` (reference dedup-vs-sink family,
+    `plugins/services/reconciliation_runner.py:586-601`)."""
+    pairs = embedding_near_dup_ds(ds, emb_col, id_col, threshold=threshold,
+                                  n_planes=n_planes, seed=seed).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ds
+    if n_pairs <= MAX_DRIVER_PAIRS:
+        losers = union_find_losers(pairs.to_pandas())
+        if not losers:
+            return ds
+        if len(losers) <= MAX_BROADCAST_IDS:
+            return broadcast_anti_join(ds, losers, id_col)
+        losers_ds = ray.data.from_pandas(
+            pd.DataFrame({id_col: sorted(losers)}))
+    else:
+        losers_ds = rename_cols(min_label_losers_ds(pairs), {"node": id_col})
+    from .joins import partitioned_anti_join
+    return partitioned_anti_join(ds, losers_ds, id_col, id_col)
+
+
 def line_dedup(ds: "ray.data.Dataset", text_col: str = "text",
                id_col: str = "doc_id", n_buckets: int = 64,
                ) -> "ray.data.Dataset":

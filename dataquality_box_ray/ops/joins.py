@@ -241,6 +241,9 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     cpus = int(_ray.cluster_resources().get("CPU", 8))
     n = num_partitions or max(8, cpus)
+    if not force_fallback:
+        force_fallback = _join_needs_fallback(left) or \
+            _join_needs_fallback(right)
     if hasattr(left, "join") and not force_fallback:
         # repartition both inputs first: upstream grouped/join operators can
         # emit schema-less EMPTY Arrow blocks (empty reduce/aggregator
@@ -288,6 +291,25 @@ def hash_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
 
     return lt.union(rt).groupby("__bucket").map_groups(
         per_bucket, batch_format="pandas")
+
+
+def _join_needs_fallback(ds: "ray.data.Dataset") -> bool:
+    """True when the native join would crash on this side's column types:
+    Acero rejects NESTED non-key columns ("Data type list<...> is not
+    supported in join non-key field" — embedding lists, struct metadata).
+    Pandas-block OBJECT columns may hide lists behind the schema, and the
+    failure would only surface at aggregator-finalize time (too late to
+    replan), so object dtypes conservatively take the portable bucketed path
+    too (a pandas merge handles any cell type)."""
+    try:
+        schema = ds.schema()
+        base = getattr(schema, "base_schema", None)
+        if isinstance(base, pa.Schema):
+            return any(pa.types.is_nested(f.type) for f in base)
+        return any(getattr(t, "kind", "") == "O"
+                   for t in (getattr(base, "types", None) or []))
+    except Exception:
+        return False
 
 
 def tag_pad_fn(all_cols: list[str], pad: dict, rename: dict, side: str,

@@ -628,7 +628,8 @@ def build() -> dict[str, str]:
                  "doc_minhash_dedup", "doc_simhash_pairs",
                  "doc_simhash_dedup", "doc_fingerprints",
                  "embedding_lsh_topk", "embedding_ivf_topk",
-                 "embedding_near_dup_pairs", "two_tier_events"):
+                 "embedding_near_dup_pairs", "embedding_dedup",
+                 "two_tier_events"):
         path = sketch_oracles.dump(name, _CORRECTNESS_SF_DIR)
         sql[name] = f"SELECT * FROM read_parquet('{path}')"
     # the forced-many-buckets variant must reproduce the SAME sequential

@@ -858,6 +858,17 @@ def embedding_ivf_topk(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
 
 
+def embedding_dedup(sf_dir: str) -> pd.DataFrame:
+    """Full embedding-cosine near-dup dedup (pairs → components → min-id
+    survivors), hash-compared against an independent sequential BFS
+    implementation dumped to Parquet."""
+    kept = dedup.embedding_dedup(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        "embedding", "vec_id", threshold=0.99, n_planes=8)
+    out = kept.to_pandas()[["vec_id"]].astype(np.int64)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs at 0.99 (rows-only)."""
     pairs = dedup.embedding_near_dup(

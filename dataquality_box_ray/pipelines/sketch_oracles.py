@@ -300,6 +300,35 @@ def near_dup_pairs(emb: pd.DataFrame, threshold: float = 0.99,
                       "id_b": pd.Series([], dtype=np.int64)})
 
 
+def embedding_dedup_kept(emb: pd.DataFrame, threshold: float = 0.99,
+                         n_planes: int = 8, seed: int = 11) -> pd.DataFrame:
+    """Sequential full embedding dedup: near-dup pairs → connected components
+    by BFS over an adjacency dict (independent of the engine's union-find /
+    min-label code) → the minimum id of each component survives."""
+    pairs = near_dup_pairs(emb, threshold, n_planes, seed)
+    adj: dict = {}
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    losers: set = set()
+    seen: set = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp = [start]
+        seen.add(start)
+        i = 0
+        while i < len(comp):
+            for nb in adj[comp[i]]:
+                if nb not in seen:
+                    seen.add(nb)
+                    comp.append(nb)
+            i += 1
+        losers |= set(comp) - {min(comp)}
+    kept = sorted(set(emb["vec_id"]) - losers)
+    return pd.DataFrame({"vec_id": pd.Series(kept, dtype=np.int64)})
+
+
 # ---------------------------------------------------------------------------
 # two-tier reconciliation: sequential reference matcher
 # ---------------------------------------------------------------------------
@@ -489,12 +518,13 @@ def dump(name: str, sf_dir: str) -> str:
                                       "event_type"])
         res = two_tier_events_oracle(ev)
     elif name in ("embedding_lsh_topk", "embedding_ivf_topk",
-                  "embedding_near_dup_pairs"):
+                  "embedding_near_dup_pairs", "embedding_dedup"):
         emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
                               columns=["vec_id", "embedding"])
         res = {"embedding_lsh_topk": lambda: lsh_topk(emb),
                "embedding_ivf_topk": lambda: ivf_topk(emb),
-               "embedding_near_dup_pairs": lambda: near_dup_pairs(emb)}[name]()
+               "embedding_near_dup_pairs": lambda: near_dup_pairs(emb),
+               "embedding_dedup": lambda: embedding_dedup_kept(emb)}[name]()
     elif name in ("corpus_quality_filter", "corpus_scoreboard"):
         from ..corpus import corpus_path
 

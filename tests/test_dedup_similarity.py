@@ -384,6 +384,42 @@ def test_embedding_near_dup_planted_pairs():
     assert got_pairs <= {(i, i + 40) for i in range(5)}
 
 
+def test_embedding_dedup_full_pipeline_planted():
+    """Full embedding dedup (pairs → components → min-id survivors) against
+    the independent sequential BFS oracle, including a 3-node chain
+    component (a~b, b~c without a~c in pairs still collapses to min)."""
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((30, 16))
+    dup1 = base[:4] + rng.standard_normal((4, 16)) * 1e-4   # ids 30..33
+    dup2 = base[:2] + rng.standard_normal((2, 16)) * 1e-4   # ids 34..35
+    emb = np.vstack([base, dup1, dup2])
+    df = pd.DataFrame({"vec_id": np.arange(len(emb)),
+                       "embedding": list(emb.astype(np.float64))})
+    ds = ray.data.from_pandas(df)
+    kept = sorted(dedup.embedding_dedup(ds, "embedding", "vec_id",
+                                        threshold=0.999, n_planes=6,
+                                        seed=11).to_pandas().vec_id)
+    from dataquality_box_ray.pipelines import sketch_oracles
+    exp = sketch_oracles.embedding_dedup_kept(df, threshold=0.999,
+                                              n_planes=6, seed=11)
+    assert kept == exp["vec_id"].tolist()
+    # planted dups of ids 0 and 1 form 3-node components {0,30,34}, {1,31,35}
+    # (bucket splits permitting); originals always survive
+    assert {0, 1, 2, 3} <= set(kept)
+    assert len(kept) < len(emb)          # something was actually removed
+
+    # distributed components path on the same corpus
+    old = dedup.MAX_DRIVER_PAIRS
+    try:
+        dedup.MAX_DRIVER_PAIRS = 0
+        kept_dist = sorted(dedup.embedding_dedup(
+            ds, "embedding", "vec_id", threshold=0.999, n_planes=6,
+            seed=11).to_pandas().vec_id)
+    finally:
+        dedup.MAX_DRIVER_PAIRS = old
+    assert kept_dist == kept
+
+
 def test_simhash_and_embedding_ds_forms():
     """The Dataset variants must be duplicate-free and feed downstream ops
     (e.g. the anti-join survivors path) without landing on the driver."""
