@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_exact_dedup": q.doc_exact_dedup,
         "doc_line_dedup": q.doc_line_dedup,
         "doc_minhash_dedup": q.doc_minhash_dedup,
+        "doc_minhash_components": q.doc_minhash_components,
         "doc_simhash_pairs": q.doc_simhash_pairs,
         "doc_simhash_dedup": q.doc_simhash_dedup,
         "doc_fingerprints": q.doc_fingerprints,

@@ -348,9 +348,38 @@ def union_find_losers(edges: pd.DataFrame) -> set:
     return {x for x in parent if find(x) != x}
 
 
-def min_label_losers_ds(edges: "ray.data.Dataset", max_rounds: int = 64,
-                        n_buckets: int = 64) -> "ray.data.Dataset":
-    """Distributed connected-components losers via min-label propagation.
+def union_find_labels(edges: pd.DataFrame) -> pd.DataFrame:
+    """Driver union-find → (node, label) where label is the component MIN
+    (union-by-min keeps every tree's root at the component minimum) — the
+    small-edge path of `min_label_components_ds`."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(edges["id_a"], edges["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
+    nodes = sorted(set(edges["id_a"]) | set(edges["id_b"]))
+    dtype = edges["id_a"].dtype
+    return pd.DataFrame({
+        "node": pd.array(nodes, dtype=dtype),
+        "label": pd.array([find(n) for n in nodes], dtype=dtype)})
+
+
+def min_label_components_ds(edges: "ray.data.Dataset", max_rounds: int = 64,
+                            n_buckets: int = 64,
+                            driver_cap: int | None = None
+                            ) -> "ray.data.Dataset":
+    """Distributed connected components via min-label propagation, returned
+    as a ``(node, label)`` Dataset where ``label`` is the component's MIN
+    node id — the cluster-analysis surface (component sizes, representative
+    selection); `min_label_losers_ds` filters it to the dedup loser set.
 
     Each round: every node takes the min of its own label and its neighbors'
     labels (one slim hash join + one bucketed grouped min). Converges in
@@ -361,7 +390,25 @@ def min_label_losers_ds(edges: "ray.data.Dataset", max_rounds: int = 64,
     warning instead of silently under-reporting losers). Returns nodes whose
     final label differs from the node id — exactly union-find's loser set
     once converged.
+
+    Edge lists at or below ``driver_cap`` rows (default MAX_DRIVER_PAIRS;
+    slim — two id columns) are labeled by driver union-find instead: the
+    propagation loop pays several shuffle rounds of fixed latency that tiny
+    verified-edge sets never amortize. Pass ``driver_cap=0`` to force the
+    distributed path (tests do).
     """
+    edges = edges.materialize()
+    cap = MAX_DRIVER_PAIRS if driver_cap is None else driver_cap
+    n_edges = edges.count()
+    if n_edges <= cap:
+        pdf = edges.to_pandas()
+        if n_edges == 0:
+            return ray.data.from_pandas(
+                pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                              "label": pd.Series([], dtype=np.int64)}))
+        return ray.data.from_pandas(
+            union_find_labels(pdf[["id_a", "id_b"]].drop_duplicates()))
+
     def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "node": pd.concat([df["id_a"], df["id_b"]], ignore_index=True),
@@ -416,36 +463,52 @@ def min_label_losers_ds(edges: "ray.data.Dataset", max_rounds: int = 64,
             "still changing — a component with diameter > %d exists and its "
             "losers are under-reported; raise max_rounds", max_rounds,
             max_rounds)
+    return labels
 
+
+def min_label_losers_ds(edges: "ray.data.Dataset", max_rounds: int = 64,
+                        n_buckets: int = 64,
+                        driver_cap: int | None = None) -> "ray.data.Dataset":
+    """Distributed connected-components LOSERS (every node that is not its
+    component's minimum) — `min_label_components_ds` filtered."""
+    labels = min_label_components_ds(edges, max_rounds, n_buckets, driver_cap)
     return labels.map_batches(
         lambda df: df.loc[df["label"] != df["node"], ["node"]],
         batch_format="pandas")
 
 
-def minhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
-                  threshold: float = 0.8, **kw) -> "ray.data.Dataset":
-    """Full near-dup pipeline: LSH candidates (distributed, deduped) →
-    distributed exact-Jaccard verify → connected components (driver
-    union-find below MAX_DRIVER_PAIRS edges, else distributed min-label
-    propagation) → keep min id per component, survivors via the
-    broadcast-or-partitioned anti join."""
+def minhash_verified_edges_ds(ds: "ray.data.Dataset", text_col: str,
+                              id_col: str, threshold: float = 0.8,
+                              **kw) -> "ray.data.Dataset":
+    """Verified near-dup edges (id_a, id_b, jaccard) as a materialized
+    Dataset — the shared front half of `minhash_dedup` and the component
+    labeling query. Auto-pathed: below MAX_DRIVER_PAIRS candidate pairs AND
+    MAX_DRIVER_TEXT_BYTES candidate text bytes, the band-duplicated pair
+    dedup + exact-Jaccard verify run on the driver (pairs are 16 B/row;
+    texts pulled into the cluster once via a broadcast semi join and gated
+    on the EXACT byte total from a column-pruned distributed length sum);
+    otherwise a slim distinct shuffle + fully distributed verify (texts
+    reach the verify stage through two slim hash joins)."""
     shingle_k = kw.get("shingle_k", 5)
     # raw (band-duplicated) pairs: the distinct shuffle is deferred until we
     # know which path runs — the driver path dedups in pandas for free
     pairs = minhash_lsh_candidates_ds(ds, text_col, id_col, distinct=False,
                                       **kw).materialize()
     n_pairs = pairs.count()          # band-duplicated count (upper bound)
+
+    def _edges_ds(pdf: pd.DataFrame) -> "ray.data.Dataset":
+        if not len(pdf):
+            pdf = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                "id_b": pd.Series([], dtype=np.int64),
+                                "jaccard": pd.Series([], dtype=float)})
+        return ray.data.from_pandas(pdf.reset_index(drop=True))
+
     if n_pairs == 0:
-        return ds
+        return _edges_ds(pd.DataFrame())
 
     distinct_pairs = None
     verify_source = ds
     if n_pairs <= MAX_DRIVER_PAIRS:
-        # small candidate PAIR set (16 B/row — always driver-safe): dedup the
-        # band-duplicated pairs in pandas, then pull ONLY the candidate text
-        # columns into the cluster ONCE (broadcast IN-filter + materialize)
-        # and gate the driver text pull on the EXACT byte total, summed over
-        # the already-materialized blocks (no extra input scan)
         import pyarrow.compute as pc
         from .joins import broadcast_semi_join
         pairs_pdf = pairs.to_pandas().drop_duplicates(["id_a", "id_b"])
@@ -458,18 +521,9 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
             batch_format="pyarrow").sum("b") or 0)
         if cand_bytes <= MAX_DRIVER_TEXT_BYTES:
             texts = cand.to_pandas().set_index(id_col)[text_col]
-            verified_pdf = verify_jaccard(pairs_pdf, texts,
-                                          shingle_k=shingle_k,
-                                          threshold=threshold)
-            losers = union_find_losers(verified_pdf)
-            if not losers:
-                return ds
-            if len(losers) <= MAX_BROADCAST_IDS:
-                return broadcast_anti_join(ds, losers, id_col)
-            losers_ds = ray.data.from_pandas(
-                pd.DataFrame({id_col: sorted(losers)}))
-            from .joins import partitioned_anti_join
-            return partitioned_anti_join(ds, losers_ds, id_col, id_col)
+            return _edges_ds(verify_jaccard(pairs_pdf, texts,
+                                            shingle_k=shingle_k,
+                                            threshold=threshold))
         # wide texts: keep the (cheap, already-deduped) driver pair set but
         # verify distributedly against the (smaller) materialized candidate
         # text table instead of rescanning the full input
@@ -478,19 +532,29 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
 
     # scale path: slim distinct shuffle (a near-identical pair collides
     # in ~all bands; verifying it once is cheaper than bands× verifies),
-    # then distributed verify (texts via slim hash joins) + min-label
-    # propagation components
+    # then distributed verify (texts via slim hash joins)
     if distinct_pairs is None:
         distinct_pairs = _distinct_pairs_ds(pairs)
-    verified = (verify_jaccard_ds(distinct_pairs, verify_source, text_col,
-                                  id_col, shingle_k=shingle_k,
-                                  threshold=threshold)
-                .materialize())
+    return verify_jaccard_ds(distinct_pairs, verify_source, text_col, id_col,
+                             shingle_k=shingle_k,
+                             threshold=threshold).materialize()
+
+
+def minhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
+                  threshold: float = 0.8, **kw) -> "ray.data.Dataset":
+    """Full near-dup pipeline: LSH candidates (distributed, deduped) →
+    exact-Jaccard verify (auto driver/distributed,
+    `minhash_verified_edges_ds`) → connected components (driver union-find
+    below MAX_DRIVER_PAIRS edges, else distributed min-label propagation) →
+    keep min id per component, survivors via the broadcast-or-partitioned
+    anti join."""
+    verified = minhash_verified_edges_ds(ds, text_col, id_col, threshold,
+                                         **kw)
     if verified.count() == 0:
         return ds
-    losers_ds = rename_cols(min_label_losers_ds(verified), {"node": id_col})
-    from .joins import partitioned_anti_join
-    return partitioned_anti_join(ds, losers_ds, id_col, id_col)
+    losers_ds = rename_cols(min_label_losers_ds(verified),
+                            {"node": id_col}).materialize()
+    return _anti_join_auto(ds, losers_ds, id_col)
 
 
 class SimHasher:

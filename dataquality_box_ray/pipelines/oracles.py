@@ -625,7 +625,8 @@ def build() -> dict[str, str]:
     from . import sketch_oracles
 
     for name in ("corpus_quality_filter", "corpus_scoreboard",
-                 "doc_minhash_dedup", "doc_simhash_pairs",
+                 "doc_minhash_dedup", "doc_minhash_components",
+                 "doc_simhash_pairs",
                  "doc_simhash_dedup", "doc_fingerprints",
                  "embedding_lsh_topk", "embedding_ivf_topk",
                  "embedding_near_dup_pairs", "embedding_dedup",

@@ -787,6 +787,20 @@ def doc_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def doc_minhash_components(sf_dir: str) -> pd.DataFrame:
+    """Near-dup COMPONENT LABELS (cluster analysis surface): LSH candidates
+    → distributed exact-Jaccard verify → min-label propagation; every edge
+    endpoint labeled with its component's min doc id. Hash-compared against
+    an independent sequential BFS over the same verified edges."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    verified = dedup.minhash_verified_edges_ds(docs, "text", "doc_id",
+                                               threshold=0.9)
+    labels = dedup.min_label_components_ds(verified).to_pandas()
+    out = pd.DataFrame({"doc_id": labels["node"].astype(np.int64),
+                        "component": labels["label"].astype(np.int64)})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_simhash_dedup(sf_dir: str) -> pd.DataFrame:
     """SimHash near-dup dedup survivors (rows-only: sketch algebra not in
     SQL; value-hash-verified against a sequential-oracle dump)."""

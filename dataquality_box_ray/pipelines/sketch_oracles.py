@@ -55,12 +55,13 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 # documents: minhash / simhash / fingerprints
 # ---------------------------------------------------------------------------
 
-def minhash_dedup_kept(docs: pd.DataFrame, threshold: float = 0.9,
-                       num_perm: int = 64, bands: int = 16,
-                       shingle_k: int = 5) -> pd.DataFrame:
-    """Sequential MinHash+LSH dedup: per-doc signatures via the shared
-    row-local kernel, then global banding / pair / verify / union-find in
-    plain python."""
+def _minhash_verified_edges(docs: pd.DataFrame, threshold: float = 0.9,
+                            num_perm: int = 64, bands: int = 16,
+                            shingle_k: int = 5) -> list[tuple]:
+    """Sequential MinHash+LSH verified duplicate edges: per-doc signatures
+    via the shared row-local kernel, then global banding / pair / exact
+    Jaccard verify in plain python. Shared by the dedup and components
+    oracles."""
     from ..ops.dedup import MinHasher, _SHINGLE_MUL, _shingle_hashes
 
     m = MinHasher(text_col="text", id_col="doc_id", num_perm=num_perm,
@@ -90,6 +91,22 @@ def minhash_dedup_kept(docs: pd.DataFrame, threshold: float = 0.9,
             shingle_sets[i] = set(_shingle_hashes(t, shingle_k).tolist())
         return shingle_sets[i]
 
+    edges = []
+    for a, b in sorted(pairs):
+        sa, sb = shset(a), shset(b)
+        union = len(sa | sb)
+        if union and len(sa & sb) / union >= threshold:
+            edges.append((a, b))
+    return edges
+
+
+def minhash_dedup_kept(docs: pd.DataFrame, threshold: float = 0.9,
+                       num_perm: int = 64, bands: int = 16,
+                       shingle_k: int = 5) -> pd.DataFrame:
+    """Sequential MinHash+LSH dedup: verified edges → union-find → min-id
+    survivors."""
+    edges = _minhash_verified_edges(docs, threshold, num_perm, bands,
+                                    shingle_k)
     parent: dict = {}
 
     def find(x):
@@ -98,18 +115,51 @@ def minhash_dedup_kept(docs: pd.DataFrame, threshold: float = 0.9,
             x = parent[x]
         return x
 
-    for a, b in sorted(pairs):
-        sa, sb = shset(a), shset(b)
-        union = len(sa | sb)
-        if union and len(sa & sb) / union >= threshold:
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra <= rb else (rb, ra)
-                parent[hi] = lo
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra <= rb else (rb, ra)
+            parent[hi] = lo
 
     losers = {x for x in parent if find(x) != x}
     kept = sorted(set(docs["doc_id"]) - losers)
     return pd.DataFrame({"doc_id": pd.array(kept, dtype="int64")})
+
+
+def minhash_components(docs: pd.DataFrame, threshold: float = 0.9,
+                       num_perm: int = 64, bands: int = 16,
+                       shingle_k: int = 5) -> pd.DataFrame:
+    """Sequential near-dup component labels: BFS over the verified edges
+    (independent of the engine's min-label propagation); every edge endpoint
+    gets its component's MIN doc id as the label — exactly the distributed
+    `min_label_components_ds` contract."""
+    edges = _minhash_verified_edges(docs, threshold, num_perm, bands,
+                                    shingle_k)
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = []
+    seen: set = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp = [start]
+        seen.add(start)
+        i = 0
+        while i < len(comp):
+            for nb in adj[comp[i]]:
+                if nb not in seen:
+                    seen.add(nb)
+                    comp.append(nb)
+            i += 1
+        label = min(comp)
+        rows.extend((n, label) for n in comp)
+    out = pd.DataFrame(sorted(rows), columns=["doc_id", "component"])
+    return out.astype({"doc_id": np.int64, "component": np.int64}) \
+        if len(out) else pd.DataFrame(
+            {"doc_id": pd.Series([], dtype=np.int64),
+             "component": pd.Series([], dtype=np.int64)})
 
 
 def simhash_pairs(docs: pd.DataFrame, hamming_max: int = 3) -> pd.DataFrame:
@@ -504,11 +554,13 @@ def dump(name: str, sf_dir: str) -> str:
         return str(out)
     out.parent.mkdir(parents=True, exist_ok=True)
 
-    if name in ("doc_minhash_dedup", "doc_simhash_pairs",
-                "doc_simhash_dedup", "doc_fingerprints"):
+    if name in ("doc_minhash_dedup", "doc_minhash_components",
+                "doc_simhash_pairs", "doc_simhash_dedup",
+                "doc_fingerprints"):
         docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
         res = {"doc_minhash_dedup": lambda: minhash_dedup_kept(docs),
+               "doc_minhash_components": lambda: minhash_components(docs),
                "doc_simhash_pairs": lambda: simhash_pairs(docs),
                "doc_simhash_dedup": lambda: simhash_dedup_kept(docs),
                "doc_fingerprints": lambda: fingerprints(docs)}[name]()

@@ -282,9 +282,36 @@ def test_min_label_propagation_matches_union_find():
     e = pd.DataFrame({"id_a": [1, 2, 5, 7, 9, 20],
                       "id_b": [2, 3, 7, 9, 11, 21]})
     edges = ray.data.from_pandas(e)
-    prop = sorted(dedup.min_label_losers_ds(edges).to_pandas()["node"])
+    # driver_cap=0 forces the distributed propagation loop
+    prop = sorted(dedup.min_label_losers_ds(edges, driver_cap=0)
+                  .to_pandas()["node"])
     uf = sorted(dedup.union_find_losers(e))
     assert prop == uf == [2, 3, 7, 9, 11, 21]
+
+
+def test_min_label_components_labels():
+    # same graph: components {1,2,3}, {5,7,9,11}, {20,21} labeled by min id;
+    # the forced-distributed propagation and the driver union-find path must
+    # produce identical labels
+    e = pd.DataFrame({"id_a": [1, 2, 5, 7, 9, 20],
+                      "id_b": [2, 3, 7, 9, 11, 21]})
+    expected = [[1, 1], [2, 1], [3, 1], [5, 5], [7, 5], [9, 5], [11, 5],
+                [20, 20], [21, 20]]
+    for cap in (0, None):
+        labels = (dedup.min_label_components_ds(ray.data.from_pandas(e),
+                                                driver_cap=cap)
+                  .to_pandas().sort_values("node").reset_index(drop=True))
+        assert labels.values.tolist() == expected, f"cap={cap}"
+
+
+def test_minhash_components_matches_sequential_bfs():
+    from dataquality_box_ray.pipelines import queries as q, sketch_oracles as so
+    got = q.doc_minhash_components(SF)
+    exp = so.minhash_components(_docs_pdf()[["doc_id", "text"]])
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+    # every component label is the component's min member
+    assert (got.groupby("component").doc_id.min().to_numpy()
+            == got.component.unique()).all()
 
 
 def test_minhash_dedup_distributed_paths_match_driver():
