@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_line_dedup": q.doc_line_dedup,
         "doc_minhash_dedup": q.doc_minhash_dedup,
         "doc_minhash_components": q.doc_minhash_components,
+        "doc_minhash_best_dedup": q.doc_minhash_best_dedup,
+        "normalize_dirty_ids": q.normalize_dirty_ids,
+        "doc_token_quantile_filter": q.doc_token_quantile_filter,
         "doc_simhash_pairs": q.doc_simhash_pairs,
         "doc_simhash_dedup": q.doc_simhash_dedup,
         "doc_fingerprints": q.doc_fingerprints,

@@ -557,6 +557,55 @@ def minhash_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
     return _anti_join_auto(ds, losers_ds, id_col)
 
 
+def minhash_dedup_best(ds: "ray.data.Dataset", text_col: str, id_col: str,
+                       threshold: float = 0.8, n_buckets: int = 64,
+                       **kw) -> "ray.data.Dataset":
+    """Near-dup dedup keeping the BEST member per duplicate component — max
+    UTF-8 text bytes, tie → min id — the common training-data policy of
+    keeping the longest/most complete copy instead of the smallest id.
+
+    Same shared front half as `minhash_dedup` (LSH candidates →
+    exact-Jaccard verify, auto driver/distributed), then component labels,
+    a slim (node, label, bytes) join, and a per-component argmax as a
+    bucketed grouped pass — only id/label/byte-count columns shuffle;
+    survivors via the broadcast-or-partitioned anti join."""
+    import pyarrow.compute as pc
+
+    verified = minhash_verified_edges_ds(ds, text_col, id_col, threshold,
+                                         **kw)
+    if verified.count() == 0:
+        return ds
+    labels = min_label_components_ds(verified)
+
+    def qual(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[text_col], "")
+        return pa.table({
+            "__qid": t[id_col],
+            "__q": pc.cast(pc.binary_length(pc.cast(txt, pa.binary())),
+                           pa.int64())})
+
+    qt = ds.map_batches(qual, batch_format="pyarrow")
+    j = hash_join(labels, qt, "node", "__qid", how="inner")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        s = pd.Series(t.column("label").to_pandas().astype(str))
+        return t.replace_schema_metadata(None).append_column(
+            "__bucket", pa.array(bucket_of(s, n_buckets)))
+
+    def losers_fn(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["label", "__q", "node"],
+                           ascending=[True, False, True])
+        winner = d.groupby("label", sort=False).cumcount() == 0
+        return d.loc[~winner.to_numpy(), ["node"]]
+
+    losers = (j.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("__bucket")
+              .map_groups(lambda d: losers_fn(d.drop(columns=["__bucket"])),
+                          batch_format="pandas"))
+    losers = rename_cols(losers, {"node": id_col}).materialize()
+    return _anti_join_auto(ds, losers, id_col)
+
+
 class SimHasher:
     """64-bit SimHash over shingle hashes, vectorized across the WHOLE batch:
     one concatenated shingle stream → per-shingle bit matrix via unpackbits →

@@ -374,6 +374,45 @@ def build() -> dict[str, str]:
         FROM documents ORDER BY doc_id
     """
 
+    sql["normalize_dirty_ids"] = r"""
+        WITH base AS (
+          SELECT event_id,
+                 CASE event_id % 4
+                   WHEN 0 THEN 'at-' || (event_id % 97)::VARCHAR
+                   WHEN 1 THEN ' AT 0' || (event_id % 97)::VARCHAR || ' '
+                   WHEN 2 THEN 'At#' || (event_id % 97)::VARCHAR || '!'
+                   ELSE 'veh' || (event_id % 97)::VARCHAR END AS raw_vehicle,
+                 event_type || '-' ||
+                   lpad((user_id % 1000000)::VARCHAR, 6, '0') AS raw_container
+          FROM events),
+        norm AS (
+          SELECT event_id,
+                 'AT' || lpad(CAST(regexp_replace(raw_vehicle, '[^0-9]', '',
+                                                  'g') AS BIGINT)::VARCHAR,
+                              2, '0') AS vehicle_id,
+                 regexp_replace(upper(raw_container), '[^A-Z0-9]', '',
+                                'g') AS container_id
+          FROM base)
+        SELECT event_id, vehicle_id, container_id,
+               (length(container_id) IN (10, 11)
+                AND regexp_matches(container_id, '^[A-Z]{4}'))::BIGINT
+                   AS container_valid
+        FROM norm ORDER BY event_id
+    """
+
+    sql["doc_token_quantile_filter"] = r"""
+        WITH tok AS (
+          SELECT doc_id, lang,
+                 len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens
+          FROM documents),
+        cut AS (SELECT lang, quantile_disc(ws_tokens, 0.25) AS q
+                FROM tok GROUP BY lang)
+        SELECT tok.doc_id, tok.lang, tok.ws_tokens
+        FROM tok JOIN cut USING (lang)
+        WHERE tok.ws_tokens >= cut.q
+        ORDER BY tok.doc_id
+    """
+
     sql["doc_token_budget_mix"] = r"""
         WITH t AS (SELECT doc_id, source,
                      len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens
@@ -626,6 +665,7 @@ def build() -> dict[str, str]:
 
     for name in ("corpus_quality_filter", "corpus_scoreboard",
                  "doc_minhash_dedup", "doc_minhash_components",
+                 "doc_minhash_best_dedup",
                  "doc_simhash_pairs",
                  "doc_simhash_dedup", "doc_fingerprints",
                  "embedding_lsh_topk", "embedding_ivf_topk",

@@ -21,7 +21,7 @@ from .. import config
 from ..sources import read_parquet
 from ..corpus import corpus_path
 from ..ops import aggregates as agg
-from ..ops import dedup, joins, similarity, text
+from ..ops import dedup, idnorm, joins, similarity, text
 from ..ops.two_tier import two_tier_match
 from ..rules.engine import (Rule, grouped_aggregate, grouped_aggregate_ds,
                             run_filter_rule)
@@ -798,6 +798,74 @@ def doc_minhash_components(sf_dir: str) -> pd.DataFrame:
     labels = dedup.min_label_components_ds(verified).to_pandas()
     out = pd.DataFrame({"doc_id": labels["node"].astype(np.int64),
                         "component": labels["label"].astype(np.int64)})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def normalize_dirty_ids(sf_dir: str) -> pd.DataFrame:
+    """M7/M8 canonical-ID normalizers under a full SQL oracle: deterministic
+    DIRTY vehicle/container id strings are derived from event columns (the
+    engine and the DuckDB oracle construct the identical dirty input from
+    the same table — four formatting conventions keyed on event_id % 4),
+    then normalized by the vectorized Arrow kernels
+    (reference: plugins/dq_lib/reconciliation.py:84-117)."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def mk_dirty(df: pd.DataFrame) -> pd.DataFrame:
+        n = (df["event_id"] % 97).astype(str)
+        m = (df["event_id"] % 4).to_numpy()
+        rv = np.select(
+            [m == 0, m == 1, m == 2],
+            ["at-" + n, " AT 0" + n + " ", "At#" + n + "!"],
+            default="veh" + n)
+        rc = (df["event_type"] + "-"
+              + (df["user_id"] % 1_000_000).astype(str).str.zfill(6))
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "raw_vehicle": rv, "raw_container": rc})
+
+    dirty = ev.map_batches(mk_dirty, batch_format="pandas")
+    norm = idnorm.normalize_vehicle_ids(dirty, "raw_vehicle",
+                                        out_col="vehicle_id")
+    norm = idnorm.normalize_container_ids(norm, "raw_container",
+                                          out_col="container_id")
+    out = norm.select_columns(["event_id", "vehicle_id", "container_id",
+                               "container_valid"]).to_pandas()
+    out["container_valid"] = out["container_valid"].astype(np.int64)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def doc_minhash_best_dedup(sf_dir: str) -> pd.DataFrame:
+    """Quality-aware near-dup dedup: per duplicate component keep the member
+    with the most UTF-8 text bytes (tie → min doc id) — the
+    keep-the-most-complete-copy policy — instead of the min id.
+    Value-hash-verified against an independent sequential BFS + argmax."""
+    kept = dedup.minhash_dedup_best(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        "text", "doc_id", threshold=0.9)
+    out = kept.to_pandas()[["doc_id"]].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_token_quantile_filter(sf_dir: str) -> pd.DataFrame:
+    """Per-language token-count floor: keep documents whose whitespace token
+    count reaches their language's exact p25 (distributed order-statistic
+    selection — grouped_quantile — broadcast back as a cutoff filter). The
+    composite a corpus curator runs to drop the shortest quartile per
+    language without a global sort."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    toks = text.token_stats(docs, "text").select_columns(
+        ["doc_id", "lang", "ws_tokens"]).materialize()
+    cuts = agg.grouped_quantile(toks, "lang", "ws_tokens", 0.25,
+                                mode="bucketed")
+    cutoff = {g: int(v) for g, v in zip(cuts["lang"], cuts["value"])}
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        floor = df["lang"].map(cutoff)
+        out = df.loc[df["ws_tokens"].to_numpy()
+                     >= floor.fillna(np.iinfo(np.int64).max).to_numpy()]
+        return out[["doc_id", "lang", "ws_tokens"]]
+
+    out = toks.map_batches(keep, batch_format="pandas").to_pandas()
+    out = out.astype({"doc_id": np.int64, "ws_tokens": np.int64})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -162,6 +162,40 @@ def minhash_components(docs: pd.DataFrame, threshold: float = 0.9,
              "component": pd.Series([], dtype=np.int64)})
 
 
+def minhash_best_kept(docs: pd.DataFrame, threshold: float = 0.9,
+                      num_perm: int = 64, bands: int = 16,
+                      shingle_k: int = 5) -> pd.DataFrame:
+    """Sequential best-keep dedup: verified edges → BFS components → keep
+    the member with max UTF-8 byte length (tie → min doc id) per component;
+    independent of the engine's min-label + bucketed-argmax path."""
+    edges = _minhash_verified_edges(docs, threshold, num_perm, bands,
+                                    shingle_k)
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    nbytes = {i: len((t or "").encode("utf-8"))
+              for i, t in zip(docs["doc_id"], docs["text"])}
+    losers: set = set()
+    seen: set = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp = [start]
+        seen.add(start)
+        i = 0
+        while i < len(comp):
+            for nb in adj[comp[i]]:
+                if nb not in seen:
+                    seen.add(nb)
+                    comp.append(nb)
+            i += 1
+        winner = min(comp, key=lambda n: (-nbytes[n], n))
+        losers.update(n for n in comp if n != winner)
+    kept = sorted(set(docs["doc_id"]) - losers)
+    return pd.DataFrame({"doc_id": pd.array(kept, dtype="int64")})
+
+
 def simhash_pairs(docs: pd.DataFrame, hamming_max: int = 3) -> pd.DataFrame:
     """Sequential SimHash near-dup candidates: per-doc hash via the shared
     row-local kernel, global 4×16-bit banding + hamming check in python."""
@@ -555,12 +589,14 @@ def dump(name: str, sf_dir: str) -> str:
     out.parent.mkdir(parents=True, exist_ok=True)
 
     if name in ("doc_minhash_dedup", "doc_minhash_components",
+                "doc_minhash_best_dedup",
                 "doc_simhash_pairs", "doc_simhash_dedup",
                 "doc_fingerprints"):
         docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
         res = {"doc_minhash_dedup": lambda: minhash_dedup_kept(docs),
                "doc_minhash_components": lambda: minhash_components(docs),
+               "doc_minhash_best_dedup": lambda: minhash_best_kept(docs),
                "doc_simhash_pairs": lambda: simhash_pairs(docs),
                "doc_simhash_dedup": lambda: simhash_dedup_kept(docs),
                "doc_fingerprints": lambda: fingerprints(docs)}[name]()

@@ -314,6 +314,30 @@ def test_minhash_components_matches_sequential_bfs():
             == got.component.unique()).all()
 
 
+def test_minhash_best_dedup_keeps_longest_member():
+    from dataquality_box_ray.pipelines import queries as q, sketch_oracles as so
+    got = q.doc_minhash_best_dedup(SF)
+    exp = so.minhash_best_kept(_docs_pdf()[["doc_id", "text"]])
+    assert got.reset_index(drop=True).equals(exp.reset_index(drop=True))
+    # differs from min-id dedup whenever a component's longest member isn't
+    # its smallest id — sanity: survivors count matches min-id dedup's
+    assert len(got) == len(q.doc_minhash_dedup(SF))
+
+
+def test_token_quantile_filter_matches_pandas():
+    docs = _docs_pdf()
+    toks = docs.assign(ws_tokens=docs["text"].fillna("").str.count(r"\S+"))
+    cut = toks.groupby("lang")["ws_tokens"].quantile(0.25,
+                                                     interpolation="lower")
+    exp = (toks[toks["ws_tokens"] >= toks["lang"].map(cut)]
+           [["doc_id", "lang", "ws_tokens"]]
+           .astype({"ws_tokens": np.int64})
+           .sort_values("doc_id").reset_index(drop=True))
+    from dataquality_box_ray.pipelines import queries as q
+    got = q.doc_token_quantile_filter(SF)
+    assert got.equals(exp)
+
+
 def test_minhash_dedup_distributed_paths_match_driver():
     texts = ["document number %d body text with shared filler words" % (i // 3)
              for i in range(45)]

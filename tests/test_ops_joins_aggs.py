@@ -137,9 +137,13 @@ def test_unpivot_and_horizontal():
     h = agg.horizontal_sum(_ds("lineitem"), ["l_quantity", "l_discount"],
                            "qsum").to_pandas()
     li = _pdf("lineitem")
-    assert np.allclose(h.sort_values(["l_orderkey", "l_linenumber"]).qsum.to_numpy(),
-                       (li.l_quantity + li.l_discount)
-                       .to_numpy()[np.lexsort([li.l_linenumber, li.l_orderkey])])
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic table and
+    # Ray block order is not file order — include qsum in the sort key so
+    # ties compare order-insensitively
+    key = ["l_orderkey", "l_linenumber", "qsum"]
+    exp = li.assign(qsum=li.l_quantity + li.l_discount)
+    assert np.allclose(h.sort_values(key).qsum.to_numpy(),
+                       exp.sort_values(key).qsum.to_numpy())
     nn = agg.non_null_count_horizontal(_ds("orders"),
                                        ["o_orderstatus", "o_orderpriority"],
                                        "nn").to_pandas()
