@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_best_dedup": q.doc_minhash_best_dedup,
         "normalize_dirty_ids": q.normalize_dirty_ids,
         "doc_token_quantile_filter": q.doc_token_quantile_filter,
+        "doc_pii_redact": q.doc_pii_redact,
+        "doc_url_blocklist": q.doc_url_blocklist,
         "doc_simhash_pairs": q.doc_simhash_pairs,
         "doc_simhash_dedup": q.doc_simhash_dedup,
         "doc_fingerprints": q.doc_fingerprints,

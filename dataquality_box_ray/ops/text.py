@@ -457,3 +457,77 @@ def top_terms(ds: "ray.data.Dataset", text_col: str = "text",
                 .map_groups(lambda d: combine(d.drop(columns=["__bucket"])),
                             batch_format="pandas"))
     return combined.groupby(group_col).map_groups(topk, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction & URL/domain filtering — row-local RE2 kernels, no shuffle.
+# Patterns are RE2 syntax, which Arrow and DuckDB share, so the same literal
+# pattern string drives both the engine and the SQL oracle.
+# (Reference analogue: the content-heuristic scrub family,
+#  plugins/dq_lib/transformations.py regex normalizers.)
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+", "<EMAIL>"),
+    ("phone", r"\+\d{1,3}-\d{3}-\d{4}", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact(ds: "ray.data.Dataset", text_col: str = "text",
+               patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+               ) -> "ray.data.Dataset":
+    """Redact PII spans in-place and count them per document.
+
+    Sequential per-pattern count→replace (a span consumed by an earlier
+    pattern is not re-counted by a later one — emails first so their host
+    part can never be half-eaten by the IP rule).  Whole-batch
+    `count_substring_regex` / `replace_substring_regex` — zero Python loops,
+    no shuffle; scales as a pure map stage."""
+    def fn(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[text_col], "")
+        counts = []
+        for name, pat, repl in patterns:
+            counts.append((f"n_{name}",
+                           pc.cast(pc.count_substring_regex(txt, pat),
+                                   pa.int64())))
+            txt = pc.replace_substring_regex(txt, pattern=pat,
+                                             replacement=repl)
+        t = t.set_column(t.schema.get_field_index(text_col), text_col, txt)
+        for name, c in counts:
+            t = t.append_column(name, c)
+        return t
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+_URL_RE = r"https?://[A-Za-z0-9.-]+(/\S*)?"
+_DOMAIN_RE = r"https?://(?P<domain>[A-Za-z0-9.-]+)"
+
+
+def url_domain_stats(ds: "ray.data.Dataset", text_col: str = "text",
+                     ) -> "ray.data.Dataset":
+    """URL count + first URL's domain per document ('' when none, matching
+    DuckDB's regexp_extract no-match convention)."""
+    def fn(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[text_col], "")
+        n_urls = pc.cast(pc.count_substring_regex(txt, _URL_RE), pa.int64())
+        dom = pc.struct_field(pc.extract_regex(txt, _DOMAIN_RE), "domain")
+        return (t.append_column("n_urls", n_urls)
+                 .append_column("domain", pc.fill_null(dom, "")))
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def domain_blocklist_filter(ds: "ray.data.Dataset", blocked,
+                            text_col: str = "text") -> "ray.data.Dataset":
+    """Drop documents whose first URL domain is on a blocklist.
+
+    The blocklist rides into every task as a sorted Arrow value_set inside
+    the closure — for multi-GB lists use `ray.put` and fetch in a stateful
+    stage instead; at typical blocklist sizes (≤ millions of domains) the
+    closure broadcast is shipped once per worker by Ray's task protocol."""
+    blocked_arr = pa.array(sorted(set(blocked)), type=pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t["domain"],
+                                           value_set=blocked_arr)))
+    return url_domain_stats(ds, text_col).map_batches(
+        fn, batch_format="pyarrow")

@@ -413,6 +413,62 @@ def build() -> dict[str, str]:
         ORDER BY tok.doc_id
     """
 
+    sql["doc_pii_redact"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 coalesce(text, '') || ' Contact user' || doc_id::VARCHAR
+                 || '@mail' || (doc_id % 7)::VARCHAR
+                 || '.example.org or call +1-555-'
+                 || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                 || ' from 192.168.' || (doc_id % 256)::VARCHAR || '.'
+                 || (doc_id % 100)::VARCHAR || '.' AS text
+          FROM documents),
+        s1 AS (SELECT doc_id,
+                      len(regexp_extract_all(text,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+'
+                          ))::BIGINT AS n_email,
+                      regexp_replace(text,
+                          '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\.[A-Za-z0-9-]+)+',
+                          '<EMAIL>', 'g') AS text
+               FROM base),
+        s2 AS (SELECT doc_id, n_email,
+                      len(regexp_extract_all(text,
+                          '\+\d{1,3}-\d{3}-\d{4}'))::BIGINT AS n_phone,
+                      regexp_replace(text, '\+\d{1,3}-\d{3}-\d{4}',
+                                     '<PHONE>', 'g') AS text
+               FROM s1),
+        s3 AS (SELECT doc_id, n_email, n_phone,
+                      len(regexp_extract_all(text,
+                          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'
+                          ))::BIGINT AS n_ip,
+                      regexp_replace(text,
+                          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                          '<IP>', 'g') AS text
+               FROM s2)
+        SELECT doc_id, text, n_email, n_phone, n_ip FROM s3 ORDER BY doc_id
+    """
+
+    sql["doc_url_blocklist"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 coalesce(text, '') ||
+                 CASE WHEN doc_id % 5 = 4 THEN ''
+                      ELSE ' see https://www.site' || (doc_id % 13)::VARCHAR
+                           || '.example.com/p/' || doc_id::VARCHAR || ' ok'
+                 END AS text
+          FROM documents),
+        s AS (SELECT doc_id,
+                     len(regexp_extract_all(text,
+                         'https?://[A-Za-z0-9.-]+(/\S*)?'))::BIGINT AS n_urls,
+                     regexp_extract(text, 'https?://([A-Za-z0-9.-]+)', 1)
+                         AS domain
+              FROM base)
+        SELECT doc_id, n_urls, domain FROM s
+        WHERE domain NOT IN ('www.site0.example.com', 'www.site4.example.com',
+                             'www.site9.example.com')
+        ORDER BY doc_id
+    """
+
     sql["doc_token_budget_mix"] = r"""
         WITH t AS (SELECT doc_id, source,
                      len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens

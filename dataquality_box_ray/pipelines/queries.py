@@ -869,6 +869,55 @@ def doc_token_quantile_filter(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _with_pii_text(sf_dir: str) -> "object":
+    """documents with deterministic PII-laden text derived from doc_id (the
+    DuckDB oracle constructs the identical string, so the RE2 redaction
+    kernels are compared on equal input — same device as
+    `normalize_dirty_ids`)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"]
+        txt = (df["text"].fillna("") + " Contact user" + d.astype(str)
+               + "@mail" + (d % 7).astype(str) + ".example.org or call"
+               + " +1-555-" + (d % 10000).astype(str).str.zfill(4)
+               + " from 192.168." + (d % 256).astype(str) + "."
+               + (d % 100).astype(str) + ".")
+        return pd.DataFrame({"doc_id": d, "text": txt})
+    return docs.map_batches(mk, batch_format="pandas")
+
+
+def doc_pii_redact(sf_dir: str) -> pd.DataFrame:
+    """PII scrub: emails / phones / IPv4s redacted in one vectorized pass,
+    per-doc counts emitted — the standard pre-release scrub stage of a
+    training-data pipeline (row-local, no shuffle)."""
+    out = text.pii_redact(_with_pii_text(sf_dir)).to_pandas()
+    return (out[["doc_id", "text", "n_email", "n_phone", "n_ip"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def doc_url_blocklist(sf_dir: str) -> pd.DataFrame:
+    """URL stats + domain blocklist filter: deterministic per-doc URLs are
+    synthesized (docs with doc_id%5==4 get none — exercising the no-match
+    path), the first domain is RE2-extracted, and docs whose domain sits on
+    a broadcast blocklist are dropped."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"]
+        url = (" see https://www.site" + (d % 13).astype(str)
+               + ".example.com/p/" + d.astype(str) + " ok")
+        txt = df["text"].fillna("") + url.where((d % 5) != 4, "")
+        return pd.DataFrame({"doc_id": d, "text": txt})
+
+    blocked = {"www.site0.example.com", "www.site4.example.com",
+               "www.site9.example.com"}
+    out = text.domain_blocklist_filter(
+        docs.map_batches(mk, batch_format="pandas"), blocked).to_pandas()
+    return (out[["doc_id", "n_urls", "domain"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def doc_simhash_dedup(sf_dir: str) -> pd.DataFrame:
     """SimHash near-dup dedup survivors (rows-only: sketch algebra not in
     SQL; value-hash-verified against a sequential-oracle dump)."""

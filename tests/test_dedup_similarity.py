@@ -500,3 +500,41 @@ def test_simhash_and_embedding_ds_forms():
     if len(epdf):
         assert not epdf.duplicated(["id_a", "id_b"]).any()
         assert set(epdf.columns) == {"id_a", "id_b", "cosine"}
+
+
+def test_pii_redact_counts_and_text():
+    import re
+    import ray
+    import ray.data as rd
+    from dataquality_box_ray.ops import text as T
+    rows = {"doc_id": list(range(4)),
+            "text": ["mail me at bob.smith+x@corp-a.co.uk today",
+                     "server 10.0.255.7 and 8.8.8.8 up",
+                     "call +44-201-9999 or +1-555-0000 now", "clean"]}
+    out = (T.pii_redact(rd.from_pandas(pd.DataFrame(rows)))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.n_email.tolist() == [1, 0, 0, 0]
+    assert out.n_ip.tolist() == [0, 2, 0, 0]
+    assert out.n_phone.tolist() == [0, 0, 2, 0]
+    assert out.text[0] == "mail me at <EMAIL> today"
+    assert out.text[1] == "server <IP> and <IP> up"
+    assert out.text[2] == "call <PHONE> or <PHONE> now"
+    # python re reference on the same sequential semantics
+    for _, pat, repl in T.PII_PATTERNS:
+        rows["text"] = [re.sub(pat, repl, s) for s in rows["text"]]
+    assert out.text.tolist() == rows["text"]
+
+
+def test_domain_blocklist_filter():
+    import ray.data as rd
+    from dataquality_box_ray.ops import text as T
+    rows = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["x https://bad.example/p https://ok.example/q",
+                 "see https://ok.example/a", "no urls", None]})
+    out = (T.domain_blocklist_filter(rd.from_pandas(rows), {"bad.example"})
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 0's FIRST domain is blocked; 2 and 3 have no URL -> domain ''
+    assert out.doc_id.tolist() == [1, 2, 3]
+    assert out.domain.tolist() == ["ok.example", "", ""]
+    assert out.n_urls.tolist() == [1, 0, 0]
