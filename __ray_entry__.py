@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_quantile_filter": q.doc_token_quantile_filter,
         "doc_pii_redact": q.doc_pii_redact,
         "doc_url_blocklist": q.doc_url_blocklist,
+        "doc_clean_text": q.doc_clean_text,
+        "source_overlap": q.source_overlap,
         "doc_simhash_pairs": q.doc_simhash_pairs,
         "doc_simhash_dedup": q.doc_simhash_dedup,
         "doc_fingerprints": q.doc_fingerprints,

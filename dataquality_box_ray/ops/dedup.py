@@ -915,3 +915,45 @@ def line_dedup(ds: "ray.data.Dataset", text_col: str = "text",
             .groupby("__dbucket")
             .map_groups(lambda d: reassemble(d.drop(columns=["__dbucket"])),
                         batch_format="pandas"))
+
+
+def source_overlap_matrix(ds: "ray.data.Dataset", text_col: str = "text",
+                          group_col: str = "source", n_buckets: int = 64,
+                          ) -> pd.DataFrame:
+    """Inter-source duplicate matrix: for every unordered source pair, the
+    number of DISTINCT contents both sources carry — the dedup-analysis view
+    a curator reads before choosing per-source dedup policy.
+
+    Scale shape: only slim (sha256, source) rows shuffle, bucketed by sha so
+    each content's source set is co-located; per-bucket pandas self-merge is
+    bounded by duplicate-group fan-out (≤ n_sources per sha after the
+    in-bucket distinct); the driver merge is n_source_pairs × n_buckets tiny
+    partials.  (Reference analogue: the cross-source reconciliation counts,
+    plugins/services/reconciliation_runner.py summary stats.)"""
+    import pyarrow.compute as pc
+
+    def sig(t: pa.Table) -> pa.Table:
+        h = sha256_column(pc.fill_null(t[text_col], ""))
+        out = pa.table({"h": h, "src": pc.cast(t[group_col], pa.string())})
+        s = pd.Series(out["h"].to_pandas().astype(str))
+        return out.append_column("__bucket", pa.array(bucket_of(s, n_buckets)))
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop(columns=["__bucket"]).drop_duplicates(["h", "src"])
+        m = d.merge(d, on="h")
+        m = m.loc[m.src_x < m.src_y]
+        out = (m.groupby(["src_x", "src_y"], sort=False).size()
+               .reset_index(name="n_shared"))
+        return out.rename(columns={"src_x": "src_a", "src_y": "src_b"})
+
+    partials = (ds.map_batches(sig, batch_format="pyarrow")
+                .groupby("__bucket")
+                .map_groups(pair_counts, batch_format="pandas")
+                .to_pandas())
+    if partials.empty:
+        return pd.DataFrame({"src_a": pd.Series([], dtype=str),
+                             "src_b": pd.Series([], dtype=str),
+                             "n_shared": pd.Series([], dtype=np.int64)})
+    out = (partials.groupby(["src_a", "src_b"], sort=False)["n_shared"].sum()
+           .astype(np.int64).reset_index())
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)

@@ -531,3 +531,53 @@ def domain_blocklist_filter(ds: "ray.data.Dataset", blocked,
                                            value_set=blocked_arr)))
     return url_domain_stats(ds, text_col).map_batches(
         fn, batch_format="pyarrow")
+
+
+_CTRL_RE = r"[\x00-\x08\x0B-\x1F\x7F\x{00A0}]"
+
+
+def _arrow_nfc_works() -> bool:
+    """Some pyarrow builds (this container's 16.1 included) ship a
+    utf8_normalize whose NFC/NFKC forms only DECOMPOSE — 'e'+U+0301 stays
+    decomposed instead of composing to é. Probe once at import."""
+    try:
+        out = pc.utf8_normalize(pa.array(["e\u0301"]), form="NFC")
+        return out.to_pylist()[0] == "\u00e9"
+    except Exception:
+        return False
+
+
+_ARROW_NFC_OK = _arrow_nfc_works()
+
+
+def _nfc(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    if _ARROW_NFC_OK:
+        return pc.utf8_normalize(arr, form="NFC")
+    import unicodedata
+    # fallback: per-string C-level unicodedata.normalize (the only non-Arrow
+    # loop in this module; composition data is missing from the Arrow build)
+    return pa.array([unicodedata.normalize("NFC", s)
+                     for s in arr.to_pylist()], type=pa.string())
+
+
+def clean_text(ds: "ray.data.Dataset", text_col: str = "text",
+               ) -> "ray.data.Dataset":
+    """Pre-tokenization text cleanup: NFC unicode normalization, control
+    chars + NBSP → space (LF kept), space/tab runs collapsed, edge spaces
+    trimmed; emits n_chars_raw / n_chars_clean codepoint counts.  Whole-batch
+    Arrow kernels, row-local, no shuffle (see `_nfc` for the one guarded
+    fallback)."""
+    def fn(t: pa.Table) -> pa.Table:
+        raw = pc.fill_null(t[text_col], "")
+        n_raw = pc.cast(pc.utf8_length(raw), pa.int64())
+        txt = _nfc(raw)
+        txt = pc.replace_substring_regex(txt, pattern=_CTRL_RE,
+                                         replacement=" ")
+        txt = pc.replace_substring_regex(txt, pattern=r"[ \t]+",
+                                         replacement=" ")
+        txt = pc.utf8_trim(txt, " ")
+        t = t.set_column(t.schema.get_field_index(text_col), text_col, txt)
+        return (t.append_column("n_chars_raw", n_raw)
+                 .append_column("n_chars_clean",
+                                pc.cast(pc.utf8_length(txt), pa.int64())))
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -469,6 +469,33 @@ def build() -> dict[str, str]:
         ORDER BY doc_id
     """
 
+    sql["doc_clean_text"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 coalesce(text, '') || ' Cafe' || chr(769) || chr(160)
+                 || ' x' || chr(9) || chr(9) || 'y ' || chr(11) || 'z  '
+                     AS text
+          FROM documents),
+        c AS (SELECT doc_id, length(text)::BIGINT AS n_chars_raw,
+                     trim(regexp_replace(regexp_replace(
+                         nfc_normalize(text),
+                         '[\x00-\x08\x0B-\x1F\x7F\x{00A0}]', ' ', 'g'),
+                         '[ \t]+', ' ', 'g'), ' ') AS text
+              FROM base)
+        SELECT doc_id, text, n_chars_raw, length(text)::BIGINT AS n_chars_clean
+        FROM c ORDER BY doc_id
+    """
+
+    sql["source_overlap"] = r"""
+        WITH d AS (SELECT DISTINCT substr(coalesce(text, ''), 1, 40) AS p,
+                                   source
+                   FROM documents)
+        SELECT a.source AS src_a, b.source AS src_b,
+               count(*)::BIGINT AS n_shared
+        FROM d a JOIN d b ON a.p = b.p AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
     sql["doc_token_budget_mix"] = r"""
         WITH t AS (SELECT doc_id, source,
                      len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens

@@ -918,6 +918,39 @@ def doc_url_blocklist(sf_dir: str) -> pd.DataFrame:
             .sort_values("doc_id").reset_index(drop=True))
 
 
+def doc_clean_text(sf_dir: str) -> pd.DataFrame:
+    """Unicode/whitespace cleanup over deterministically-dirtied text (NFC
+    combining accent, NBSP, tab runs, a vertical-tab control, trailing
+    spaces — the oracle builds the identical string with chr())."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mk(df: pd.DataFrame) -> pd.DataFrame:
+        # combining acute (NFC-merges to é), NBSP, tab run, vertical tab
+        dirty = (df["text"].fillna("")
+                 + " Cafe\u0301\u00a0 x\t\ty \x0bz  ")
+        return pd.DataFrame({"doc_id": df["doc_id"], "text": dirty})
+
+    out = text.clean_text(docs.map_batches(mk, batch_format="pandas")) \
+        .to_pandas()
+    return (out[["doc_id", "text", "n_chars_raw", "n_chars_clean"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def source_overlap(sf_dir: str) -> pd.DataFrame:
+    """Inter-source duplicate matrix on a 40-char leading-content
+    fingerprint: distinct shared contents per unordered source pair (slim
+    sha-bucketed shuffle; see ops/dedup.source_overlap_matrix)."""
+    docs = _read(sf_dir, "documents", ["text", "source"])
+
+    def pref(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"p": df["text"].fillna("").str[:40],
+                             "source": df["source"]})
+
+    prefixed = docs.map_batches(pref, batch_format="pandas")
+    return dedup.source_overlap_matrix(prefixed, text_col="p",
+                                       group_col="source")
+
+
 def doc_simhash_dedup(sf_dir: str) -> pd.DataFrame:
     """SimHash near-dup dedup survivors (rows-only: sketch algebra not in
     SQL; value-hash-verified against a sequential-oracle dump)."""

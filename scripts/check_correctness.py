@@ -85,6 +85,12 @@ def main(only: list[str]) -> int:
 
     qs = e.queries()
     sqls = e.oracle_sql()
+    # flag-style args or typos would silently select ZERO queries and print
+    # "0 failures" — refuse any name that isn't a real queries() key
+    unknown = [n for n in only if n not in qs]
+    if unknown:
+        print(f"FAIL unknown query name(s): {unknown}; valid: {sorted(qs)}")
+        return 1
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:

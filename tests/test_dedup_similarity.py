@@ -538,3 +538,33 @@ def test_domain_blocklist_filter():
     assert out.doc_id.tolist() == [1, 2, 3]
     assert out.domain.tolist() == ["ok.example", "", ""]
     assert out.n_urls.tolist() == [1, 0, 0]
+
+
+def test_clean_text_kernel():
+    import unicodedata
+    import ray.data as rd
+    from dataquality_box_ray.ops import text as T
+    rows = pd.DataFrame({"doc_id": [0, 1, 2],
+                         "text": ["Café  a\t\tb \x0bc  ",
+                                  None, "keep\nnewlines  intact"]})
+    out = (T.clean_text(rd.from_pandas(rows)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out.text[0] == "Café a b c"       # NFC composed, collapsed
+    assert out.text[1] == ""
+    assert out.text[2] == "keep\nnewlines intact"  # LF preserved
+    assert out.n_chars_raw[0] == len(rows.text[0])
+    assert out.n_chars_clean[0] == len(out.text[0])
+    assert unicodedata.is_normalized("NFC", out.text[0])
+
+
+def test_source_overlap_matrix():
+    import ray.data as rd
+    from dataquality_box_ray.ops import dedup as D
+    rows = pd.DataFrame({
+        "text": ["x", "x", "y", "y", "y", "z", "x"],
+        "source": ["a", "b", "a", "b", "c", "c", "a"]})  # dup (x,a) ignored
+    got = D.source_overlap_matrix(rd.from_pandas(rows), "text", "source",
+                                  n_buckets=4)
+    exp = pd.DataFrame({"src_a": ["a", "a", "b"], "src_b": ["b", "c", "c"],
+                        "n_shared": np.array([2, 1, 1], dtype=np.int64)})
+    assert got.equals(exp)
