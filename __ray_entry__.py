@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_url_blocklist": q.doc_url_blocklist,
         "doc_clean_text": q.doc_clean_text,
         "source_overlap": q.source_overlap,
+        "events_sliding_window": q.events_sliding_window,
+        "doc_sequence_pack": q.doc_sequence_pack,
         "doc_simhash_pairs": q.doc_simhash_pairs,
         "doc_simhash_dedup": q.doc_simhash_dedup,
         "doc_fingerprints": q.doc_fingerprints,

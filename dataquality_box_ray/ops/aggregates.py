@@ -579,3 +579,65 @@ def stratified_sample(ds: "ray.data.Dataset", group_col: str, id_col: str,
                           id_col).to_pandas()
     rows[hash_col] = _hash(rows[id_col])
     return rows.sort_values([id_col]).reset_index(drop=True)
+
+
+def sliding_window_count(ds: "ray.data.Dataset", group_col: str, ts_col: str,
+                         window: int, out_col: str = "win_count",
+                         n_buckets: int = 32) -> "ray.data.Dataset":
+    """``COUNT(*) OVER (PARTITION BY group ORDER BY ts RANGE BETWEEN window
+    PRECEDING AND CURRENT ROW)`` — SQL RANGE semantics: bounds inclusive,
+    peers (equal-ts rows) count each other regardless of physical order.
+
+    Per-bucket vectorized plan: factorize the group, fold (group, ts) into
+    ONE int64 composite key (group code × span) so a single sorted
+    searchsorted pair answers every row's window in the whole bucket — no
+    per-group Python. ``window`` is in the ts column's integer units
+    (µs for timestamps). Scale shape: one hash-bucket shuffle, O(n log n)
+    per bucket."""
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        ts = out[ts_col]
+        if np.issubdtype(ts.dtype, np.datetime64):
+            rel = ts.to_numpy().astype("datetime64[us]").astype(np.int64)
+        else:
+            rel = ts.to_numpy(dtype=np.int64)
+        rel = rel - rel.min() if len(rel) else rel
+        gcode = pd.factorize(out[group_col], sort=False)[0].astype(np.int64)
+        span = np.int64(int(rel.max()) + window + 1) if len(rel) else np.int64(1)
+        if len(rel) and int(gcode.max() + 1) * int(span) >= np.iinfo(np.int64).max:
+            raise ValueError("sliding_window_count: group×span composite "
+                             "key would overflow int64 — shrink the bucket "
+                             "ts span or window")
+        key = gcode * span + rel
+        ks = np.sort(key)
+        cnt = (np.searchsorted(ks, key, side="right")
+               - np.searchsorted(ks, key - np.int64(window), side="left"))
+        out[out_col] = cnt.astype(np.int64)
+        return out
+
+    return _bucketed_groups(ds, group_col, body, n_buckets=n_buckets)
+
+
+def pack_sequences(ds: "ray.data.Dataset", group_col: str, token_col: str,
+                   budget: int, order_col: str, id_col: str,
+                   out_col: str = "bin_id", mode: str = "bucketed",
+                   ) -> "ray.data.Dataset":
+    """Deterministic sequence packing: lay each group's documents into
+    ``budget``-token bins in (order, id) order; a document's bin is the bin
+    of its STARTING offset (``floor(exclusive_running_sum / budget)``), so
+    an over-budget document spans into later bins rather than being split —
+    the packing-with-overflow layout used to batch training corpora.
+
+    Built on `grouped_running_sum`, inheriting its bucketed/sharded scale
+    plans; the finishing pass is a row-local integer map."""
+    rs = grouped_running_sum(ds, group_col, order_col, token_col,
+                             id_col=id_col, out_col="__incl", mode=mode)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        excl = (df["__incl"].to_numpy(dtype=np.int64)
+                - df[token_col].to_numpy(dtype=np.int64))
+        df[out_col] = excl // np.int64(budget)
+        return df.drop(columns=["__incl"])
+
+    return rs.map_batches(fin, batch_format="pandas")

@@ -469,6 +469,25 @@ def build() -> dict[str, str]:
         ORDER BY doc_id
     """
 
+    sql["events_sliding_window"] = r"""
+        SELECT event_id, user_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                        AND CURRENT ROW)::BIGINT AS win_count
+        FROM events ORDER BY event_id
+    """
+
+    sql["doc_sequence_pack"] = r"""
+        WITH t AS (SELECT doc_id, source,
+                          len(regexp_extract_all(text, '\S+'))::BIGINT
+                              AS ws_tokens
+                   FROM documents)
+        SELECT doc_id, source, ws_tokens,
+               ((SUM(ws_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                 - ws_tokens) // 2000)::BIGINT AS bin_id
+        FROM t ORDER BY doc_id
+    """
+
     sql["doc_clean_text"] = r"""
         WITH base AS (
           SELECT doc_id,

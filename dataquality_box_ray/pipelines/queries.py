@@ -758,6 +758,30 @@ def events_running_total(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def events_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Per-user sliding 1-hour event count (SQL RANGE window analogue) —
+    fraud/velocity-style windowed aggregate over the event stream."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = agg.sliding_window_count(ev, "user_id", "ts",
+                                   window=3_600_000_000).to_pandas()
+    out = out[["event_id", "user_id", "win_count"]].astype(
+        {c: np.int64 for c in ("event_id", "user_id", "win_count")})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def doc_sequence_pack(sf_dir: str) -> pd.DataFrame:
+    """Pack each source's documents into 2000-token training bins in doc_id
+    order (bin = floor(exclusive running token sum / budget))."""
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    toks = text.token_stats(docs, "text").select_columns(
+        ["doc_id", "source", "ws_tokens"])
+    out = agg.pack_sequences(toks, "source", "ws_tokens", budget=2000,
+                             order_col="doc_id", id_col="doc_id").to_pandas()
+    out = out[["doc_id", "source", "ws_tokens", "bin_id"]].astype(
+        {c: np.int64 for c in ("doc_id", "ws_tokens", "bin_id")})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def event_value_quantiles(sf_dir: str) -> pd.DataFrame:
     """Exact per-event-type value quantiles (p25/p50/p90 of integer cents)
     via distributed order-statistic selection: one slim counting pass, then

@@ -205,3 +205,36 @@ def test_simhash_dedup_matches_sequential_oracle():
     exp = simhash_dedup_kept(df).doc_id.tolist()
     assert got == exp
     assert 90001 in got and 90002 not in got and 90003 in got
+
+
+def test_sliding_window_count_matches_pandas():
+    import ray.data as rd
+    from dataquality_box_ray.ops import aggregates as agg
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame({
+        "g": rng.integers(0, 5, n),
+        "ts": rng.integers(0, 1000, n).astype(np.int64),
+        "i": np.arange(n)})
+    got = (agg.sliding_window_count(rd.from_pandas(df), "g", "ts", window=50,
+                                    n_buckets=4)
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    # reference: brute force RANGE BETWEEN 50 PRECEDING AND CURRENT ROW
+    exp = np.array([((df.g == r.g) & (df.ts >= r.ts - 50)
+                     & (df.ts <= r.ts)).sum()
+                    for r in df.itertuples()], dtype=np.int64)
+    assert (got.win_count.to_numpy() == exp).all()
+
+
+def test_pack_sequences_overflow_layout():
+    import ray.data as rd
+    from dataquality_box_ray.ops import aggregates as agg
+    df = pd.DataFrame({
+        "src": ["a"] * 5 + ["b"] * 3,
+        "tok": [900, 900, 900, 2500, 100, 10, 10, 10],
+        "i": np.arange(8)})
+    got = (agg.pack_sequences(rd.from_pandas(df), "src", "tok", budget=1000,
+                              order_col="i", id_col="i")
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    # group a exclusive sums: 0,900,1800,2700,5200 -> bins 0,0,1,2,5
+    assert got.bin_id.tolist() == [0, 0, 1, 2, 5, 0, 0, 0]
