@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap": q.source_overlap,
         "events_sliding_window": q.events_sliding_window,
         "doc_sequence_pack": q.doc_sequence_pack,
+        "order_rollup": q.order_rollup,
+        "price_histogram": q.price_histogram,
+        "event_value_winsorized": q.event_value_winsorized,
         "doc_simhash_pairs": q.doc_simhash_pairs,
         "doc_simhash_dedup": q.doc_simhash_dedup,
         "doc_fingerprints": q.doc_fingerprints,

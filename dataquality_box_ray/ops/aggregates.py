@@ -641,3 +641,82 @@ def pack_sequences(ds: "ray.data.Dataset", group_col: str, token_col: str,
         return df.drop(columns=["__incl"])
 
     return rs.map_batches(fin, batch_format="pandas")
+
+
+_ROLLABLE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def rollup_aggregate(ds: "ray.data.Dataset", group_cols: list[str],
+                     aggregates: list[dict[str, str]], all_label: str = "ALL",
+                     ) -> pd.DataFrame:
+    """``GROUP BY ROLLUP(a, b, ...)`` from ONE distributed pass: aggregate at
+    the finest grain (partial/combiner — the only pass that touches data),
+    then derive every coarser prefix level by re-aggregating the finest
+    table, which is only O(distinct groups) rows. Coarser key columns carry
+    ``all_label`` (the coalesce-style rollup marker). Only decomposable
+    aggregates (sum/count/min/max) are accepted — count rolls up as sum."""
+    for a in aggregates:
+        if a["agg"] not in _ROLLABLE:
+            raise ValueError(f"rollup_aggregate: {a['agg']!r} is not "
+                             "decomposable; use sum/count/min/max")
+    fine = grouped_aggregate(ds, group_cols, aggregates)
+    names = [a["name"] for a in aggregates]
+    how = {a["name"]: _ROLLABLE[a["agg"]] for a in aggregates}
+    frames = [fine.copy()]
+    for k in range(len(group_cols) - 1, -1, -1):
+        keys = group_cols[:k]
+        if keys:
+            lvl = fine.groupby(keys, as_index=False).agg(how)
+        else:
+            lvl = pd.DataFrame([{n: fine[n].agg(how[n]) for n in names}])
+        for c in group_cols[k:]:
+            lvl[c] = all_label
+        frames.append(lvl[group_cols + names])
+    out = pd.concat(frames, ignore_index=True)
+    return (out.sort_values(group_cols, kind="mergesort")
+            .reset_index(drop=True))
+
+
+def fixed_width_histogram(ds: "ray.data.Dataset", val_col: str,
+                          bin_width: int, bin_col: str = "bin",
+                          ) -> pd.DataFrame:
+    """Fixed-width integer histogram: bin = floor(value / width), counted via
+    the partial/combiner grouped aggregate (one slim pass, no sort)."""
+    def binned(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({bin_col: v // np.int64(bin_width)})
+    slim = ds.map_batches(binned, batch_format="pyarrow")
+    out = grouped_aggregate(slim, [bin_col], [{"name": "n", "agg": "count"}])
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(bin_col).reset_index(drop=True)
+
+
+def grouped_winsorized_sum(ds: "ray.data.Dataset", group_col: str,
+                           val_col: str, lo_q: float = 0.05,
+                           hi_q: float = 0.95, mode: str = "bucketed",
+                           ) -> pd.DataFrame:
+    """Per-group winsorized sum/count: exact p[lo]/p[hi] cutoffs via the
+    distributed order-statistic selection (`grouped_quantile`), broadcast
+    back as a clip map, then one integer sum pass — outlier-robust totals
+    without a global sort. Integer inputs keep both engines bit-exact."""
+    cuts = grouped_quantile(ds, group_col, val_col, [lo_q, hi_q], mode=mode)
+    lo = {g: v for g, v, q in zip(cuts[group_col], cuts["value"], cuts["q"])
+          if q == lo_q}
+    hi = {g: v for g, v, q in zip(cuts[group_col], cuts["value"], cuts["q"])
+          if q == hi_q}
+
+    def clip(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[val_col].to_numpy(dtype=np.int64)
+        l = df[group_col].map(lo).to_numpy(dtype=np.int64)
+        h = df[group_col].map(hi).to_numpy(dtype=np.int64)
+        return pd.DataFrame({group_col: df[group_col],
+                             "__w": np.clip(v, l, h)})
+
+    out = grouped_aggregate(ds.map_batches(clip, batch_format="pandas"),
+                            [group_col],
+                            [{"name": "win_sum", "agg": "sum", "col": "__w"},
+                             {"name": "n", "agg": "count"}])
+    out["win_sum"] = out["win_sum"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -469,6 +469,37 @@ def build() -> dict[str, str]:
         ORDER BY doc_id
     """
 
+    sql["order_rollup"] = f"""
+        SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+               coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               count(*)::BIGINT AS n,
+               sum(cents)::BIGINT AS sum_price_cents
+        FROM (SELECT o_orderstatus, o_orderpriority,
+                     {_cents_sql('o_totalprice')} AS cents FROM orders)
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY 1, 2
+    """
+
+    sql["price_histogram"] = f"""
+        SELECT ({_cents_sql('o_totalprice')} // 50000)::BIGINT AS bin,
+               count(*)::BIGINT AS n
+        FROM orders GROUP BY 1 ORDER BY 1
+    """
+
+    sql["event_value_winsorized"] = f"""
+        WITH t AS (SELECT event_type,
+                          {_cents_sql('value')} AS cents FROM events),
+        c AS (SELECT event_type,
+                     quantile_disc(cents, 0.05) AS lo,
+                     quantile_disc(cents, 0.95) AS hi
+              FROM t GROUP BY 1)
+        SELECT t.event_type,
+               sum(LEAST(GREATEST(t.cents, c.lo), c.hi))::BIGINT AS win_sum,
+               count(*)::BIGINT AS n
+        FROM t JOIN c USING (event_type)
+        GROUP BY 1 ORDER BY 1
+    """
+
     sql["events_sliding_window"] = r"""
         SELECT event_id, user_id,
                COUNT(*) OVER (PARTITION BY user_id ORDER BY ts

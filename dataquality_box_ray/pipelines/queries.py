@@ -803,6 +803,57 @@ def event_value_quantiles(sf_dir: str) -> pd.DataFrame:
     return wide.sort_values("event_type").reset_index(drop=True)
 
 
+def order_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(status, priority) — one distributed finest-grain
+    pass, coarser levels derived from the small group table ('ALL' marks
+    rolled-up key columns)."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderstatus": t["o_orderstatus"],
+            "o_orderpriority": t["o_orderpriority"],
+            "price_cents": pa.array(_cents(t["o_totalprice"].to_numpy()))})
+
+    out = agg.rollup_aggregate(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        ["o_orderstatus", "o_orderpriority"],
+        [{"name": "n", "agg": "count"},
+         {"name": "sum_price_cents", "agg": "sum", "col": "price_cents"}])
+    out["n"] = out["n"].astype(np.int64)
+    out["sum_price_cents"] = out["sum_price_cents"].astype(np.int64)
+    return out
+
+
+def price_histogram(sf_dir: str) -> pd.DataFrame:
+    """Fixed-width histogram of order totals ($500 bins, integer cents)."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table({"price_cents":
+                         pa.array(_cents(t["o_totalprice"].to_numpy()))})
+
+    return agg.fixed_width_histogram(
+        ds.map_batches(pre, batch_format="pyarrow"), "price_cents",
+        bin_width=50_000)
+
+
+def event_value_winsorized(sf_dir: str) -> pd.DataFrame:
+    """Outlier-robust per-type totals: clip event value cents at the exact
+    per-group p05/p95 (distributed order-statistic selection) and sum —
+    integer-exact on both engines."""
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "value_cents": _cents(df["value"].to_numpy())})
+
+    slim = ev.map_batches(cents, batch_format="pandas")
+    return agg.grouped_winsorized_sum(slim, "event_type", "value_cents",
+                                      lo_q=0.05, hi_q=0.95)
+
+
 def doc_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup dedup (rows-only: sketch algebra not in SQL)."""
     kept = dedup.minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),

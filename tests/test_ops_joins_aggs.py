@@ -212,3 +212,34 @@ def test_hash_join_portable_fallback_matches_native():
         a = nat[key].fillna(-1).sort_values(key).reset_index(drop=True)
         b = fb[key].fillna(-1).sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_rollup_histogram_winsorize():
+    import pytest
+    import ray.data as rd
+    from dataquality_box_ray.ops import aggregates as agg
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"],
+                       "v": np.array([1, 2, 4], dtype=np.int64)})
+    out = agg.rollup_aggregate(rd.from_pandas(df), ["a", "b"],
+                               [{"name": "n", "agg": "count"},
+                                {"name": "s", "agg": "sum", "col": "v"}])
+    assert len(out) == 3 + 2 + 1            # fine + per-a + grand total
+    tot = out[(out.a == "ALL") & (out.b == "ALL")]
+    assert tot.n.iloc[0] == 3 and tot.s.iloc[0] == 7
+    xa = out[(out.a == "x") & (out.b == "ALL")]
+    assert xa.n.iloc[0] == 2 and xa.s.iloc[0] == 3
+    with pytest.raises(ValueError):
+        agg.rollup_aggregate(rd.from_pandas(df), ["a"],
+                             [{"name": "m", "agg": "mean", "col": "v"}])
+
+    h = agg.fixed_width_histogram(
+        rd.from_pandas(pd.DataFrame({"v": [0, 5, 10, 19, 20]})), "v", 10)
+    assert h.bin.tolist() == [0, 1, 2] and h.n.tolist() == [2, 2, 1]
+
+    ev = pd.DataFrame({"g": ["a"] * 100,
+                       "v": np.arange(100, dtype=np.int64)})
+    w = agg.grouped_winsorized_sum(rd.from_pandas(ev), "g", "v",
+                                   lo_q=0.05, hi_q=0.95)
+    # p05=4 (quantile_disc lower), p95=94: clip 0..4 -> 4 (x5), 95..99 -> 94
+    base = np.clip(np.arange(100), 4, 94).sum()
+    assert w.win_sum.iloc[0] == base and w.n.iloc[0] == 100
