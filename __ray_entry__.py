@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_rollup": q.order_rollup,
         "price_histogram": q.price_histogram,
         "event_value_winsorized": q.event_value_winsorized,
+        "event_user_kmv": q.event_user_kmv,
         "doc_simhash_pairs": q.doc_simhash_pairs,
         "doc_simhash_dedup": q.doc_simhash_dedup,
         "doc_fingerprints": q.doc_fingerprints,

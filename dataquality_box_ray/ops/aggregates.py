@@ -720,3 +720,49 @@ def grouped_winsorized_sum(ds: "ray.data.Dataset", group_col: str,
     out["win_sum"] = out["win_sum"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def grouped_kmv_distinct(ds: "ray.data.Dataset", group_col: str,
+                         val_col: str, k: int = 64,
+                         mult: int = 2654435761, mod: int = 2 ** 32,
+                         n_buckets: int = 32) -> pd.DataFrame:
+    """Per-group approximate count-distinct via a KMV (k-minimum-values)
+    sketch: hash each value with the Knuth multiplicative hash (a BIJECTION
+    mod 2^32 for ids < 2^32, so hash collisions cannot bias the estimate),
+    keep each group's k smallest distinct hashes, and estimate
+    ``floor((k-1)·mod / kth_min)`` — integer arithmetic, so both engines are
+    bit-exact. Groups with fewer than k distinct values report exactly.
+
+    The sketch is MERGEABLE: per-batch partials keep only their k smallest
+    distinct hashes (k·groups slim rows per block — a batch's k smallest
+    always contain every global-k-smallest candidate it holds), and the
+    bucketed final merge unions + re-truncates. This is the shape that
+    counts distinct URLs-per-domain over 100 TB without a distinct shuffle
+    of the full value set."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[val_col].to_numpy(dtype=np.int64).astype(np.uint64)
+        hv = ((u * np.uint64(mult)) % np.uint64(mod)).astype(np.int64)
+        out = pd.DataFrame({group_col: df[group_col], "__hv": hv})
+        out = out.drop_duplicates().sort_values([group_col, "__hv"],
+                                                kind="mergesort")
+        return out.groupby(group_col, sort=False).head(k)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates().sort_values([group_col, "__hv"],
+                                             kind="mergesort")
+        d = d.groupby(group_col, sort=False).head(k)
+        g = d.groupby(group_col, sort=False)["__hv"]
+        kept = g.count().astype(np.int64)
+        kth = g.max().astype(np.int64)
+        est = np.where(kept.to_numpy() >= k,
+                       np.int64(k - 1) * np.int64(mod)
+                       // np.maximum(kth.to_numpy(), 1),
+                       kept.to_numpy())
+        return pd.DataFrame({group_col: kept.index,
+                             "est_distinct": est.astype(np.int64),
+                             "k_kept": kept.to_numpy()})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    out = _bucketed_groups(parts, group_col, finish,
+                           n_buckets=n_buckets).to_pandas()
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -500,6 +500,31 @@ def build() -> dict[str, str]:
         GROUP BY 1 ORDER BY 1
     """
 
+    sql["event_user_kmv"] = r"""
+        WITH h AS (SELECT DISTINCT event_type,
+                          (user_id * 2654435761) % 4294967296 AS hv
+                   FROM events),
+        r AS (SELECT event_type, hv,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY hv) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS nd
+              FROM h),
+        s AS (SELECT event_type,
+                     CASE WHEN max(nd) >= 64
+                          THEN (63 * 4294967296)
+                               // max(CASE WHEN rn = 64 THEN hv END)
+                          ELSE max(nd) END AS est_distinct,
+                     least(max(nd), 64) AS k_kept
+              FROM r WHERE rn <= 64 GROUP BY 1),
+        x AS (SELECT event_type,
+                     count(DISTINCT user_id) AS exact_distinct
+              FROM events GROUP BY 1)
+        SELECT s.event_type, s.est_distinct::BIGINT AS est_distinct,
+               s.k_kept::BIGINT AS k_kept,
+               x.exact_distinct::BIGINT AS exact_distinct
+        FROM s JOIN x USING (event_type) ORDER BY 1
+    """
+
     sql["events_sliding_window"] = r"""
         SELECT event_id, user_id,
                COUNT(*) OVER (PARTITION BY user_id ORDER BY ts

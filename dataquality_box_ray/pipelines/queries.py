@@ -854,6 +854,28 @@ def event_value_winsorized(sf_dir: str) -> pd.DataFrame:
                                       lo_q=0.05, hi_q=0.95)
 
 
+def event_user_kmv(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct users per event type (KMV sketch, k=64) next to
+    the exact count — the mergeable-sketch path for cardinality at 100 TB;
+    the oracle replicates the bijective hash so values are bit-exact."""
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    est = agg.grouped_kmv_distinct(ev, "event_type", "user_id", k=64)
+
+    # exact distinct via slim distinct pairs + grouped count, for comparison
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_type", "user_id"]].drop_duplicates()
+    slim = ev.map_batches(pairs, batch_format="pandas")
+    cnt = agg._bucketed_groups(
+        slim, "event_type",
+        lambda d: (d.drop_duplicates()
+                   .groupby("event_type", sort=False).size()
+                   .rename("exact_distinct").reset_index()),
+        n_buckets=8).to_pandas()
+    out = est.merge(cnt, on="event_type")
+    out["exact_distinct"] = out["exact_distinct"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def doc_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup dedup (rows-only: sketch algebra not in SQL)."""
     kept = dedup.minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),

@@ -238,3 +238,24 @@ def test_pack_sequences_overflow_layout():
            .to_pandas().sort_values("i").reset_index(drop=True))
     # group a exclusive sums: 0,900,1800,2700,5200 -> bins 0,0,1,2,5
     assert got.bin_id.tolist() == [0, 0, 1, 2, 5, 0, 0, 0]
+
+
+def test_kmv_distinct_estimate_quality_and_exact_small_groups():
+    import ray.data as rd
+    from dataquality_box_ray.ops import aggregates as agg
+    rng = np.random.default_rng(3)
+    big = rng.integers(0, 100_000, 20_000)       # ~18k distinct
+    small = np.arange(30)                        # 30 distinct < k
+    df = pd.DataFrame({
+        "g": ["big"] * len(big) + ["small"] * len(small),
+        "v": np.concatenate([big, small]).astype(np.int64)})
+    out = agg.grouped_kmv_distinct(rd.from_pandas(df), "g", "v", k=64)
+    truth = {"big": len(np.unique(big)), "small": 30}
+    row = out.set_index("g")
+    # small group: exact
+    assert row.loc["small", "est_distinct"] == 30
+    assert row.loc["small", "k_kept"] == 30
+    # big group: KMV with k=64 has ~1/sqrt(62) ≈ 13% std error
+    est = row.loc["big", "est_distinct"]
+    assert abs(est - truth["big"]) / truth["big"] < 0.4
+    assert row.loc["big", "k_kept"] == 64
