@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram": q.price_histogram,
         "event_value_winsorized": q.event_value_winsorized,
         "event_user_kmv": q.event_user_kmv,
+        "user_event_pivot": q.user_event_pivot,
+        "event_value_quartiles_ntile": q.event_value_quartiles_ntile,
         "doc_simhash_pairs": q.doc_simhash_pairs,
         "doc_simhash_dedup": q.doc_simhash_dedup,
         "doc_fingerprints": q.doc_fingerprints,

@@ -766,3 +766,68 @@ def grouped_kmv_distinct(ds: "ray.data.Dataset", group_col: str,
     out = _bucketed_groups(parts, group_col, finish,
                            n_buckets=n_buckets).to_pandas()
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def pivot_counts(ds: "ray.data.Dataset", index_col: str, pivot_col: str,
+                 categories: list[str], prefix: str = "n_",
+                 ) -> "ray.data.Dataset":
+    """Long→wide pivot: one row per ``index_col``, one count column per
+    category of ``pivot_col`` (the mirror of the M10 unpivot).
+
+    Categories are an EXPLICIT bounded list — at scale the pivoted column
+    set must be known up front (a discovery pass would be a full scan whose
+    result changes the schema). Every index value keeps a row (all-zero
+    counts when none of its rows match a listed category).
+    Per-batch crosstab partials (groups × categories slim ints) merge
+    through the bucketed grouped sum — no row-level shuffle."""
+    cols = [f"{prefix}{c}" for c in categories]
+    cat_idx = {c: i for i, c in enumerate(categories)}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        gcode, guniq = pd.factorize(df[index_col], sort=False)
+        codes = df[pivot_col].map(cat_idx)
+        ok = codes.notna().to_numpy()
+        mat = np.zeros((len(guniq), len(categories)), dtype=np.int64)
+        np.add.at(mat, (gcode[ok], codes[ok].to_numpy(dtype=np.int64)), 1)
+        out = pd.DataFrame(mat, columns=cols)
+        out.insert(0, index_col, guniq)
+        return out
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(index_col, sort=False, as_index=False)[cols]
+                .sum().astype({c: np.int64 for c in cols}))
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return _bucketed_groups(parts, index_col, combine)
+
+
+def grouped_ntile(ds: "ray.data.Dataset", group_col: str, order_cols:
+                  list[str], n: int, out_col: str = "tile",
+                  n_buckets: int = 32) -> "ray.data.Dataset":
+    """``NTILE(n) OVER (PARTITION BY group ORDER BY order_cols)`` with SQL
+    tile sizing: the first ``count % n`` tiles take one extra row.
+    ``order_cols`` must be a deterministic total order (include a
+    tie-breaker id). Per-bucket vectorized lexsort — no per-group Python."""
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        gcode = pd.factorize(out[group_col], sort=False)[0].astype(np.int64)
+        order = np.lexsort([out[c].to_numpy() for c in reversed(order_cols)]
+                           + [gcode])
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order))
+        counts = np.bincount(gcode)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        rank = inv - starts[gcode]               # 0-based rank within group
+        cnt = counts[gcode]
+        size_lo = cnt // n
+        r = cnt % n
+        cut = r * (size_lo + 1)
+        in_big = rank < cut
+        tile = np.where(
+            in_big,
+            rank // np.maximum(size_lo + 1, 1),
+            r + (rank - cut) // np.maximum(size_lo, 1))
+        out[out_col] = (tile + 1).astype(np.int64)   # NTILE is 1-based
+        return out
+
+    return _bucketed_groups(ds, group_col, body, n_buckets=n_buckets)

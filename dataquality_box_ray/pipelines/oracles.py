@@ -500,6 +500,24 @@ def build() -> dict[str, str]:
         GROUP BY 1 ORDER BY 1
     """
 
+    sql["user_event_pivot"] = r"""
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click')::BIGINT AS n_click,
+               count(*) FILTER (event_type = 'view')::BIGINT AS n_view,
+               count(*) FILTER (event_type = 'purchase')::BIGINT
+                   AS n_purchase
+        FROM events GROUP BY user_id ORDER BY user_id
+    """
+
+    sql["event_value_quartiles_ntile"] = f"""
+        WITH t AS (SELECT event_id, event_type,
+                          {_cents_sql('value')} AS value_cents FROM events)
+        SELECT event_id, event_type, value_cents,
+               NTILE(4) OVER (PARTITION BY event_type
+                              ORDER BY value_cents, event_id)::BIGINT AS tile
+        FROM t ORDER BY event_id
+    """
+
     sql["event_user_kmv"] = r"""
         WITH h AS (SELECT DISTINCT event_type,
                           (user_id * 2654435761) % 4294967296 AS hv

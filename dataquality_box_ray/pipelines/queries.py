@@ -876,6 +876,36 @@ def event_user_kmv(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def user_event_pivot(sf_dir: str) -> pd.DataFrame:
+    """Long→wide: per-user event-type count columns (mirror of the M10
+    unpivot; categories declared up front, crosstab partials + bucketed
+    merge)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+    cats = ["click", "view", "purchase"]
+    out = agg.pivot_counts(ev, "user_id", "event_type", cats).to_pandas()
+    out["user_id"] = out["user_id"].astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def event_value_quartiles_ntile(sf_dir: str) -> pd.DataFrame:
+    """NTILE(4) quartile label per event within its type, ordered by
+    (value cents, event_id) — SQL tile sizing (first count%n tiles one
+    bigger)."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "event_type": df["event_type"],
+                             "value_cents": _cents(df["value"].to_numpy())})
+
+    slim = ev.map_batches(cents, batch_format="pandas")
+    out = agg.grouped_ntile(slim, "event_type",
+                            ["value_cents", "event_id"], 4).to_pandas()
+    out = out[["event_id", "event_type", "value_cents", "tile"]].astype(
+        {c: np.int64 for c in ("event_id", "value_cents", "tile")})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def doc_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup dedup (rows-only: sketch algebra not in SQL)."""
     kept = dedup.minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),

@@ -243,3 +243,34 @@ def test_rollup_histogram_winsorize():
     # p05=4 (quantile_disc lower), p95=94: clip 0..4 -> 4 (x5), 95..99 -> 94
     base = np.clip(np.arange(100), 4, 94).sum()
     assert w.win_sum.iloc[0] == base and w.n.iloc[0] == 100
+
+
+def test_pivot_and_ntile():
+    import ray.data as rd
+    from dataquality_box_ray.ops import aggregates as agg
+    df = pd.DataFrame({"u": [1, 1, 2, 3, 3, 3],
+                       "t": ["a", "b", "a", "c", "c", "zz"]})
+    got = (agg.pivot_counts(rd.from_pandas(df), "u", "t", ["a", "b", "c"])
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    assert got.n_a.tolist() == [1, 1, 0]
+    assert got.n_b.tolist() == [1, 0, 0]
+    assert got.n_c.tolist() == [0, 0, 2]          # u=3 kept despite 'zz' row
+    assert got.u.tolist() == [1, 2, 3]
+
+    rng = np.random.default_rng(11)
+    n = 500
+    ev = pd.DataFrame({"g": rng.integers(0, 4, n).astype(str),
+                       "v": rng.integers(0, 50, n).astype(np.int64),
+                       "i": np.arange(n)})
+    got = (agg.grouped_ntile(rd.from_pandas(ev), "g", ["v", "i"], 4)
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    # pandas reference for SQL NTILE sizing
+    def ref(d):
+        d = d.sort_values(["v", "i"], kind="mergesort")
+        c = len(d)
+        lo, r = divmod(c, 4)
+        sizes = [lo + 1] * r + [lo] * (4 - r)
+        tiles = np.repeat(np.arange(1, 5), sizes)
+        return pd.Series(tiles, index=d.index)
+    exp = ev.groupby("g", group_keys=False).apply(ref).sort_index()
+    assert (got.tile.to_numpy() == exp.to_numpy()).all()
