@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_user_kmv": q.event_user_kmv,
         "user_event_pivot": q.user_event_pivot,
         "event_value_quartiles_ntile": q.event_value_quartiles_ntile,
+        "customers_without_urgent_orders_bloom":
+            q.customers_without_urgent_orders_bloom,
         "doc_simhash_pairs": q.doc_simhash_pairs,
         "doc_simhash_dedup": q.doc_simhash_dedup,
         "doc_fingerprints": q.doc_fingerprints,

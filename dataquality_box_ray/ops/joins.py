@@ -433,3 +433,79 @@ def asof_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                              direction=direction)
 
     return both.groupby("__bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# Bloom-prefiltered anti join — shrink the exact join's input at 100 TB.
+
+def _bloom_hashes(vals: pd.Series, m_bits: int, k: int) -> np.ndarray:
+    """k bloom bit positions per value, shape (k, n) — double hashing over
+    pandas' fixed-key siphash (deterministic across processes/nodes)."""
+    h1 = pd.util.hash_array(vals.to_numpy()).astype(np.uint64)
+    h2 = (h1 * np.uint64(0x9E3779B97F4A7C15) + np.uint64(1)) | np.uint64(1)
+    ks = np.arange(k, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + ks * h2[None, :]) % np.uint64(m_bits))
+
+
+def build_bloom_bits(keys_ds: "ray.data.Dataset", on: str,
+                     m_bits: int = 1 << 23, k: int = 4) -> np.ndarray:
+    """Distributed bloom build: each block emits its local OR'd bitmap (one
+    fixed-size packed row, m_bits/8 bytes); the driver ORs the ≤ blocks
+    partials. Driver traffic = blocks × m_bits/8 — for very large m, raise
+    the block size or OR hierarchically; the DATA never leaves the
+    workers."""
+    n_bytes = m_bits // 8
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        pos = _bloom_hashes(df[on], m_bits, k).ravel()
+        np.bitwise_or.at(bits, (pos // 8).astype(np.int64),
+                         np.left_shift(np.uint8(1), (pos % 8).astype(np.uint8)))
+        return pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = keys_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    acc = np.zeros(n_bytes, dtype=np.uint8)
+    for b in parts["bits"]:
+        acc |= np.frombuffer(b, dtype=np.uint8)
+    return acc
+
+
+def bloom_anti_join(ds: "ray.data.Dataset", keys_ds: "ray.data.Dataset",
+                    on: str, keys_on: str | None = None,
+                    m_bits: int = 1 << 23, k: int = 4,
+                    max_broadcast: int = MAX_BROADCAST_KEYS,
+                    ) -> "ray.data.Dataset":
+    """EXACT anti join ``ds ▷ keys`` with a bloom prefilter: the packed
+    bitmap (m_bits/8 bytes, e.g. 1 MiB for 2^23 bits) ships once via
+    ray.put; rows whose key misses any of the k bits are DEFINITELY absent
+    and bypass the join entirely; only possible-hits (true hits + the
+    bitmap's false-positive rate) run through the broadcast-or-partitioned
+    exact anti join. Output is row-for-row the exact anti join — the bloom
+    only cuts the expensive join's input, the classic committed-sink dedup
+    shape when the sink has billions of keys but a block touches few."""
+    import ray as _ray
+    keys_on = keys_on or on
+    bits_ref = _ray.put(build_bloom_bits(keys_ds, keys_on, m_bits, k))
+
+    def test_bits(df: pd.DataFrame, want_hit: bool) -> pd.DataFrame:
+        bits = _ray.get(bits_ref)
+        pos = _bloom_hashes(df[on], m_bits, k)
+        hit = np.ones(len(df), dtype=bool)
+        for row in pos:
+            hit &= (bits[(row // 8).astype(np.int64)]
+                    >> (row % 8).astype(np.uint8)) & 1 == 1
+        return df.loc[hit if want_hit else ~hit]
+
+    import functools
+    definite_miss = ds.map_batches(
+        functools.partial(test_bits, want_hit=False), batch_format="pandas")
+    candidates = ds.map_batches(
+        functools.partial(test_bits, want_hit=True), batch_format="pandas")
+
+    kd = distinct_ds(keys_ds.select_columns([keys_on]), keys_on).materialize()
+    if kd.count() <= max_broadcast:
+        survivors = broadcast_anti_join(
+            candidates, set(kd.to_pandas()[keys_on]), on)
+    else:
+        survivors = partitioned_anti_join(candidates, kd, on, keys_on)
+    return definite_miss.union(survivors)

@@ -500,6 +500,13 @@ def build() -> dict[str, str]:
         GROUP BY 1 ORDER BY 1
     """
 
+    sql["customers_without_urgent_orders_bloom"] = r"""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+    """
+
     sql["user_event_pivot"] = r"""
         SELECT user_id,
                count(*) FILTER (event_type = 'click')::BIGINT AS n_click,

@@ -237,6 +237,20 @@ def customers_with_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("c_custkey").reset_index(drop=True)
 
 
+def customers_without_urgent_orders_bloom(sf_dir: str) -> pd.DataFrame:
+    """Exact anti join behind a bloom prefilter (the committed-sink dedup
+    shape at 100 TB: the packed bitmap broadcasts once, definite misses
+    bypass the join, only possible-hits run the exact path)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(lambda t: t.filter(
+            pc.equal(t["o_orderpriority"], "1-URGENT"))
+            .select(["o_custkey"]), batch_format="pyarrow")
+    out = joins.bloom_anti_join(cust, urgent, "c_custkey",
+                                keys_on="o_custkey").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
 def customer_nation_lookup(sf_dir: str) -> pd.DataFrame:
     """J9 chained-adapter broadcast lookup join."""
     nation = _read(sf_dir, "nation").to_pandas()

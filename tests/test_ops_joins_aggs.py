@@ -274,3 +274,37 @@ def test_pivot_and_ntile():
         return pd.Series(tiles, index=d.index)
     exp = ev.groupby("g", group_keys=False).apply(ref).sort_index()
     assert (got.tile.to_numpy() == exp.to_numpy()).all()
+
+
+def test_bloom_anti_join_equals_exact_and_prefilters():
+    import ray.data as rd
+    from dataquality_box_ray.ops import joins as J
+    rng = np.random.default_rng(5)
+    left = pd.DataFrame({"k": rng.integers(0, 5000, 3000),
+                         "x": np.arange(3000)})
+    keys = pd.DataFrame({"kk": rng.integers(0, 5000, 1500)})
+    got = (J.bloom_anti_join(rd.from_pandas(left), rd.from_pandas(keys),
+                             "k", keys_on="kk")
+           .to_pandas().sort_values(["k", "x"]).reset_index(drop=True))
+    exp = (left[~left.k.isin(set(keys.kk))]
+           .sort_values(["k", "x"]).reset_index(drop=True))
+    assert got.equals(exp)
+    # tiny bitmap (high FP rate) must STILL be exact — correctness never
+    # depends on the bloom, only the prefilter volume does
+    got2 = (J.bloom_anti_join(rd.from_pandas(left), rd.from_pandas(keys),
+                              "k", keys_on="kk", m_bits=256, k=2)
+            .to_pandas().sort_values(["k", "x"]).reset_index(drop=True))
+    assert got2.equals(exp)
+    # forced partitioned exact path (max_broadcast=0)
+    got3 = (J.bloom_anti_join(rd.from_pandas(left), rd.from_pandas(keys),
+                              "k", keys_on="kk", max_broadcast=0)
+            .to_pandas().sort_values(["k", "x"]).reset_index(drop=True))
+    assert got3.equals(exp)
+    # the bitmap itself never false-negatives: every true key tests hit
+    bits = J.build_bloom_bits(rd.from_pandas(keys), "kk")
+    pos = J._bloom_hashes(keys.kk, 1 << 23, 4)
+    hit = np.ones(len(keys), dtype=bool)
+    for row in pos:
+        hit &= (bits[(row // 8).astype(np.int64)]
+                >> (row % 8).astype(np.uint8)) & 1 == 1
+    assert hit.all()
