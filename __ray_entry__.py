@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quartiles_ntile": q.event_value_quartiles_ntile,
         "customers_without_urgent_orders_bloom":
             q.customers_without_urgent_orders_bloom,
+        "order_priority_mode": q.order_priority_mode,
         "doc_simhash_pairs": q.doc_simhash_pairs,
         "doc_simhash_dedup": q.doc_simhash_dedup,
         "doc_fingerprints": q.doc_fingerprints,

@@ -831,3 +831,27 @@ def grouped_ntile(ds: "ray.data.Dataset", group_col: str, order_cols:
         return out
 
     return _bucketed_groups(ds, group_col, body, n_buckets=n_buckets)
+
+
+def grouped_mode(ds: "ray.data.Dataset", group_col: str, val_col: str,
+                 n_buckets: int = 32) -> pd.DataFrame:
+    """Most frequent value per group (tie → smallest value) — per-batch
+    (group, value) count partials, bucketed combine, vectorized winner pick
+    (sort + head-1 per group); only slim count rows shuffle."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([group_col, val_col], sort=False)
+                .size().rename("n").reset_index())
+
+    def winner(df: pd.DataFrame) -> pd.DataFrame:
+        c = (df.groupby([group_col, val_col], sort=False)["n"].sum()
+             .reset_index())
+        c = c.sort_values([group_col, "n", val_col],
+                          ascending=[True, False, True], kind="mergesort")
+        w = c.groupby(group_col, sort=False).head(1)
+        return w.rename(columns={val_col: "mode", "n": "n"})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    out = _bucketed_groups(parts, group_col, winner,
+                           n_buckets=n_buckets).to_pandas()
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(group_col).reset_index(drop=True)

@@ -507,6 +507,17 @@ def build() -> dict[str, str]:
         ORDER BY c_custkey
     """
 
+    sql["order_priority_mode"] = r"""
+        WITH c AS (SELECT o_orderstatus, o_orderpriority,
+                          count(*)::BIGINT AS n
+                   FROM orders GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                           ORDER BY n DESC, o_orderpriority)
+                        AS rn FROM c)
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+        FROM r WHERE rn = 1 ORDER BY o_orderstatus
+    """
+
     sql["user_event_pivot"] = r"""
         SELECT user_id,
                count(*) FILTER (event_type = 'click')::BIGINT AS n_click,

@@ -920,6 +920,14 @@ def event_value_quartiles_ntile(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def order_priority_mode(sf_dir: str) -> pd.DataFrame:
+    """Most frequent order priority per status (tie → smallest priority) —
+    grouped mode via slim count partials."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"])
+    out = agg.grouped_mode(ds, "o_orderstatus", "o_orderpriority")
+    return out.rename(columns={"mode": "mode_priority"})
+
+
 def doc_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup dedup (rows-only: sketch algebra not in SQL)."""
     kept = dedup.minhash_dedup(_read(sf_dir, "documents", ["doc_id", "text"]),

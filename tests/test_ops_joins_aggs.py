@@ -308,3 +308,15 @@ def test_bloom_anti_join_equals_exact_and_prefilters():
         hit &= (bits[(row // 8).astype(np.int64)]
                 >> (row % 8).astype(np.uint8)) & 1 == 1
     assert hit.all()
+
+
+def test_grouped_mode_tie_break():
+    import ray.data as rd
+    from dataquality_box_ray.ops import aggregates as agg
+    df = pd.DataFrame({"g": ["a"] * 4 + ["b"] * 3,
+                       "v": ["x", "y", "x", "y", "q", "p", "q"]})
+    out = agg.grouped_mode(rd.from_pandas(df), "g", "v", n_buckets=4)
+    # a: x and y tie at 2 -> min value x; b: q wins at 2
+    assert out.g.tolist() == ["a", "b"]
+    assert out["mode"].tolist() == ["x", "q"]
+    assert out.n.tolist() == [2, 2]
