@@ -507,6 +507,13 @@ def build() -> dict[str, str]:
         ORDER BY c_custkey
     """
 
+    sql["events_dow_hour"] = r"""
+        SELECT isodow(ts)::BIGINT AS dow,
+               date_part('hour', ts)::BIGINT AS hour,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
     sql["order_priority_mode"] = r"""
         WITH c AS (SELECT o_orderstatus, o_orderpriority,
                           count(*)::BIGINT AS n

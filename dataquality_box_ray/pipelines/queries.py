@@ -920,6 +920,27 @@ def event_value_quartiles_ntile(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def events_dow_hour(sf_dir: str) -> pd.DataFrame:
+    """Calendar extraction: event counts by (ISO day-of-week, hour) —
+    vectorized epoch arithmetic (no datetime objects in the hot path),
+    grouped through the partial/combiner aggregate."""
+    ev = _read(sf_dir, "events", ["ts"])
+
+    def cal(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        day = us // 86_400_000_000
+        return pd.DataFrame({
+            # epoch day 0 = Thursday = ISO dow 4
+            "dow": ((day + 3) % 7 + 1).astype(np.int64),
+            "hour": (us // 3_600_000_000 % 24).astype(np.int64)})
+
+    out = agg.grouped_aggregate(ev.map_batches(cal, batch_format="pandas"),
+                                ["dow", "hour"],
+                                [{"name": "n", "agg": "count"}])
+    out = out.astype({"dow": np.int64, "hour": np.int64, "n": np.int64})
+    return out.sort_values(["dow", "hour"]).reset_index(drop=True)
+
+
 def order_priority_mode(sf_dir: str) -> pd.DataFrame:
     """Most frequent order priority per status (tie → smallest priority) —
     grouped mode via slim count partials."""
