@@ -957,3 +957,175 @@ def source_overlap_matrix(ds: "ray.data.Dataset", text_col: str = "text",
     out = (partials.groupby(["src_a", "src_b"], sort=False)["n_shared"].sum()
            .astype(np.int64).reset_index())
     return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard similarity self-join (prefix filtering)
+# ---------------------------------------------------------------------------
+
+def _strict_shingle_sets(texts, k: int, max_chars: int) -> list:
+    """Per-text DISTINCT sorted shingle-hash arrays. Texts shorter than ``k``
+    chars yield an EMPTY set — mirroring a SQL substr-window shingler, which
+    emits no k-gram for them — unlike `_shingle_hashes`, which pads."""
+    out = []
+    for t in texts:
+        t = (t or "")[:max_chars]
+        if len(t) < k:
+            out.append(np.empty(0, dtype=np.uint64))
+        else:
+            out.append(np.unique(_shingle_hashes(t, k, max_chars)))
+    return out
+
+
+def _jaccard_count_rows(texts_a, texts_b, shingle_k: int, max_chars: int):
+    """Exact per-pair (intersection, union) DISTINCT-shingle counts; shingle
+    sets cached by text within the batch (pairs bucket by id, texts repeat)."""
+    cache: dict = {}
+
+    def shset(t):
+        t = t or ""
+        if t not in cache:
+            cache[t] = _strict_shingle_sets([t], shingle_k, max_chars)[0]
+        return cache[t]
+
+    isz = np.zeros(len(texts_a), dtype=np.int64)
+    usz = np.zeros(len(texts_a), dtype=np.int64)
+    for i, (ta, tb) in enumerate(zip(texts_a, texts_b)):
+        sa, sb = shset(ta), shset(tb)
+        it = len(np.intersect1d(sa, sb, assume_unique=True))
+        isz[i] = it
+        usz[i] = len(sa) + len(sb) - it
+    return isz, usz
+
+
+def verify_jaccard_counts_ds(pairs: "ray.data.Dataset", ds: "ray.data.Dataset",
+                             text_col: str, id_col: str, shingle_k: int,
+                             threshold: float,
+                             max_chars: int = 5000) -> "ray.data.Dataset":
+    """Distributed EXACT-Jaccard verification with integer evidence columns:
+    texts reach the verify stage through two slim hash joins, output is
+    (id_a, id_b, isz, usz, jaccard) for pairs at/above ``threshold``.
+    ``jaccard`` is the IEEE double division isz/usz — the identical operation
+    a SQL engine performs on the same integers, so results value-hash-match."""
+    texts = ds.select_columns([id_col, text_col])
+    ta = rename_cols(texts, {id_col: "__ia", text_col: "__text_a"})
+    tb = rename_cols(texts, {id_col: "__ib", text_col: "__text_b"})
+    j = hash_join(pairs, ta, "id_a", "__ia", how="inner")
+    j = hash_join(j, tb, "id_b", "__ib", how="inner")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        isz, usz = _jaccard_count_rows(df["__text_a"].tolist(),
+                                       df["__text_b"].tolist(),
+                                       shingle_k, max_chars)
+        jac = isz / np.maximum(usz, 1)
+        keep = (usz > 0) & (jac >= threshold)
+        out = df.loc[keep, ["id_a", "id_b"]].copy()
+        out["isz"] = isz[keep]
+        out["usz"] = usz[keep]
+        out["jaccard"] = jac[keep]
+        return out
+
+    return j.map_batches(verify, batch_format="pandas")
+
+
+def ngram_jaccard_pairs_ds(ds: "ray.data.Dataset", text_col: str, id_col: str,
+                           threshold: float = 0.8, shingle_k: int = 5,
+                           max_chars: int = 5000, cand_buckets: int = 256,
+                           n_buckets: int = 64) -> "ray.data.Dataset":
+    """EXACT n-gram Jaccard similarity self-join — the lossless complement to
+    `minhash_lsh_candidates_ds` (which approximates the same predicate with a
+    sketch). AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07;
+    public literature):
+
+      1. per doc: distinct shingle hashes sorted ASCENDING — the canonical
+         global token order; emit only the PREFIX of length
+         ``n - ceil(t*n) + 1``. Any two sets with Jaccard >= t must share at
+         least one token inside both prefixes (prefix filtering is lossless
+         for any fixed total order), so candidate recall is exactly 1.
+      2. one SLIM shuffle of (token, id, set_size) prefix rows, bucketed by
+         token hash — prefix tokens are the RAREST end of each doc's hash
+         order, so buckets stay small where LSH bands would collide;
+      3. in-bucket pair generation with the size filter
+         ``min(|A|,|B|) >= t * max(|A|,|B|)`` (J <= min/max — pairs that
+         cannot reach t never leave the bucket);
+      4. distributed pair distinct; 5. exact verify with integer
+         intersection/union counts (`verify_jaccard_counts_ds`).
+
+    The ceil/size-filter arithmetic is nudged by 1e-9 toward permissiveness so
+    float rounding can only ADD candidates, never drop a true pair."""
+    thr = float(threshold)
+
+    def prefix_fn(df: pd.DataFrame) -> pd.DataFrame:
+        sets = _strict_shingle_sets(df[text_col].tolist(), shingle_k,
+                                    max_chars)
+        sizes = np.array([len(s) for s in sets], dtype=np.int64)
+        plens = np.where(
+            sizes > 0,
+            sizes - np.ceil(thr * sizes - 1e-9).astype(np.int64) + 1,
+            0)
+        ids = df[id_col].to_numpy()
+        tok = (np.concatenate([s[:p] for s, p in zip(sets, plens)])
+               if plens.sum() else np.empty(0, dtype=np.uint64))
+        pb = (tok * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(cand_buckets)
+        return pd.DataFrame({"__tok": tok,
+                             "__n": np.repeat(sizes, plens),
+                             "id": np.repeat(ids, plens),
+                             "__pb": pb.astype(np.int64)})
+
+    slim = ds.select_columns([id_col, text_col])
+    pref = _split_for_compute(slim).map_batches(prefix_fn,
+                                                batch_format="pandas")
+
+    def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype=df["id"].dtype),
+                              "id_b": pd.Series([], dtype=df["id"].dtype)})
+        dup = df[df.duplicated("__tok", keep=False)]
+        frames = []
+        for _, grp in dup.groupby("__tok", sort=False):
+            g = grp.drop_duplicates("id").sort_values("id")
+            ids = g["id"].to_numpy()
+            if len(ids) < 2:
+                continue
+            ns = g["__n"].to_numpy()
+            ia, ib = np.triu_indices(len(ids), k=1)
+            na, nb = ns[ia], ns[ib]
+            keep = np.minimum(na, nb) >= thr * np.maximum(na, nb) - 1e-9
+            if keep.any():
+                frames.append(pd.DataFrame({"id_a": ids[ia][keep],
+                                            "id_b": ids[ib][keep]}))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    pairs = pref.groupby("__pb").map_groups(
+        lambda d: pairs_fn(d.drop(columns=["__pb"])), batch_format="pandas")
+    # pairs are SLIM (two id columns) — materialize so the empty-candidate
+    # check doesn't recompute the prefix stage, and an all-empty result
+    # short-circuits with a typed frame (a schemaless empty Dataset would
+    # break the verify joins)
+    pairs = _distinct_pairs_ds(pairs, n_buckets).materialize()
+    if pairs.count() == 0:
+        return ray.data.from_pandas(pd.DataFrame({
+            "id_a": pd.Series([], dtype=np.int64),
+            "id_b": pd.Series([], dtype=np.int64),
+            "isz": pd.Series([], dtype=np.int64),
+            "usz": pd.Series([], dtype=np.int64),
+            "jaccard": pd.Series([], dtype=np.float64)}))
+    return verify_jaccard_counts_ds(pairs, ds, text_col, id_col, shingle_k,
+                                    thr, max_chars)
+
+
+def ngram_jaccard_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
+                        threshold: float = 0.8,
+                        **kw) -> "ray.data.Dataset":
+    """Greedy smaller-neighbor dedup over the EXACT Jaccard join: drop every
+    doc that has a verified near-neighbor with a smaller id. (This policy is
+    SQL-expressible, unlike the transitive connected-components keep-min —
+    use `minhash_dedup` for that one.) Survivors via the same
+    broadcast-or-partitioned anti join as the exact path."""
+    pairs = ngram_jaccard_pairs_ds(ds, text_col, id_col, threshold, **kw)
+    losers = rename_cols(pairs.select_columns(["id_b"]), {"id_b": id_col})
+
+    def block_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(id_col)
+
+    losers = losers.map_batches(block_distinct, batch_format="pandas")
+    return _anti_join_auto(ds, losers, id_col)

@@ -857,6 +857,42 @@ def build() -> dict[str, str]:
         ORDER BY tf.doc_id
     """
 
+    # exact n-gram Jaccard join: DuckDB recomputes every distinct 5-char
+    # shingle from the identical substr window (first 5000 chars — the
+    # engine's max_chars cap) and joins ALL pairs; the engine's prefix filter
+    # is lossless, so the two pair sets must be identical. jaccard is the
+    # same IEEE double division of the same BIGINT counts on both sides.
+    _jac_pairs = r"""
+        WITH mx AS (SELECT max(least(length(text), 5000)) AS m
+                    FROM documents),
+        sh AS (
+          SELECT DISTINCT d.doc_id, substr(d.text, g.i::INT, 5) AS sh
+          FROM documents d,
+               (SELECT unnest(range(1, (SELECT m FROM mx))) AS i) g
+          WHERE g.i <= least(length(d.text), 5000) - 4
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         count(*) AS isz
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b, isz::BIGINT AS isz,
+                 (sa.n + sb.n - isz)::BIGINT AS usz,
+                 isz::DOUBLE / (sa.n + sb.n - isz) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE isz::DOUBLE / (sa.n + sb.n - isz) >= 0.8)
+    """
+    sql["doc_ngram_jaccard_pairs"] = _jac_pairs + """
+        SELECT id_a, id_b, isz, usz, jaccard FROM pairs
+        ORDER BY id_a, id_b"""
+    sql["doc_jaccard_dedup"] = _jac_pairs + """
+        SELECT doc_id FROM documents
+        WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+        ORDER BY doc_id"""
+
     # ---- embeddings ------------------------------------------------------
     # ---- sketch / model queries: single-process-oracle Parquet dumps -----
     # (sketch algebra / kmeans / scorers aren't SQL-expressible; the dump is

@@ -1212,3 +1212,32 @@ def embedding_near_dup_pairs(sf_dir: str) -> pd.DataFrame:
     if len(pairs):
         pairs = pairs.astype({"id_a": np.int64, "id_b": np.int64})
     return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def doc_ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """EXACT n-gram Jaccard similarity self-join at 0.8 over 5-char
+    shingles — prefix-filtered (lossless), distributed verify with integer
+    intersection/union evidence. SQL-oracled: DuckDB recomputes every
+    distinct shingle from the same substr window and joins all pairs; the
+    jaccard column is the identical IEEE division of the same integers."""
+    pairs = dedup.ngram_jaccard_pairs_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        "text", "doc_id", threshold=0.8).to_pandas()
+    if "id_a" not in pairs.columns:
+        pairs = pd.DataFrame({"id_a": [], "id_b": [], "isz": [], "usz": [],
+                              "jaccard": []})
+    out = pairs.astype({"id_a": np.int64, "id_b": np.int64,
+                        "isz": np.int64, "usz": np.int64,
+                        "jaccard": np.float64})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def doc_jaccard_dedup(sf_dir: str) -> pd.DataFrame:
+    """Greedy smaller-neighbor dedup on the exact Jaccard join (drop any doc
+    with a verified >= 0.8 neighbor of smaller id) — fully SQL-expressible,
+    unlike the transitive component keep-min policy of doc_minhash_dedup."""
+    kept = dedup.ngram_jaccard_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]),
+        "text", "doc_id", threshold=0.8)
+    out = kept.to_pandas()[["doc_id"]].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)

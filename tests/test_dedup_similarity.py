@@ -568,3 +568,62 @@ def test_source_overlap_matrix():
     exp = pd.DataFrame({"src_a": ["a", "a", "b"], "src_b": ["b", "c", "c"],
                         "n_shared": np.array([2, 1, 1], dtype=np.int64)})
     assert got.equals(exp)
+
+
+def test_ngram_jaccard_pairs_exact_vs_bruteforce():
+    """Prefix-filtered exact Jaccard join == all-pairs brute force (lossless
+    candidate generation), including the integer intersection/union counts."""
+    docs = _docs_pdf().head(80)[["doc_id", "text"]]
+    # plant two near-dup families and one exact dup
+    extra = pd.DataFrame({
+        "doc_id": [9001, 9002, 9003],
+        "text": [docs.text.iloc[0] + " tail", docs.text.iloc[0],
+                 docs.text.iloc[1][:-3] + "zzz"]})
+    pdf = pd.concat([docs, extra], ignore_index=True)
+    ds = ray.data.from_pandas(pdf)
+    got = dedup.ngram_jaccard_pairs_ds(ds, "text", "doc_id",
+                                       threshold=0.7).to_pandas()
+    got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    # brute force over string shingles (the SQL-oracle semantics)
+    def shset(t):
+        t = (t or "")[:5000]
+        return {t[i:i + 5] for i in range(len(t) - 4)}
+
+    sets = {r.doc_id: shset(r.text) for r in pdf.itertuples()}
+    exp = []
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            isz = len(sets[a] & sets[b])
+            usz = len(sets[a] | sets[b])
+            if usz and isz / usz >= 0.7:
+                exp.append((a, b, isz, usz))
+    exp_df = pd.DataFrame(exp, columns=["id_a", "id_b", "isz", "usz"])
+    assert len(got) == len(exp_df) > 0
+    pd.testing.assert_frame_equal(
+        got[["id_a", "id_b", "isz", "usz"]].astype(np.int64),
+        exp_df.astype(np.int64))
+    assert (got.jaccard >= 0.7).all()
+
+
+def test_ngram_jaccard_dedup_smaller_neighbor_policy():
+    base = "def compute(values):\n    return sum(values) / len(values)\n" * 4
+    df = pd.DataFrame({
+        "doc_id": [1, 5, 9, 20],
+        "text": [base, base + "#", base + "##", "totally unrelated " * 20]})
+    kept = dedup.ngram_jaccard_dedup(ray.data.from_pandas(df), "text",
+                                     "doc_id", threshold=0.8).to_pandas()
+    # 5 and 9 each have a smaller near-neighbor (1); 1 and 20 survive
+    assert sorted(kept.doc_id) == [1, 20]
+
+
+def test_ngram_jaccard_short_text_emits_no_shingles():
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["abc", "abc", "x" * 50]})
+    got = dedup.ngram_jaccard_pairs_ds(
+        ray.data.from_pandas(df), "text", "doc_id", threshold=0.5).to_pandas()
+    # len<k docs have EMPTY shingle sets (SQL substr-window semantics):
+    # identical 3-char docs must NOT pair
+    assert len(got) == 0 or "id_a" not in got.columns or not (
+        set(map(tuple, got[["id_a", "id_b"]].values)) & {(1, 2)})
