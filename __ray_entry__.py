@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             q.customers_without_urgent_orders_bloom,
         "order_priority_mode": q.order_priority_mode,
         "events_dow_hour": q.events_dow_hour,
+        "events_in_promo_windows": q.events_in_promo_windows,
+        "top3_orders_per_customer": q.top3_orders_per_customer,
         "doc_ngram_jaccard_pairs": q.doc_ngram_jaccard_pairs,
         "doc_jaccard_dedup": q.doc_jaccard_dedup,
         "doc_simhash_pairs": q.doc_simhash_pairs,

@@ -855,3 +855,22 @@ def grouped_mode(ds: "ray.data.Dataset", group_col: str, val_col: str,
                            n_buckets=n_buckets).to_pandas()
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(group_col).reset_index(drop=True)
+
+
+def grouped_top_n(ds: "ray.data.Dataset", group_col: str, order_col: str,
+                  n: int, tie_col: str, ascending: bool = False,
+                  n_buckets: int = 32) -> "ray.data.Dataset":
+    """Per-GROUP top-n by (order_col, tie_col asc) — the grouped counterpart
+    of `top_k`. Per-block combiner first: each block keeps at most n rows per
+    group BEFORE the grouped shuffle, so the all-to-all carries
+    O(n x groups_per_block) slim rows instead of the whole table; the final
+    per-group head runs in the bucketed reduce (never on the driver —
+    output is O(n x groups), itself data-sized when groups are many)."""
+    def head_n(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values([group_col, order_col, tie_col],
+                               ascending=[True, ascending, True],
+                               kind="mergesort")
+                .groupby(group_col, sort=False).head(n))
+
+    part = ds.map_batches(head_n, batch_format="pandas")
+    return _bucketed_groups(part, group_col, head_n, n_buckets)

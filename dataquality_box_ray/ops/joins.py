@@ -509,3 +509,61 @@ def bloom_anti_join(ds: "ray.data.Dataset", keys_ds: "ray.data.Dataset",
     else:
         survivors = partitioned_anti_join(candidates, kd, on, keys_on)
     return definite_miss.union(survivors)
+
+
+def interval_join(left: "ray.data.Dataset", intervals: "ray.data.Dataset",
+                  ts_col: str, start_col: str, end_col: str,
+                  cell_us: int = 3_600_000_000) -> "ray.data.Dataset":
+    """Range/interval join — ``left.ts BETWEEN interval.start AND interval.end``
+    with NO equality key (inclusive both ends). Ray Data has no primitive for
+    this, so it is composed as a BANDED EQUALITY join:
+
+      1. each interval replicates to every fixed grid cell it overlaps
+         (replication factor = span/cell_us + 1 — choose ``cell_us`` near the
+         median interval span so replication stays O(1));
+      2. each left row hashes to its single cell;
+      3. one partitioned equality join on the cell id;
+      4. the exact containment filter runs INSIDE the join tasks, so the
+         cell-cartesian intermediate never materializes globally.
+
+    A (row, interval) pair meets in exactly one cell (the row's), so output
+    pairs are emitted exactly once — no distinct pass needed. Skewed hot
+    cells degrade one join partition, not the whole shuffle; at 100 TB pick
+    ``cell_us`` from an interval-span sample. All time arithmetic is integer
+    microseconds (exact, engine-independent).
+
+    Reference analogue: the loose-window candidate match
+    (`plugins/dq_lib/reconciliation.py:288`, 3 h tolerance) — this is the
+    same predicate generalized to arbitrary per-row intervals."""
+    def ev_cell(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        us = out[ts_col].astype("datetime64[us]").astype(np.int64)
+        out["__ts_us"] = us
+        out["__cell"] = us // cell_us
+        return out
+
+    def iv_cells(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[start_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        e = df[end_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        c0, c1 = s // cell_us, e // cell_us
+        reps = (c1 - c0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(df)), reps)
+        out = df.iloc[idx].copy()
+        out["__ws_us"] = s[idx]
+        out["__we_us"] = e[idx]
+        # vectorized per-interval cell ranges: repeat(c0) + within-run offset
+        starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        offs = np.arange(reps.sum()) - np.repeat(starts, reps)
+        out["__cell"] = np.repeat(c0, reps) + offs
+        return out.drop(columns=[start_col, end_col])
+
+    ev = left.map_batches(ev_cell, batch_format="pandas")
+    iv = intervals.map_batches(iv_cells, batch_format="pandas")
+    j = hash_join(ev, iv, "__cell", "__cell", how="inner")
+
+    def exact(df: pd.DataFrame) -> pd.DataFrame:
+        keep = ((df["__ts_us"] >= df["__ws_us"])
+                & (df["__ts_us"] <= df["__we_us"]))
+        return df.loc[keep].drop(columns=["__cell"])
+
+    return j.map_batches(exact, batch_format="pandas")

@@ -893,6 +893,24 @@ def build() -> dict[str, str]:
         WHERE doc_id NOT IN (SELECT id_b FROM pairs)
         ORDER BY doc_id"""
 
+    sql["events_in_promo_windows"] = """
+        WITH w AS (SELECT event_id AS window_id,
+                          ts - INTERVAL 30 MINUTE AS ws,
+                          ts + INTERVAL 30 MINUTE AS we
+                   FROM events
+                   WHERE event_type = 'purchase' AND value >= 250)
+        SELECT e.event_id, w.window_id,
+               (epoch_us(e.ts) - epoch_us(w.ws))::BIGINT AS offset_us
+        FROM events e JOIN w ON e.ts BETWEEN w.ws AND w.we
+        ORDER BY e.event_id, w.window_id"""
+
+    sql["top3_orders_per_customer"] = """
+        SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        QUALIFY row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        ORDER BY o_custkey, o_orderkey"""
+
     # ---- embeddings ------------------------------------------------------
     # ---- sketch / model queries: single-process-oracle Parquet dumps -----
     # (sketch algebra / kmeans / scorers aren't SQL-expressible; the dump is

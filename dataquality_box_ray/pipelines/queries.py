@@ -1241,3 +1241,40 @@ def doc_jaccard_dedup(sf_dir: str) -> pd.DataFrame:
         "text", "doc_id", threshold=0.8)
     out = kept.to_pandas()[["doc_id"]].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def events_in_promo_windows(sf_dir: str) -> pd.DataFrame:
+    """Range/interval join with NO equality key: every event inside the
+    ±30-minute window around a high-value purchase. Composed as a banded
+    equality join (interval_join) — intervals replicate per overlapped grid
+    cell, events hash to one cell, exact containment filters inside the join
+    tasks. offset_us is integer microseconds from window start (exact)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def mk_windows(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.loc[(df["event_type"] == "purchase") & (df["value"] >= 250.0)]
+        ts = w["ts"].astype("datetime64[us]")
+        return pd.DataFrame({"window_id": w["event_id"],
+                             "ws": ts - pd.Timedelta(minutes=30),
+                             "we": ts + pd.Timedelta(minutes=30)})
+
+    windows = ev.map_batches(mk_windows, batch_format="pandas")
+    joined = joins.interval_join(ev.select_columns(["event_id", "ts"]),
+                                 windows, "ts", "ws", "we",
+                                 cell_us=3_600_000_000)
+    out = joined.to_pandas()
+    out["offset_us"] = out["__ts_us"] - out["__ws_us"]
+    out = out[["event_id", "window_id", "offset_us"]].astype(np.int64)
+    return out.sort_values(["event_id", "window_id"]).reset_index(drop=True)
+
+
+def top3_orders_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Per-group top-n: each customer's 3 highest-value orders (tie → lower
+    orderkey) — per-block combiner head-n before the grouped shuffle, final
+    head-n in the bucketed reduce (output stays distributed)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    out = agg.grouped_top_n(ds, "o_custkey", "o_totalprice", 3,
+                            tie_col="o_orderkey").to_pandas()
+    out = out[["o_custkey", "o_orderkey", "o_totalprice"]].astype(
+        {"o_custkey": np.int64, "o_orderkey": np.int64})
+    return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)

@@ -320,3 +320,68 @@ def test_grouped_mode_tie_break():
     assert out.g.tolist() == ["a", "b"]
     assert out["mode"].tolist() == ["x", "q"]
     assert out.n.tolist() == [2, 2]
+
+
+def test_interval_join_boundaries_and_multicell_spans():
+    """Inclusive bounds, multi-cell interval replication, exactly-once pairs."""
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    ev = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5],
+        "ts": [base, base + pd.Timedelta(minutes=30),
+               base + pd.Timedelta(hours=2),
+               base + pd.Timedelta(hours=5),
+               base + pd.Timedelta(hours=2, microseconds=1)]})
+    iv = pd.DataFrame({
+        "window_id": [100, 200],
+        # w100 spans 3 hourly cells; both ends land EXACTLY on event times
+        "ws": [base, base + pd.Timedelta(hours=4, minutes=50)],
+        "we": [base + pd.Timedelta(hours=2),
+               base + pd.Timedelta(hours=5, minutes=10)]})
+    got = joins.interval_join(
+        ray.data.from_pandas(ev), ray.data.from_pandas(iv),
+        "ts", "ws", "we", cell_us=3_600_000_000).to_pandas()
+    pairs = sorted(map(tuple, got[["event_id", "window_id"]].values))
+    # event 3 sits exactly on w100's END (inclusive), event 1 on its START;
+    # event 5 is 1 microsecond past the end and must NOT match
+    assert pairs == [(1, 100), (2, 100), (3, 100), (4, 200)]
+    # exactly-once: no duplicate pairs despite w100 covering 3 cells
+    assert len(pairs) == len(set(pairs))
+    # exact integer offsets
+    o = got.set_index(["event_id", "window_id"])["__ts_us"] - \
+        got.set_index(["event_id", "window_id"])["__ws_us"]
+    assert o[(2, 100)] == 30 * 60 * 1_000_000
+
+
+def test_interval_join_matches_pandas_bruteforce():
+    rng = np.random.default_rng(3)
+    t0 = pd.Timestamp("2024-06-01").value // 1000
+    ev = pd.DataFrame({
+        "event_id": np.arange(400),
+        "ts": pd.to_datetime(t0 + rng.integers(0, 86_400_000_000, 400),
+                             unit="us")})
+    ws = pd.to_datetime(t0 + rng.integers(0, 80_000_000_000, 25), unit="us")
+    iv = pd.DataFrame({"window_id": np.arange(25),
+                       "ws": ws,
+                       "we": ws + pd.to_timedelta(
+                           rng.integers(1, 4 * 3600, 25), unit="s")})
+    got = joins.interval_join(ray.data.from_pandas(ev),
+                              ray.data.from_pandas(iv),
+                              "ts", "ws", "we",
+                              cell_us=1_800_000_000).to_pandas()
+    exp = ev.merge(iv, how="cross")
+    exp = exp[(exp.ts >= exp.ws) & (exp.ts <= exp.we)]
+    assert (sorted(map(tuple, got[["event_id", "window_id"]].values))
+            == sorted(map(tuple, exp[["event_id", "window_id"]].values)))
+
+
+def test_grouped_top_n_combiner_matches_pandas():
+    orders = _pdf("orders")
+    got = agg.grouped_top_n(
+        _ds("orders").repartition(7),   # force multi-block combiner partials
+        "o_custkey", "o_totalprice", 2, tie_col="o_orderkey").to_pandas()
+    exp = (orders.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                              ascending=[True, False, True], kind="mergesort")
+           .groupby("o_custkey", sort=False).head(2))
+    key = ["o_custkey", "o_orderkey"]
+    assert (sorted(map(tuple, got[key].values))
+            == sorted(map(tuple, exp[key].values)))
