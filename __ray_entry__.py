@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": q.doc_simhash_pairs,
         "doc_simhash_dedup": q.doc_simhash_dedup,
         "doc_fingerprints": q.doc_fingerprints,
+        # multimodal (binary payload lane, actor-pool decode)
+        "multimodal_wav_features": q.multimodal_wav_features,
         # embeddings / similarity
         "embedding_topk": q.embedding_topk,
         "embedding_lsh_topk": q.embedding_lsh_topk,

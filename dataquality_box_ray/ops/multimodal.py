@@ -178,3 +178,43 @@ def synth_media_table(n: int = 64, seed: int = 5) -> pa.Table:
                            "codec": "raw"}] * n,
                          type=MEDIA_SCHEMA.field("meta").type),
     })
+
+
+def synth_wav_payload(media_id: int, size_hint: int,
+                      sample_rate: int = 8000) -> bytes:
+    """Deterministic PCM16 WAV payload (pure stdlib + numpy): a sine tone
+    whose frequency/length derive from the row — the container's stand-in
+    for real recorded audio, exercising the REAL `wave` container format
+    through the injectable decoder seam. Per-row kernel shared between the
+    distributed query and its sequential dump oracle."""
+    import io
+    import wave
+
+    freq = 200.0 + float(media_id % 40) * 10.0
+    n = 800 + int(size_hint) % 800
+    t = np.arange(n, dtype=np.float64) / sample_rate
+    x = (np.sin(2 * np.pi * freq * t) * 0.7 * 32767.0).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+_WAV_FEATURE_COLS = ["rms", "zcr"] + [f"bin{i}" for i in range(8)]
+
+
+def wav_features_frame(media_ids, payloads) -> pd.DataFrame:
+    """Decode WAV payloads → one float64 column per feature. This is the
+    shared PER-ROW kernel (decode + the float32 round-trip `DecodeFeatures`
+    applies + column layout); the distributed query adds the actor-pool /
+    batching plumbing on top, which is what the dump oracle then checks."""
+    decode = wav_feature_decoder(8)
+    feats = (np.stack([decode(p).astype(np.float32) for p in payloads])
+             .astype(np.float64)
+             if len(media_ids) else np.empty((0, len(_WAV_FEATURE_COLS))))
+    out = pd.DataFrame(feats, columns=_WAV_FEATURE_COLS)
+    out.insert(0, "media_id", np.asarray(media_ids, dtype=np.int64))
+    return out

@@ -925,7 +925,7 @@ def build() -> dict[str, str]:
                  "doc_simhash_dedup", "doc_fingerprints",
                  "embedding_lsh_topk", "embedding_ivf_topk",
                  "embedding_near_dup_pairs", "embedding_dedup",
-                 "two_tier_events"):
+                 "two_tier_events", "multimodal_wav_features"):
         path = sketch_oracles.dump(name, _CORRECTNESS_SF_DIR)
         sql[name] = f"SELECT * FROM read_parquet('{path}')"
     # the forced-many-buckets variant must reproduce the SAME sequential

@@ -1278,3 +1278,34 @@ def top3_orders_per_customer(sf_dir: str) -> pd.DataFrame:
     out = out[["o_custkey", "o_orderkey", "o_totalprice"]].astype(
         {"o_custkey": np.int64, "o_orderkey": np.int64})
     return out.sort_values(["o_custkey", "o_orderkey"]).reset_index(drop=True)
+
+
+def multimodal_wav_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal lane end to end as a battery entry: deterministic PCM16
+    WAV payloads (binary column) synthesized per document, decoded by the
+    ACTOR-POOL `DecodeFeatures` stage through the injectable pure-stdlib WAV
+    codec (the real-codec seam), features expanded to typed columns.
+    Oracle: sequential single-process dump over the shared per-row kernel —
+    the value-hash compares the distributed actor-pool/batching plumbing."""
+    from ..ops import multimodal as mm
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def mk_media(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": df["doc_id"].astype(np.int64),
+            "payload": [mm.synth_wav_payload(int(i), int(c))
+                        for i, c in zip(df["doc_id"], df["n_chars"])]})
+
+    media = docs.map_batches(mk_media, batch_format="pandas")
+    dec = mm.decode_features(media, decoder=mm.wav_feature_decoder(8))
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        f = (np.stack(df["features"].to_list()).astype(np.float64)
+             if len(df) else np.empty((0, len(mm._WAV_FEATURE_COLS))))
+        out = pd.DataFrame(f, columns=mm._WAV_FEATURE_COLS)
+        out.insert(0, "media_id", df["media_id"].to_numpy(dtype=np.int64))
+        return out
+
+    out = dec.map_batches(expand, batch_format="pandas").to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)

@@ -37,10 +37,12 @@ def _code_tag() -> str:
 
     from .. import oracle as _oracle
     from ..ops import dedup as _dedup
+    from ..ops import multimodal as _multimodal
     from ..ops import similarity as _similarity
 
     h = hashlib.sha256()
-    for mod in (sys.modules[__name__], _dedup, _similarity, _oracle):
+    for mod in (sys.modules[__name__], _dedup, _similarity, _oracle,
+                _multimodal):
         h.update(pathlib.Path(mod.__file__).read_bytes())
     return h.hexdigest()[:12]
 
@@ -600,6 +602,10 @@ def dump(name: str, sf_dir: str) -> str:
                "doc_simhash_pairs": lambda: simhash_pairs(docs),
                "doc_simhash_dedup": lambda: simhash_dedup_kept(docs),
                "doc_fingerprints": lambda: fingerprints(docs)}[name]()
+    elif name == "multimodal_wav_features":
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+        res = wav_features_oracle(docs)
     elif name == "two_tier_events":
         ev = pd.read_parquet(f"{sf_dir}/events.parquet",
                              columns=["event_id", "ts", "user_id",
@@ -632,3 +638,15 @@ def dump(name: str, sf_dir: str) -> str:
     res.to_parquet(tmp, index=False)
     tmp.rename(out)
     return str(out)
+
+
+def wav_features_oracle(docs: pd.DataFrame) -> pd.DataFrame:
+    """Sequential multimodal oracle: synthesize every WAV payload and decode
+    it in one process via the shared per-row kernel — the distributed query's
+    actor-pool batching/ordering is the part under test."""
+    from ..ops.multimodal import synth_wav_payload, wav_features_frame
+
+    payloads = [synth_wav_payload(int(i), int(c))
+                for i, c in zip(docs["doc_id"], docs["n_chars"])]
+    out = wav_features_frame(docs["doc_id"].to_numpy(), payloads)
+    return out.sort_values("media_id").reset_index(drop=True)

@@ -83,3 +83,25 @@ def test_frame_sampler():
     exp_frames = len(range(0, n_chunks, 2))
     assert (out.media_id == 0).sum() == exp_frames
     assert out[out.media_id == 0].frame.iloc[0] == payload0[:256]
+
+
+def test_synth_wav_roundtrip_and_shared_kernel():
+    """synth_wav_payload emits a valid PCM16 WAV the stdlib codec can read;
+    wav_features_frame (the shared battery kernel) is deterministic and
+    matches a direct decode of the same payload."""
+    p1 = mm.synth_wav_payload(7, 123)
+    p2 = mm.synth_wav_payload(7, 123)
+    assert p1 == p2 and p1[:4] == b"RIFF"
+    import io
+    import wave
+    with wave.open(io.BytesIO(p1)) as w:
+        assert w.getframerate() == 8000 and w.getnframes() == 800 + 123
+
+    frame = mm.wav_features_frame([7], [p1])
+    assert list(frame.columns) == ["media_id"] + mm._WAV_FEATURE_COLS
+    direct = mm.wav_feature_decoder(8)(p1).astype(np.float32).astype(
+        np.float64)
+    assert np.array_equal(frame.iloc[0, 1:].to_numpy(dtype=np.float64),
+                          direct)
+    # distinct rows give distinct tones
+    assert mm.synth_wav_payload(8, 123) != p1
