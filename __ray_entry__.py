@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_mode": q.order_priority_mode,
         "events_dow_hour": q.events_dow_hour,
         "events_in_promo_windows": q.events_in_promo_windows,
+        "orders_table_diff": q.orders_table_diff,
         "top3_orders_per_customer": q.top3_orders_per_customer,
         "doc_ngram_jaccard_pairs": q.doc_ngram_jaccard_pairs,
         "doc_jaccard_dedup": q.doc_jaccard_dedup,

@@ -567,3 +567,56 @@ def interval_join(left: "ray.data.Dataset", intervals: "ray.data.Dataset",
         return df.loc[keep].drop(columns=["__cell"])
 
     return j.map_batches(exact, batch_format="pandas")
+
+
+def table_diff(left: "ray.data.Dataset", right: "ray.data.Dataset",
+               key: str, compare_cols: list[str],
+               force_fallback: bool = False) -> "ray.data.Dataset":
+    """Symmetric distributed table diff — the data-quality reconciliation
+    primitive (reference family: the three-way cross-checks,
+    `plugins/services/data_quality_runner.py`): one FULL OUTER hash join on
+    the key, then a vectorized per-row classification into
+    only_left / only_right / changed / same, plus ``n_diff`` = the count of
+    compare columns that differ under NULL-SAFE equality (both-null is
+    equal; one-null is different — SQL's IS DISTINCT FROM). Only the key +
+    compare columns shuffle; the classification runs inside the join
+    output's map tasks, so the diff streams at any scale."""
+    def ren(ds, mapping):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.rename_columns([mapping.get(c, c)
+                                     for c in t.column_names])
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    def presence(col):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df[col] = np.int8(1)
+            return df
+        return fn
+
+    # explicit presence markers: the native join COALESCES the key columns
+    # into the left name (and null compare values can't signal absence)
+    lslim = (left.select_columns([key] + compare_cols)
+             .map_batches(presence("__lp"), batch_format="pandas"))
+    rslim = ren(right.select_columns([key] + compare_cols),
+                {key: "__rk", **{c: c + "__r" for c in compare_cols}})
+    rslim = rslim.map_batches(presence("__rp"), batch_format="pandas")
+    j = hash_join(lslim, rslim, key, "__rk", how="full_outer",
+                  force_fallback=force_fallback)
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        only_l = df["__rp"].isna()
+        only_r = df["__lp"].isna()
+        ndiff = np.zeros(len(df), dtype=np.int64)
+        for c in compare_cols:
+            a, b = df[c], df[c + "__r"]
+            ndiff += ((a != b) & ~(a.isna() & b.isna())).to_numpy()
+        status = np.where(only_l, "only_left",
+                          np.where(only_r, "only_right",
+                                   np.where(ndiff > 0, "changed", "same")))
+        k = df[key]
+        if "__rk" in df.columns:       # fallback join keeps both key columns
+            k = k.where(k.notna(), df["__rk"])
+        return pd.DataFrame({key: k, "status": status, "n_diff": ndiff})
+
+    return j.map_batches(classify, batch_format="pandas")

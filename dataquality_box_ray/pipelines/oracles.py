@@ -904,6 +904,30 @@ def build() -> dict[str, str]:
         FROM events e JOIN w ON e.ts BETWEEN w.ws AND w.we
         ORDER BY e.event_id, w.window_id"""
 
+    sql["orders_table_diff"] = """
+        WITH r AS (
+          SELECT o_orderkey,
+                 CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                      ELSE o_totalprice END AS o_totalprice,
+                 CASE WHEN o_orderkey % 89 = 0 THEN 'X'
+                      ELSE o_orderstatus END AS o_orderstatus
+          FROM orders WHERE o_orderkey % 101 <> 0
+          UNION ALL
+          SELECT -o_orderkey, o_totalprice, o_orderstatus
+          FROM orders WHERE o_orderkey % 103 = 0)
+        SELECT coalesce(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+               CASE WHEN r.o_orderkey IS NULL THEN 'only_left'
+                    WHEN l.o_orderkey IS NULL THEN 'only_right'
+                    WHEN (l.o_totalprice IS DISTINCT FROM r.o_totalprice)
+                      OR (l.o_orderstatus IS DISTINCT FROM r.o_orderstatus)
+                        THEN 'changed'
+                    ELSE 'same' END AS status,
+               ((l.o_totalprice IS DISTINCT FROM r.o_totalprice)::INT
+                + (l.o_orderstatus IS DISTINCT FROM r.o_orderstatus)::INT
+               )::BIGINT AS n_diff
+        FROM orders l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
+        ORDER BY o_orderkey"""
+
     sql["top3_orders_per_customer"] = """
         SELECT o_custkey, o_orderkey, o_totalprice FROM orders
         QUALIFY row_number() OVER (

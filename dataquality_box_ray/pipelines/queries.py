@@ -1309,3 +1309,28 @@ def multimodal_wav_features(sf_dir: str) -> pd.DataFrame:
 
     out = dec.map_batches(expand, batch_format="pandas").to_pandas()
     return out.sort_values("media_id").reset_index(drop=True)
+
+
+def orders_table_diff(sf_dir: str) -> pd.DataFrame:
+    """Generic distributed table diff (only_left / only_right / changed /
+    same + per-row differing-column count): orders vs a deterministically
+    perturbed copy both engines construct identically — rows dropped
+    (%101), totalprice bumped (%97), status rewritten (%89), synthetic
+    negative-key inserts (%103)."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+    def perturb(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df.loc[df["o_orderkey"] % 101 != 0].copy()
+        keep.loc[keep["o_orderkey"] % 97 == 0, "o_totalprice"] += 1.0
+        keep.loc[keep["o_orderkey"] % 89 == 0, "o_orderstatus"] = "X"
+        ins = df.loc[df["o_orderkey"] % 103 == 0].copy()
+        ins["o_orderkey"] = -ins["o_orderkey"]
+        return pd.concat([keep, ins], ignore_index=True)
+
+    right = orders.map_batches(perturb, batch_format="pandas")
+    out = joins.table_diff(orders, right, "o_orderkey",
+                           ["o_totalprice", "o_orderstatus"]).to_pandas()
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    out = out[["o_orderkey", "status", "n_diff"]]
+    return out.sort_values("o_orderkey").reset_index(drop=True)

@@ -385,3 +385,26 @@ def test_grouped_top_n_combiner_matches_pandas():
     key = ["o_custkey", "o_orderkey"]
     assert (sorted(map(tuple, got[key].values))
             == sorted(map(tuple, exp[key].values)))
+
+
+def test_table_diff_classification_both_join_paths():
+    import pytest
+    l = pd.DataFrame({"k": [1, 2, 3, 4],
+                      "v": [10.0, 20.0, 30.0, np.nan],
+                      "s": ["a", "b", "c", "d"]})
+    r = pd.DataFrame({"k": [2, 3, 4, 5],
+                      "v": [20.0, 31.0, np.nan, 50.0],
+                      "s": ["b", "c", "e", "f"]})
+    for fb in (False, True):
+        got = joins.table_diff(ray.data.from_pandas(l),
+                               ray.data.from_pandas(r), "k", ["v", "s"],
+                               force_fallback=fb).to_pandas()
+        got["k"] = got["k"].astype(np.int64)
+        m = got.set_index("k")
+        assert m.loc[1, "status"] == "only_left"
+        assert m.loc[5, "status"] == "only_right"
+        assert m.loc[2, "status"] == "same" and m.loc[2, "n_diff"] == 0
+        # k=3: v differs (30 vs 31); k=4: v both-NaN equal, s differs
+        assert m.loc[3, "status"] == "changed" and m.loc[3, "n_diff"] == 1
+        assert m.loc[4, "status"] == "changed" and m.loc[4, "n_diff"] == 1
+        assert len(got) == 5
