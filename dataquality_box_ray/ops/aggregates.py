@@ -874,3 +874,32 @@ def grouped_top_n(ds: "ray.data.Dataset", group_col: str, order_col: str,
 
     part = ds.map_batches(head_n, batch_format="pandas")
     return _bucketed_groups(part, group_col, head_n, n_buckets)
+
+
+def hash_split(ds: "ray.data.Dataset", id_col: str,
+               fractions: dict[str, float], out_col: str = "split",
+               mult: int = 2654435761, mod: int = 2 ** 32,
+               granularity: int = 10_000) -> "ray.data.Dataset":
+    """Deterministic train/val/test split assignment — the Knuth-
+    multiplicative id hash bucketed into ``granularity`` cells, cut at the
+    cumulative fractions (integer cut points, so the boundary is exact and
+    engine-independent). Row-local: no shuffle, stable under repartitioning
+    and resume, and any node can recompute a row's split from its id alone.
+    Ids are assumed nonnegative (same contract as `stratified_sample`)."""
+    names = list(fractions)
+    cum = np.cumsum([fractions[n] for n in names])
+    if abs(cum[-1] - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {cum[-1]}")
+    cuts = np.round(cum * granularity).astype(np.int64)
+    labels = np.array(names, dtype=object)
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[id_col].to_numpy(dtype=np.int64).astype(np.uint64)
+        b = (((u * np.uint64(mult)) % np.uint64(mod))
+             % np.uint64(granularity)).astype(np.int64)
+        out = df.copy()
+        out["split_bucket"] = b
+        out[out_col] = labels[np.searchsorted(cuts, b, side="right")]
+        return out
+
+    return ds.map_batches(fn, batch_format="pandas")

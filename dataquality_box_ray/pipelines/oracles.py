@@ -637,6 +637,18 @@ def build() -> dict[str, str]:
         ORDER BY doc_id
     """
 
+    sql["doc_split_assign"] = """
+        WITH h AS (SELECT doc_id,
+                     (((doc_id * 2654435761) % 4294967296) % 10000)::BIGINT
+                         AS split_bucket
+                   FROM documents)
+        SELECT doc_id, split_bucket,
+               CASE WHEN split_bucket < 8000 THEN 'train'
+                    WHEN split_bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h ORDER BY doc_id
+    """
+
     sql["events_running_total"] = f"""
         WITH t AS (SELECT event_id, user_id, ts,
                      {_cents_sql('value')} AS value_cents

@@ -1334,3 +1334,15 @@ def orders_table_diff(sf_dir: str) -> pd.DataFrame:
     out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
     out = out[["o_orderkey", "status", "n_diff"]]
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def doc_split_assign(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by Knuth id hash —
+    row-local, shuffle-free, resume-stable; integer bucket cut points make
+    the boundary exact on both engines."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    out = agg.hash_split(docs, "doc_id",
+                         {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    out = out[["doc_id", "split_bucket", "split"]].astype(
+        {"doc_id": np.int64, "split_bucket": np.int64})
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -408,3 +408,19 @@ def test_table_diff_classification_both_join_paths():
         assert m.loc[3, "status"] == "changed" and m.loc[3, "n_diff"] == 1
         assert m.loc[4, "status"] == "changed" and m.loc[4, "n_diff"] == 1
         assert len(got) == 5
+
+
+def test_hash_split_deterministic_proportions():
+    import pytest
+    docs = _ds("documents").select_columns(["doc_id"])
+    out = agg.hash_split(docs, "doc_id",
+                         {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9
+    # recomputation is identical (row-local, id-only)
+    again = agg.hash_split(docs.repartition(5), "doc_id",
+                           {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    assert (out.sort_values("doc_id")["split"].to_numpy()
+            == again.sort_values("doc_id")["split"].to_numpy()).all()
+    with pytest.raises(ValueError):
+        agg.hash_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
