@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": q.sessionize_events,
         "tumbling_hour_counts": q.tumbling_hour_counts,
         "events_running_total": q.events_running_total,
+        "user_event_sequence": q.user_event_sequence,
         "event_value_quantiles": q.event_value_quantiles,
         # time parsing / validation / per-row funnel
         "parse_dirty_timestamps": q.parse_dirty_timestamps,
@@ -116,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": q.doc_fingerprints,
         # multimodal (binary payload lane, actor-pool decode)
         "multimodal_wav_features": q.multimodal_wav_features,
+        "multimodal_ppm_features": q.multimodal_ppm_features,
         # embeddings / similarity
         "embedding_topk": q.embedding_topk,
         "embedding_lsh_topk": q.embedding_lsh_topk,

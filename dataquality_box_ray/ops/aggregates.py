@@ -903,3 +903,25 @@ def hash_split(ds: "ray.data.Dataset", id_col: str,
         return out
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def grouped_ordered_concat(ds: "ray.data.Dataset", group_col: str,
+                           order_cols: list[str], val_col: str,
+                           sep: str = ",",
+                           n_buckets: int = 32) -> "ray.data.Dataset":
+    """Per-group ORDERED value concatenation (SQL ``string_agg(... ORDER
+    BY ...)``) + group size — the grouped-collect surface as a first-class
+    op: one slim bucketed shuffle of (group, order, value), then a single
+    vectorized sort + join per bucket (no per-group Python). The
+    partitioning assumption is one GROUP fits a worker (the sequence string
+    itself is O(group)) — same contract as the as-of join buckets."""
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values([group_col] + order_cols, kind="mergesort")
+        g = d.groupby(group_col, sort=False)[val_col]
+        out = g.agg(lambda s: sep.join(s.astype(str))).reset_index()
+        out.columns = [group_col, "seq"]
+        out["n_items"] = g.size().to_numpy()
+        return out
+
+    slim = ds.select_columns([group_col] + order_cols + [val_col])
+    return _bucketed_groups(slim, group_col, per_bucket, n_buckets)

@@ -218,3 +218,33 @@ def wav_features_frame(media_ids, payloads) -> pd.DataFrame:
     out = pd.DataFrame(feats, columns=_WAV_FEATURE_COLS)
     out.insert(0, "media_id", np.asarray(media_ids, dtype=np.int64))
     return out
+
+
+def synth_ppm_payload(media_id: int, size_hint: int) -> bytes:
+    """Deterministic P6 PPM payload (binary RGB image stand-in): width and
+    height derive from the row, pixels are a per-channel affine gradient —
+    exercises the real PPM container through the injectable decoder seam.
+    Shared per-row kernel between the distributed query and its oracle."""
+    w = 8 + int(media_id) % 24
+    h = 8 + int(size_hint) % 24
+    idx = np.arange(w * h, dtype=np.uint32)
+    r = ((idx * 7 + int(media_id)) % 256).astype(np.uint8)
+    g = ((idx * 13 + int(size_hint)) % 256).astype(np.uint8)
+    b = ((idx * 31 + int(media_id) * 3) % 256).astype(np.uint8)
+    px = np.stack([r, g, b], axis=1).tobytes()
+    return f"P6\n{w} {h}\n255\n".encode() + px
+
+
+_PPM_FEATURE_COLS = ["width", "height", "mean_r", "mean_g", "mean_b"]
+
+
+def ppm_features_frame(media_ids, payloads) -> pd.DataFrame:
+    """Decode PPM payloads → typed feature columns (shared per-row kernel +
+    the float32 round-trip `DecodeFeatures` applies)."""
+    decode = ppm_feature_decoder()
+    feats = (np.stack([decode(p).astype(np.float32) for p in payloads])
+             .astype(np.float64)
+             if len(media_ids) else np.empty((0, len(_PPM_FEATURE_COLS))))
+    out = pd.DataFrame(feats, columns=_PPM_FEATURE_COLS)
+    out.insert(0, "media_id", np.asarray(media_ids, dtype=np.int64))
+    return out

@@ -649,6 +649,13 @@ def build() -> dict[str, str]:
         FROM h ORDER BY doc_id
     """
 
+    sql["user_event_sequence"] = """
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+               count(*)::BIGINT AS n_items
+        FROM events GROUP BY user_id ORDER BY user_id
+    """
+
     sql["events_running_total"] = f"""
         WITH t AS (SELECT event_id, user_id, ts,
                      {_cents_sql('value')} AS value_cents
@@ -961,7 +968,8 @@ def build() -> dict[str, str]:
                  "doc_simhash_dedup", "doc_fingerprints",
                  "embedding_lsh_topk", "embedding_ivf_topk",
                  "embedding_near_dup_pairs", "embedding_dedup",
-                 "two_tier_events", "multimodal_wav_features"):
+                 "two_tier_events", "multimodal_wav_features",
+                 "multimodal_ppm_features"):
         path = sketch_oracles.dump(name, _CORRECTNESS_SF_DIR)
         sql[name] = f"SELECT * FROM read_parquet('{path}')"
     # the forced-many-buckets variant must reproduce the SAME sequential

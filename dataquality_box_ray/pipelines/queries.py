@@ -1346,3 +1346,42 @@ def doc_split_assign(sf_dir: str) -> pd.DataFrame:
     out = out[["doc_id", "split_bucket", "split"]].astype(
         {"doc_id": np.int64, "split_bucket": np.int64})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def user_event_sequence(sf_dir: str) -> pd.DataFrame:
+    """Per-user ordered event-type sequence (grouped ordered string_agg) —
+    the behavioral-sequence building block; one slim bucketed shuffle."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+    out = agg.grouped_ordered_concat(ev, "user_id", ["ts", "event_id"],
+                                     "event_type").to_pandas()
+    out = out[["user_id", "seq", "n_items"]].astype(
+        {"user_id": np.int64, "n_items": np.int64})
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def multimodal_ppm_features(sf_dir: str) -> pd.DataFrame:
+    """Image lane of the multimodal surface: deterministic P6 PPM payloads
+    per document, decoded by the actor-pool `DecodeFeatures` stage through
+    the injectable pure-python PPM codec; dump-oracled like the WAV lane."""
+    from ..ops import multimodal as mm
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def mk_media(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "media_id": df["doc_id"].astype(np.int64),
+            "payload": [mm.synth_ppm_payload(int(i), int(c))
+                        for i, c in zip(df["doc_id"], df["n_chars"])]})
+
+    media = docs.map_batches(mk_media, batch_format="pandas")
+    dec = mm.decode_features(media, decoder=mm.ppm_feature_decoder())
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        f = (np.stack(df["features"].to_list()).astype(np.float64)
+             if len(df) else np.empty((0, len(mm._PPM_FEATURE_COLS))))
+        out = pd.DataFrame(f, columns=mm._PPM_FEATURE_COLS)
+        out.insert(0, "media_id", df["media_id"].to_numpy(dtype=np.int64))
+        return out
+
+    out = dec.map_batches(expand, batch_format="pandas").to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)

@@ -602,10 +602,12 @@ def dump(name: str, sf_dir: str) -> str:
                "doc_simhash_pairs": lambda: simhash_pairs(docs),
                "doc_simhash_dedup": lambda: simhash_dedup_kept(docs),
                "doc_fingerprints": lambda: fingerprints(docs)}[name]()
-    elif name == "multimodal_wav_features":
+    elif name in ("multimodal_wav_features", "multimodal_ppm_features"):
         docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "n_chars"])
-        res = wav_features_oracle(docs)
+        res = (wav_features_oracle(docs)
+               if name == "multimodal_wav_features"
+               else ppm_features_oracle(docs))
     elif name == "two_tier_events":
         ev = pd.read_parquet(f"{sf_dir}/events.parquet",
                              columns=["event_id", "ts", "user_id",
@@ -649,4 +651,14 @@ def wav_features_oracle(docs: pd.DataFrame) -> pd.DataFrame:
     payloads = [synth_wav_payload(int(i), int(c))
                 for i, c in zip(docs["doc_id"], docs["n_chars"])]
     out = wav_features_frame(docs["doc_id"].to_numpy(), payloads)
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def ppm_features_oracle(docs: pd.DataFrame) -> pd.DataFrame:
+    """Sequential image-lane oracle (same device as `wav_features_oracle`)."""
+    from ..ops.multimodal import ppm_features_frame, synth_ppm_payload
+
+    payloads = [synth_ppm_payload(int(i), int(c))
+                for i, c in zip(docs["doc_id"], docs["n_chars"])]
+    out = ppm_features_frame(docs["doc_id"].to_numpy(), payloads)
     return out.sort_values("media_id").reset_index(drop=True)
