@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_budget_mix": q.doc_token_budget_mix,
         "doc_stratified_sample": q.doc_stratified_sample,
         "doc_split_assign": q.doc_split_assign,
+        "doc_global_shuffle_rank": q.doc_global_shuffle_rank,
         "doc_exact_dedup": q.doc_exact_dedup,
         "doc_line_dedup": q.doc_line_dedup,
         "doc_minhash_dedup": q.doc_minhash_dedup,

@@ -656,6 +656,16 @@ def build() -> dict[str, str]:
         FROM events GROUP BY user_id ORDER BY user_id
     """
 
+    sql["doc_global_shuffle_rank"] = """
+        WITH h AS (SELECT doc_id,
+                     ((doc_id * 2654435761) % 4294967296)::BIGINT AS hkey
+                   FROM documents)
+        SELECT doc_id, hkey,
+               row_number() OVER (ORDER BY hkey, doc_id)::BIGINT
+                   AS shuffle_rank
+        FROM h ORDER BY doc_id
+    """
+
     sql["events_running_total"] = f"""
         WITH t AS (SELECT event_id, user_id, ts,
                      {_cents_sql('value')} AS value_cents

@@ -1385,3 +1385,27 @@ def multimodal_ppm_features(sf_dir: str) -> pd.DataFrame:
 
     out = dec.map_batches(expand, batch_format="pandas").to_pandas()
     return out.sort_values("media_id").reset_index(drop=True)
+
+
+def doc_global_shuffle_rank(sf_dir: str) -> pd.DataFrame:
+    """Deterministic GLOBAL shuffle order for training output: every doc's
+    rank in Knuth-hash order (the shuffle-before-sharding step) computed
+    distributedly as a degenerate running sum — ONE giant group on the
+    sharded plan (range-sharded exclusive-scan offsets), so no node ever
+    holds the corpus and no global sort runs."""
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def h(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        hk = ((u * np.uint64(2654435761)) % np.uint64(2 ** 32)).astype(
+            np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"], "hkey": hk,
+                             "__g": np.int64(0), "one": np.int64(1)})
+
+    slim = docs.map_batches(h, batch_format="pandas")
+    rs = agg.grouped_running_sum(slim, "__g", "hkey", "one",
+                                 id_col="doc_id", out_col="shuffle_rank",
+                                 mode="sharded")
+    out = rs.to_pandas()[["doc_id", "hkey", "shuffle_rank"]].astype(
+        {"doc_id": np.int64, "hkey": np.int64, "shuffle_rank": np.int64})
+    return out.sort_values("doc_id").reset_index(drop=True)
