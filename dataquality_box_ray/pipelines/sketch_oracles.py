@@ -58,14 +58,17 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _minhash_verified_edges(docs: pd.DataFrame, threshold: float = 0.9,
-                            num_perm: int = 64, bands: int = 16,
+                            num_perm: int = 64, bands: int | None = None,
                             shingle_k: int = 5) -> list[tuple]:
     """Sequential MinHash+LSH verified duplicate edges: per-doc signatures
     via the shared row-local kernel, then global banding / pair / exact
     Jaccard verify in plain python. Shared by the dedup and components
     oracles."""
-    from ..ops.dedup import MinHasher, _SHINGLE_MUL, _shingle_hashes
+    from ..ops.dedup import (MinHasher, _SHINGLE_MUL, _shingle_hashes,
+                             lsh_bands_for)
 
+    if bands is None:      # same threshold-adaptive banding as the engine
+        bands = lsh_bands_for(threshold, num_perm)
     m = MinHasher(text_col="text", id_col="doc_id", num_perm=num_perm,
                   bands=bands, shingle_k=shingle_k)
     r = m.rows_per_band
