@@ -1050,10 +1050,70 @@ def verify_jaccard_counts_ds(pairs: "ray.data.Dataset", ds: "ray.data.Dataset",
     return j.map_batches(verify, batch_format="pandas")
 
 
+def _df_ordered_prefixes(slim: "ray.data.Dataset", text_col: str,
+                         id_col: str, thr: float, shingle_k: int,
+                         max_chars: int, cand_buckets: int,
+                         n_buckets: int) -> "ray.data.Dataset":
+    """(token, set-size, id, partition-bucket) prefix rows under the GLOBAL
+    document-frequency token order — three slim shuffles over 16-byte rows:
+    df count (per-block combiner first), token→df join, per-doc regroup."""
+    def explode_fn(df: pd.DataFrame) -> pd.DataFrame:
+        sets = _strict_shingle_sets(df[text_col].tolist(), shingle_k,
+                                    max_chars)
+        sizes = np.array([len(s) for s in sets], dtype=np.int64)
+        tok = (np.concatenate(sets) if sizes.sum()
+               else np.empty(0, dtype=np.uint64))
+        return pd.DataFrame({"__tok": tok,
+                             "__n": np.repeat(sizes, sizes),
+                             "id": np.repeat(df[id_col].to_numpy(), sizes)})
+
+    ex = (_split_for_compute(slim)
+          .map_batches(explode_fn, batch_format="pandas").materialize())
+
+    def local_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby("__tok", sort=False).size()
+               .reset_index(name="__df"))
+        out["__b"] = (out["__tok"].to_numpy()
+                      % np.uint64(n_buckets)).astype(np.int64)
+        return out
+
+    def sum_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("__tok", sort=False)["__df"].sum()
+                .reset_index())
+
+    dfds = (ex.map_batches(local_counts, batch_format="pandas")
+            .groupby("__b").map_groups(
+                lambda d: sum_counts(d.drop(columns=["__b"])),
+                batch_format="pandas"))
+    joined = hash_join(ex, dfds, "__tok", "__tok", how="inner")
+
+    def add_idb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__idb"] = bucket_of(df["id"].astype(str), n_buckets)
+        return df
+
+    def prefix_per_doc(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["id", "__df", "__tok"], kind="mergesort")
+        pos = d.groupby("id", sort=False).cumcount().to_numpy()
+        n = d["__n"].to_numpy()
+        plen = n - np.ceil(thr * n - 1e-9).astype(np.int64) + 1
+        out = d.loc[pos < plen, ["__tok", "__n", "id"]].copy()
+        pb = (out["__tok"].to_numpy()
+              * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(cand_buckets)
+        out["__pb"] = pb.astype(np.int64)
+        return out
+
+    return (joined.map_batches(add_idb, batch_format="pandas")
+            .groupby("__idb").map_groups(
+                lambda d: prefix_per_doc(d.drop(columns=["__idb"])),
+                batch_format="pandas"))
+
+
 def ngram_jaccard_pairs_ds(ds: "ray.data.Dataset", text_col: str, id_col: str,
                            threshold: float = 0.8, shingle_k: int = 5,
                            max_chars: int = 5000, cand_buckets: int = 256,
-                           n_buckets: int = 64) -> "ray.data.Dataset":
+                           n_buckets: int = 64,
+                           token_order: str = "hash") -> "ray.data.Dataset":
     """EXACT n-gram Jaccard similarity self-join — the lossless complement to
     `minhash_lsh_candidates_ds` (which approximates the same predicate with a
     sketch). AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07;
@@ -1074,8 +1134,20 @@ def ngram_jaccard_pairs_ds(ds: "ray.data.Dataset", text_col: str, id_col: str,
          intersection/union counts (`verify_jaccard_counts_ds`).
 
     The ceil/size-filter arithmetic is nudged by 1e-9 toward permissiveness so
-    float rounding can only ADD candidates, never drop a true pair."""
+    float rounding can only ADD candidates, never drop a true pair.
+
+    ``token_order``: prefix filtering is lossless under ANY consistent total
+    order, so both modes return identical results. ``"hash"`` (default) needs
+    no extra pass but a boilerplate shingle that happens to hash small lands
+    in MANY prefixes — a hot bucket that goes quadratic on a 100-TB corpus.
+    ``"df"`` is the scale path (Vernica et al., SIGMOD'10 MapReduce
+    set-similarity join): order tokens by GLOBAL document frequency
+    (ties → hash) so prefixes hold each doc's rarest tokens; costs one slim
+    df-count shuffle plus a token join and a per-doc regroup, all on 16-byte
+    rows."""
     thr = float(threshold)
+    if token_order not in ("hash", "df"):
+        raise ValueError(f"unknown token_order {token_order!r}")
 
     def prefix_fn(df: pd.DataFrame) -> pd.DataFrame:
         sets = _strict_shingle_sets(df[text_col].tolist(), shingle_k,
@@ -1095,8 +1167,12 @@ def ngram_jaccard_pairs_ds(ds: "ray.data.Dataset", text_col: str, id_col: str,
                              "__pb": pb.astype(np.int64)})
 
     slim = ds.select_columns([id_col, text_col])
-    pref = _split_for_compute(slim).map_batches(prefix_fn,
-                                                batch_format="pandas")
+    if token_order == "hash":
+        pref = _split_for_compute(slim).map_batches(prefix_fn,
+                                                    batch_format="pandas")
+    else:
+        pref = _df_ordered_prefixes(slim, text_col, id_col, thr, shingle_k,
+                                    max_chars, cand_buckets, n_buckets)
 
     def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series([], dtype=df["id"].dtype),

@@ -513,7 +513,8 @@ def bloom_anti_join(ds: "ray.data.Dataset", keys_ds: "ray.data.Dataset",
 
 def interval_join(left: "ray.data.Dataset", intervals: "ray.data.Dataset",
                   ts_col: str, start_col: str, end_col: str,
-                  cell_us: int = 3_600_000_000) -> "ray.data.Dataset":
+                  cell_us: int = 3_600_000_000,
+                  force_fallback: bool = False) -> "ray.data.Dataset":
     """Range/interval join — ``left.ts BETWEEN interval.start AND interval.end``
     with NO equality key (inclusive both ends). Ray Data has no primitive for
     this, so it is composed as a BANDED EQUALITY join:
@@ -546,7 +547,9 @@ def interval_join(left: "ray.data.Dataset", intervals: "ray.data.Dataset",
         s = df[start_col].astype("datetime64[us]").astype(np.int64).to_numpy()
         e = df[end_col].astype("datetime64[us]").astype(np.int64).to_numpy()
         c0, c1 = s // cell_us, e // cell_us
-        reps = (c1 - c0 + 1).astype(np.int64)
+        # end < start is an empty interval: replicate to zero cells (it can
+        # match nothing) instead of crashing np.repeat on a negative count
+        reps = np.maximum(c1 - c0 + 1, 0).astype(np.int64)
         idx = np.repeat(np.arange(len(df)), reps)
         out = df.iloc[idx].copy()
         out["__ws_us"] = s[idx]
@@ -559,7 +562,8 @@ def interval_join(left: "ray.data.Dataset", intervals: "ray.data.Dataset",
 
     ev = left.map_batches(ev_cell, batch_format="pandas")
     iv = intervals.map_batches(iv_cells, batch_format="pandas")
-    j = hash_join(ev, iv, "__cell", "__cell", how="inner")
+    j = hash_join(ev, iv, "__cell", "__cell", how="inner",
+                  force_fallback=force_fallback)
 
     def exact(df: pd.DataFrame) -> pd.DataFrame:
         keep = ((df["__ts_us"] >= df["__ws_us"])

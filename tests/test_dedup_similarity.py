@@ -627,3 +627,25 @@ def test_ngram_jaccard_short_text_emits_no_shingles():
     # identical 3-char docs must NOT pair
     assert len(got) == 0 or "id_a" not in got.columns or not (
         set(map(tuple, got[["id_a", "id_b"]].values)) & {(1, 2)})
+
+
+def test_ngram_jaccard_df_order_matches_hash_order():
+    """Prefix filtering is lossless under any consistent total order: the
+    df-ordered scale path (Vernica-style) must return EXACTLY the hash-order
+    result, including the integer evidence columns."""
+    docs = _docs_pdf().head(60)[["doc_id", "text"]]
+    extra = pd.DataFrame({
+        "doc_id": [9001, 9002],
+        "text": [docs.text.iloc[2] + " tail", docs.text.iloc[3][:-4] + "qqq"]})
+    pdf = pd.concat([docs, extra], ignore_index=True)
+    ds = ray.data.from_pandas(pdf)
+    cols = ["id_a", "id_b", "isz", "usz"]
+    a = (dedup.ngram_jaccard_pairs_ds(ds, "text", "doc_id", threshold=0.7,
+                                      token_order="hash").to_pandas()
+         .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    b = (dedup.ngram_jaccard_pairs_ds(ds, "text", "doc_id", threshold=0.7,
+                                      token_order="df").to_pandas()
+         .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a[cols].astype(np.int64),
+                                  b[cols].astype(np.int64))

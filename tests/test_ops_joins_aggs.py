@@ -364,14 +364,21 @@ def test_interval_join_matches_pandas_bruteforce():
                        "ws": ws,
                        "we": ws + pd.to_timedelta(
                            rng.integers(1, 4 * 3600, 25), unit="s")})
-    got = joins.interval_join(ray.data.from_pandas(ev),
-                              ray.data.from_pandas(iv),
-                              "ts", "ws", "we",
-                              cell_us=1_800_000_000).to_pandas()
     exp = ev.merge(iv, how="cross")
     exp = exp[(exp.ts >= exp.ws) & (exp.ts <= exp.we)]
-    assert (sorted(map(tuple, got[["event_id", "window_id"]].values))
-            == sorted(map(tuple, exp[["event_id", "window_id"]].values)))
+    # degenerate end<start interval replicates to zero cells, matches nothing
+    iv2 = pd.concat([iv, pd.DataFrame({"window_id": [99],
+                                       "ws": [iv.we.iloc[0]],
+                                       "we": [iv.ws.iloc[0]]})],
+                    ignore_index=True)
+    for fb in (False, True):
+        got = joins.interval_join(ray.data.from_pandas(ev),
+                                  ray.data.from_pandas(iv2),
+                                  "ts", "ws", "we",
+                                  cell_us=1_800_000_000,
+                                  force_fallback=fb).to_pandas()
+        assert (sorted(map(tuple, got[["event_id", "window_id"]].values))
+                == sorted(map(tuple, exp[["event_id", "window_id"]].values)))
 
 
 def test_grouped_top_n_combiner_matches_pandas():
