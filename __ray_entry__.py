@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_orders": q.customers_with_orders,
         "customer_nation_lookup": q.customer_nation_lookup,
         "asof_click_view": q.asof_click_view,
+        "asof_click_next_purchase": q.asof_click_next_purchase,
         "two_tier_events": q.two_tier_events,
         "two_tier_events_bucketed": q.two_tier_events_bucketed,
         # aggregations / windows / ordering
@@ -67,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_total": q.events_running_total,
         "user_event_sequence": q.user_event_sequence,
         "event_value_quantiles": q.event_value_quantiles,
+        "event_value_percent_rank": q.event_value_percent_rank,
         # time parsing / validation / per-row funnel
         "parse_dirty_timestamps": q.parse_dirty_timestamps,
         "validate_events": q.validate_events,

@@ -925,3 +925,21 @@ def grouped_ordered_concat(ds: "ray.data.Dataset", group_col: str,
 
     slim = ds.select_columns([group_col] + order_cols + [val_col])
     return _bucketed_groups(slim, group_col, per_bucket, n_buckets)
+
+
+def grouped_percent_rank(ds: "ray.data.Dataset", group_col: str,
+                         val_col: str, out_col: str = "pct_rank",
+                         n_buckets: int = 32) -> "ray.data.Dataset":
+    """Per-row percent_rank within its group — ``(min_rank - 1) / (n - 1)``
+    (0.0 for singleton groups), the SQL PERCENT_RANK contract. One bucketed
+    shuffle; ranks vectorized per bucket. Same one-group-per-worker
+    assumption as the other grouped window kernels."""
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col, sort=False)[val_col]
+        r = g.rank(method="min").to_numpy()
+        n = g.transform("size").to_numpy()
+        out = df.copy()
+        out[out_col] = np.where(n > 1, (r - 1) / np.maximum(n - 1, 1), 0.0)
+        return out
+
+    return _bucketed_groups(ds, group_col, per_bucket, n_buckets)

@@ -215,6 +215,39 @@ def build() -> dict[str, str]:
         ORDER BY c.event_id
     """
 
+    sql["asof_click_next_purchase"] = f"""
+        WITH v AS (
+          SELECT * FROM (
+            SELECT event_id, user_id, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                      ORDER BY event_id) AS rn
+            FROM events WHERE event_type = 'purchase') WHERE rn = 1),
+        c AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click')
+        SELECT c.event_id,
+               coalesce(v.event_id, -1)::BIGINT AS buy_id,
+               coalesce({_cents_sql("v.value")}, -1) AS buy_value_cents
+        FROM c LEFT JOIN v
+          ON c.user_id = v.user_id AND v.ts >= c.ts
+             AND epoch_us(v.ts) - epoch_us(c.ts) <= 3600000000
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                   ORDER BY v.ts ASC NULLS LAST) = 1
+        ORDER BY c.event_id
+    """
+
+    sql["event_value_percent_rank"] = f"""
+        WITH t AS (SELECT event_id, event_type,
+                     {_cents_sql('value')} AS value_cents
+                   FROM events)
+        SELECT event_id, event_type, value_cents,
+               CASE WHEN count(*) OVER (PARTITION BY event_type) > 1
+                    THEN (rank() OVER (PARTITION BY event_type
+                                       ORDER BY value_cents) - 1)::DOUBLE
+                         / (count(*) OVER (PARTITION BY event_type) - 1)
+                    ELSE 0.0 END AS pct_rank
+        FROM t ORDER BY event_id
+    """
+
     # ---- aggregations / windows ------------------------------------------
     sql["window_customer_total"] = f"""
         SELECT o_orderkey, o_custkey,

@@ -1409,3 +1409,51 @@ def doc_global_shuffle_rank(sf_dir: str) -> pd.DataFrame:
     out = rs.to_pandas()[["doc_id", "hkey", "shuffle_rank"]].astype(
         {"doc_id": np.int64, "hkey": np.int64, "shuffle_rank": np.int64})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def asof_click_next_purchase(sf_dir: str) -> pd.DataFrame:
+    """FORWARD as-of join: for each click, the user's NEXT purchase within
+    1 hour (the complement of asof_click_view's backward direction; same
+    tagged-union single-shuffle kernel, direction='forward')."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type",
+                                  "value"])
+    clicks = ev.map_batches(lambda df: df[df.event_type == "click"]
+                            [["event_id", "user_id", "ts"]],
+                            batch_format="pandas")
+    buys = ev.map_batches(
+        lambda df: df[df.event_type == "purchase"]
+        [["event_id", "user_id", "ts", "value"]]
+        .rename(columns={"event_id": "buy_id"}),
+        batch_format="pandas")
+    out = joins.asof_join(clicks, buys, by="user_id", on="ts",
+                          tolerance=pd.Timedelta(seconds=3600),
+                          direction="forward",
+                          right_dedup=["buy_id_r"]).to_pandas()
+    res = out[["event_id", "buy_id_r", "value_r"]].rename(
+        columns={"buy_id_r": "buy_id", "value_r": "buy_value_cents"})
+    res["buy_id"] = res["buy_id"].astype("float64").fillna(-1).astype(np.int64)
+    vc = res["buy_value_cents"].astype("float64")
+    res["buy_value_cents"] = np.where(vc.isna(), -1,
+                                      _cents(vc.fillna(0.0).to_numpy()))
+    res["buy_value_cents"] = res["buy_value_cents"].astype(np.int64)
+    res["event_id"] = res["event_id"].astype(np.int64)
+    return res.sort_values("event_id").reset_index(drop=True)
+
+
+def event_value_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """Per-row PERCENT_RANK of integer value cents within its event type —
+    min-rank ties, explicit (rank-1)/(n-1) formula on both engines."""
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["value_cents"] = _cents(df["value"].to_numpy())
+        return df.drop(columns=["value"])
+
+    slim = ev.map_batches(cents, batch_format="pandas")
+    out = agg.grouped_percent_rank(slim, "event_type",
+                                   "value_cents").to_pandas()
+    out = out[["event_id", "event_type", "value_cents", "pct_rank"]].astype(
+        {"event_id": np.int64, "value_cents": np.int64,
+         "pct_rank": np.float64})
+    return out.sort_values("event_id").reset_index(drop=True)
