@@ -1097,7 +1097,9 @@ def _df_ordered_prefixes(slim: "ray.data.Dataset", text_col: str,
         pos = d.groupby("id", sort=False).cumcount().to_numpy()
         n = d["__n"].to_numpy()
         plen = n - np.ceil(thr * n - 1e-9).astype(np.int64) + 1
-        out = d.loc[pos < plen, ["__tok", "__n", "id"]].copy()
+        keep = pos < plen
+        out = d.loc[keep, ["__tok", "__n", "id"]].copy()
+        out["__pos"] = pos[keep]
         pb = (out["__tok"].to_numpy()
               * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(cand_buckets)
         out["__pb"] = pb.astype(np.int64)
@@ -1113,7 +1115,7 @@ def ngram_jaccard_pairs_ds(ds: "ray.data.Dataset", text_col: str, id_col: str,
                            threshold: float = 0.8, shingle_k: int = 5,
                            max_chars: int = 5000, cand_buckets: int = 256,
                            n_buckets: int = 64,
-                           token_order: str = "hash") -> "ray.data.Dataset":
+                           token_order: str = "df") -> "ray.data.Dataset":
     """EXACT n-gram Jaccard similarity self-join — the lossless complement to
     `minhash_lsh_candidates_ds` (which approximates the same predicate with a
     sketch). AllPairs/PPJoin-style prefix filtering (Bayardo et al., WWW'07;
@@ -1137,14 +1139,15 @@ def ngram_jaccard_pairs_ds(ds: "ray.data.Dataset", text_col: str, id_col: str,
     float rounding can only ADD candidates, never drop a true pair.
 
     ``token_order``: prefix filtering is lossless under ANY consistent total
-    order, so both modes return identical results. ``"hash"`` (default) needs
-    no extra pass but a boilerplate shingle that happens to hash small lands
-    in MANY prefixes — a hot bucket that goes quadratic on a 100-TB corpus.
-    ``"df"`` is the scale path (Vernica et al., SIGMOD'10 MapReduce
-    set-similarity join): order tokens by GLOBAL document frequency
-    (ties → hash) so prefixes hold each doc's rarest tokens; costs one slim
-    df-count shuffle plus a token join and a per-doc regroup, all on 16-byte
-    rows."""
+    order, so both modes return identical results. ``"df"`` (default — the
+    Vernica et al., SIGMOD'10 MapReduce set-similarity join ordering) sorts
+    tokens by GLOBAL document frequency so prefixes hold each doc's rarest
+    tokens; it costs one slim df-count shuffle plus a token join and a
+    per-doc regroup, all on 16-byte rows. ``"hash"`` skips those passes but
+    a boilerplate shingle that hashes small lands in MANY prefixes — on the
+    sf0.1 template-heavy corpus hash order emits 148M candidate pair
+    instances vs df's 24.7M (hottest prefix token in 3923 vs 283 docs), and
+    on a 100-TB corpus a hot bucket goes quadratic."""
     thr = float(threshold)
     if token_order not in ("hash", "df"):
         raise ValueError(f"unknown token_order {token_order!r}")
@@ -1161,9 +1164,12 @@ def ngram_jaccard_pairs_ds(ds: "ray.data.Dataset", text_col: str, id_col: str,
         tok = (np.concatenate([s[:p] for s, p in zip(sets, plens)])
                if plens.sum() else np.empty(0, dtype=np.uint64))
         pb = (tok * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(cand_buckets)
+        starts = np.concatenate([[0], np.cumsum(plens)[:-1]])
+        pos = np.arange(int(plens.sum())) - np.repeat(starts, plens)
         return pd.DataFrame({"__tok": tok,
                              "__n": np.repeat(sizes, plens),
                              "id": np.repeat(ids, plens),
+                             "__pos": pos,
                              "__pb": pb.astype(np.int64)})
 
     slim = ds.select_columns([id_col, text_col])
@@ -1176,7 +1182,11 @@ def ngram_jaccard_pairs_ds(ds: "ray.data.Dataset", text_col: str, id_col: str,
 
     def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": pd.Series([], dtype=df["id"].dtype),
-                              "id_b": pd.Series([], dtype=df["id"].dtype)})
+                              "id_b": pd.Series([], dtype=df["id"].dtype),
+                              "i": pd.Series([], dtype=np.int64),
+                              "j": pd.Series([], dtype=np.int64),
+                              "na": pd.Series([], dtype=np.int64),
+                              "nb": pd.Series([], dtype=np.int64)})
         dup = df[df.duplicated("__tok", keep=False)]
         frames = []
         for _, grp in dup.groupby("__tok", sort=False):
@@ -1185,21 +1195,67 @@ def ngram_jaccard_pairs_ds(ds: "ray.data.Dataset", text_col: str, id_col: str,
             if len(ids) < 2:
                 continue
             ns = g["__n"].to_numpy()
+            ps = g["__pos"].to_numpy()
             ia, ib = np.triu_indices(len(ids), k=1)
             na, nb = ns[ia], ns[ib]
+            ii, jj = ps[ia], ps[ib]
             keep = np.minimum(na, nb) >= thr * np.maximum(na, nb) - 1e-9
+            # PPJoin positional filter (lossless): shared prefix tokens are
+            # ORDER-CONSISTENT in both docs, so the pair's FIRST common
+            # token x (min position on both sides simultaneously) bounds the
+            # intersection exactly: nothing is shared before x, hence
+            # |A∩B| <= 1 + min(na-i-1, nb-j-1). Later instances have
+            # strictly tighter bounds, so pruning an instance on its OWN
+            # bound never removes the pair's loosest (deciding) instance.
+            alpha = np.ceil(thr / (1.0 + thr) * (na + nb) - 1e-9)
+            keep &= 1 + np.minimum(na - ii - 1, nb - jj - 1) >= alpha
             if keep.any():
                 frames.append(pd.DataFrame({"id_a": ids[ia][keep],
-                                            "id_b": ids[ib][keep]}))
+                                            "id_b": ids[ib][keep],
+                                            "i": ii[keep], "j": jj[keep],
+                                            "na": na[keep], "nb": nb[keep]}))
         return pd.concat(frames, ignore_index=True) if frames else empty
 
     pairs = pref.groupby("__pb").map_groups(
         lambda d: pairs_fn(d.drop(columns=["__pb"])), batch_format="pandas")
-    # pairs are SLIM (two id columns) — materialize so the empty-candidate
-    # check doesn't recompute the prefix stage, and an all-empty result
-    # short-circuits with a typed frame (a schemaless empty Dataset would
-    # break the verify joins)
-    pairs = _distinct_pairs_ds(pairs, n_buckets).materialize()
+
+    def reduce_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # one grouped pass dedups pair instances AND re-applies the
+        # positional bound at the pair's true first common token
+        # (i0 = min i and j0 = min j come from the same token by order
+        # consistency)
+        g = df.groupby(["id_a", "id_b"], sort=False)
+        out = g.agg(i0=("i", "min"), j0=("j", "min"),
+                    i1=("i", "max"), j1=("j", "max"), c=("i", "size"),
+                    na=("na", "first"), nb=("nb", "first")).reset_index()
+        alpha = np.ceil(thr / (1.0 + thr)
+                        * (out["na"] + out["nb"]).to_numpy() - 1e-9)
+        ub = 1 + np.minimum((out["na"] - out["i0"] - 1).to_numpy(),
+                            (out["nb"] - out["j0"] - 1).to_numpy())
+        # second exact bound: every shared token beyond the LAST common
+        # prefix token sits after position i1/j1 on its side, so
+        # |A∩B| <= c + min(na-i1-1, nb-j1-1) where c counts the shared
+        # prefix tokens themselves
+        ub2 = (out["c"].to_numpy()
+               + np.minimum((out["na"] - out["i1"] - 1).to_numpy(),
+                            (out["nb"] - out["j1"] - 1).to_numpy()))
+        keep = (ub >= alpha) & (ub2 >= alpha)
+        return out.loc[keep, ["id_a", "id_b"]]
+
+    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__bucket"] = bucket_of(df["id_a"].astype(str), n_buckets)
+        return df
+
+    # slim grouped reduce replaces the plain distinct; materialize so the
+    # empty-candidate check doesn't recompute the prefix stage, and an
+    # all-empty result short-circuits with a typed frame (a schemaless empty
+    # Dataset would break the verify joins)
+    pairs = (pairs.map_batches(add_pair_bucket, batch_format="pandas")
+             .groupby("__bucket").map_groups(
+                 lambda d: reduce_pairs(d.drop(columns=["__bucket"])),
+                 batch_format="pandas")
+             .materialize())
     if pairs.count() == 0:
         return ray.data.from_pandas(pd.DataFrame({
             "id_a": pd.Series([], dtype=np.int64),
