@@ -1283,3 +1283,92 @@ def ngram_jaccard_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
 
     losers = losers.map_batches(block_distinct, batch_format="pandas")
     return _anti_join_auto(ds, losers, id_col)
+
+
+def minhash_dedup_incremental(new_ds: "ray.data.Dataset",
+                              old_ds: "ray.data.Dataset", text_col: str,
+                              id_col: str, threshold: float = 0.9,
+                              **kw) -> "ray.data.Dataset":
+    """Near-dup dedup of an INCOMING batch against a COMMITTED corpus — the
+    reference's insert-with-dedup-vs-sink semantics
+    (`plugins/services/reconciliation_runner.py:586-601`) lifted from exact
+    keys to MinHash near-dups, the shape a continuously-ingesting corpus
+    needs. Ids must be disjoint across the two sides.
+
+    Policy (deterministic): a new doc is dropped when (a) it has a verified
+    near-dup in the committed corpus — committed rows ALWAYS win — or
+    (b) it is not its component's min id among new↔new verified edges
+    (the same keep-min rule as `minhash_dedup`). Returns surviving NEW rows.
+
+    Scale shape: one union signature pass (signatures of the committed side
+    can be amortized by persisting its band table), the shared
+    candidates→verify machinery, then edge classification via a broadcast
+    new-id set below MAX_BROADCAST_IDS and slim marker hash joins above it;
+    survivors via the broadcast-or-partitioned anti join."""
+    union = (new_ds.select_columns([id_col, text_col])
+             .union(old_ds.select_columns([id_col, text_col])))
+    edges = minhash_verified_edges_ds(union, text_col, id_col, threshold,
+                                      **kw)
+    if edges.count() == 0:
+        return new_ds
+
+    new_ids_ds = new_ds.select_columns([id_col]).materialize()
+    n_new = new_ids_ds.count()
+
+    if n_new <= MAX_BROADCAST_IDS:
+        new_set = set(new_ids_ds.to_pandas()[id_col])
+        ref = ray.put(new_set)
+        holder: dict = {}
+
+        def flag(df: pd.DataFrame) -> pd.DataFrame:
+            if "s" not in holder:
+                holder["s"] = ray.get(ref)
+            s = holder["s"]
+            df = df.copy()
+            df["__an"] = df["id_a"].isin(s)
+            df["__bn"] = df["id_b"].isin(s)
+            return df
+
+        flagged = edges.map_batches(flag, batch_format="pandas")
+    else:
+        def mark(side: str):
+            def fn(t: pa.Table) -> pa.Table:
+                return (t.select([id_col]).rename_columns([f"__k{side}"])
+                        .append_column(f"__m{side}", pa.array(
+                            np.ones(len(t), dtype=np.int8))))
+            return fn
+
+        ma = new_ids_ds.map_batches(mark("a"), batch_format="pyarrow")
+        mb = new_ids_ds.map_batches(mark("b"), batch_format="pyarrow")
+        j = hash_join(edges, ma, "id_a", "__ka", how="left_outer")
+        j = hash_join(j, mb, "id_b", "__kb", how="left_outer")
+
+        def norm(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__an"] = df["__ma"].notna()
+            df["__bn"] = df["__mb"].notna()
+            return df[["id_a", "id_b", "__an", "__bn"]]
+
+        flagged = j.map_batches(norm, batch_format="pandas")
+
+    flagged = flagged.materialize()
+
+    def old_match_losers(df: pd.DataFrame) -> pd.DataFrame:
+        a = df.loc[df["__an"] & ~df["__bn"], ["id_a"]].rename(
+            columns={"id_a": id_col})
+        b = df.loc[~df["__an"] & df["__bn"], ["id_b"]].rename(
+            columns={"id_b": id_col})
+        return pd.concat([a, b], ignore_index=True).drop_duplicates(id_col)
+
+    def new_new(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["__an"] & df["__bn"], ["id_a", "id_b"]]
+
+    losers_old = flagged.map_batches(old_match_losers, batch_format="pandas")
+    nn_edges = flagged.map_batches(new_new, batch_format="pandas")
+    if nn_edges.count() > 0:
+        losers_cc = rename_cols(min_label_losers_ds(nn_edges),
+                                {"node": id_col})
+        losers = losers_old.union(losers_cc)
+    else:
+        losers = losers_old
+    return _anti_join_auto(new_ds, losers.materialize(), id_col)

@@ -1006,7 +1006,7 @@ def build() -> dict[str, str]:
 
     for name in ("corpus_quality_filter", "corpus_scoreboard",
                  "doc_minhash_dedup", "doc_minhash_components",
-                 "doc_minhash_best_dedup",
+                 "doc_minhash_best_dedup", "doc_minhash_incremental",
                  "doc_simhash_pairs",
                  "doc_simhash_dedup", "doc_fingerprints",
                  "embedding_lsh_topk", "embedding_ivf_topk",

@@ -1457,3 +1457,25 @@ def event_value_percent_rank(sf_dir: str) -> pd.DataFrame:
         {"event_id": np.int64, "value_cents": np.int64,
          "pct_rank": np.float64})
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def doc_minhash_incremental(sf_dir: str) -> pd.DataFrame:
+    """Incremental near-dup dedup against a committed sink: documents split
+    deterministically (committed = doc_id % 3 != 0, incoming = % 3 == 0);
+    incoming docs drop on any verified near-dup in the committed corpus
+    (committed always wins) or by keep-min among incoming↔incoming edges.
+    Dump-oracled against an independent sequential classifier."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(mod_is):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            m = df["doc_id"] % 3 == 0
+            return df[m] if mod_is else df[~m]
+        return fn
+
+    new_ds = docs.map_batches(side(True), batch_format="pandas")
+    old_ds = docs.map_batches(side(False), batch_format="pandas")
+    kept = dedup.minhash_dedup_incremental(new_ds, old_ds, "text", "doc_id",
+                                           threshold=0.9)
+    out = kept.to_pandas()[["doc_id"]].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -106,7 +106,7 @@ def _minhash_verified_edges(docs: pd.DataFrame, threshold: float = 0.9,
 
 
 def minhash_dedup_kept(docs: pd.DataFrame, threshold: float = 0.9,
-                       num_perm: int = 64, bands: int = 16,
+                       num_perm: int = 64, bands: int | None = None,
                        shingle_k: int = 5) -> pd.DataFrame:
     """Sequential MinHash+LSH dedup: verified edges → union-find → min-id
     survivors."""
@@ -132,7 +132,7 @@ def minhash_dedup_kept(docs: pd.DataFrame, threshold: float = 0.9,
 
 
 def minhash_components(docs: pd.DataFrame, threshold: float = 0.9,
-                       num_perm: int = 64, bands: int = 16,
+                       num_perm: int = 64, bands: int | None = None,
                        shingle_k: int = 5) -> pd.DataFrame:
     """Sequential near-dup component labels: BFS over the verified edges
     (independent of the engine's min-label propagation); every edge endpoint
@@ -168,7 +168,7 @@ def minhash_components(docs: pd.DataFrame, threshold: float = 0.9,
 
 
 def minhash_best_kept(docs: pd.DataFrame, threshold: float = 0.9,
-                      num_perm: int = 64, bands: int = 16,
+                      num_perm: int = 64, bands: int | None = None,
                       shingle_k: int = 5) -> pd.DataFrame:
     """Sequential best-keep dedup: verified edges → BFS components → keep
     the member with max UTF-8 byte length (tie → min doc id) per component;
@@ -594,12 +594,14 @@ def dump(name: str, sf_dir: str) -> str:
     out.parent.mkdir(parents=True, exist_ok=True)
 
     if name in ("doc_minhash_dedup", "doc_minhash_components",
-                "doc_minhash_best_dedup",
+                "doc_minhash_best_dedup", "doc_minhash_incremental",
                 "doc_simhash_pairs", "doc_simhash_dedup",
                 "doc_fingerprints"):
         docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
         res = {"doc_minhash_dedup": lambda: minhash_dedup_kept(docs),
+               "doc_minhash_incremental":
+                   lambda: minhash_incremental_kept(docs),
                "doc_minhash_components": lambda: minhash_components(docs),
                "doc_minhash_best_dedup": lambda: minhash_best_kept(docs),
                "doc_simhash_pairs": lambda: simhash_pairs(docs),
@@ -665,3 +667,30 @@ def ppm_features_oracle(docs: pd.DataFrame) -> pd.DataFrame:
                 for i, c in zip(docs["doc_id"], docs["n_chars"])]
     out = ppm_features_frame(docs["doc_id"].to_numpy(), payloads)
     return out.sort_values("media_id").reset_index(drop=True)
+
+
+def minhash_incremental_kept(docs: pd.DataFrame,
+                             threshold: float = 0.9) -> pd.DataFrame:
+    """Sequential oracle for the incremental (vs-committed-sink) near-dup
+    dedup: committed side = doc_id % 3 != 0, incoming side = % 3 == 0.
+    A new doc drops on any verified edge to a committed doc (committed
+    wins); remaining new↔new edges resolve by union-find keep-min. Returns
+    surviving NEW ids."""
+    from ..ops.dedup import union_find_losers
+
+    edges = _minhash_verified_edges(docs, threshold)
+    new_ids = set(docs.loc[docs["doc_id"] % 3 == 0, "doc_id"])
+    drop: set = set()
+    nn = []
+    for a, b in edges:
+        an, bn = a in new_ids, b in new_ids
+        if an and not bn:
+            drop.add(a)
+        elif bn and not an:
+            drop.add(b)
+        elif an and bn:
+            nn.append((a, b))
+    losers = (union_find_losers(pd.DataFrame(nn, columns=["id_a", "id_b"]))
+              if nn else set())
+    kept = sorted(new_ids - drop - losers)
+    return pd.DataFrame({"doc_id": pd.array(kept, dtype="int64")})

@@ -649,3 +649,22 @@ def test_ngram_jaccard_df_order_matches_hash_order():
     assert len(a) > 0
     pd.testing.assert_frame_equal(a[cols].astype(np.int64),
                                   b[cols].astype(np.int64))
+
+
+def test_minhash_incremental_committed_wins():
+    base = ("def load(path):\n    return [int(x) for x in open(path)]\n"
+            "def mean(xs):\n    return sum(xs) / max(len(xs), 1)\n" * 3)
+    other = "SELECT status, count(*) FROM runs GROUP BY status ORDER BY 2\n" * 6
+    old = pd.DataFrame({"doc_id": [100, 101],
+                        "text": [base, "unrelated committed " * 30]})
+    new = pd.DataFrame({
+        "doc_id": [1, 2, 3, 9],
+        "text": [base + "#",          # near-dup of committed 100 → drop
+                 other, other + "-",  # new↔new pair → keep 2, drop 3
+                 "fresh novel content " * 25]})
+    kept = dedup.minhash_dedup_incremental(
+        ray.data.from_pandas(new), ray.data.from_pandas(old),
+        "text", "doc_id", threshold=0.9).to_pandas()
+    assert sorted(kept.doc_id) == [2, 9]
+    # committed side is never returned, only filtered against
+    assert set(kept.columns) == {"doc_id", "text"}
