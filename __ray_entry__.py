@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sequence": q.user_event_sequence,
         "event_value_quantiles": q.event_value_quantiles,
         "event_value_percent_rank": q.event_value_percent_rank,
+        "event_user_skew_profile": q.event_user_skew_profile,
+        "doc_length_partition_bounds": q.doc_length_partition_bounds,
         # time parsing / validation / per-row funnel
         "parse_dirty_timestamps": q.parse_dirty_timestamps,
         "validate_events": q.validate_events,

@@ -699,6 +699,26 @@ def build() -> dict[str, str]:
         FROM h ORDER BY doc_id
     """
 
+    sql["event_user_skew_profile"] = """
+        WITH c AS (SELECT user_id, count(*)::BIGINT AS n
+                   FROM events GROUP BY user_id),
+        t AS (SELECT count(*)::BIGINT AS total FROM events)
+        SELECT user_id, n, (n * 10000) // (SELECT total FROM t)
+                   AS share_pmyriad
+        FROM c ORDER BY n DESC, user_id LIMIT 5
+    """
+
+    sql["doc_length_partition_bounds"] = """
+        SELECT * FROM (
+          SELECT 25::BIGINT AS q_pct,
+                 quantile_disc(n_chars, 0.25)::BIGINT AS bound FROM documents
+          UNION ALL
+          SELECT 50, quantile_disc(n_chars, 0.5)::BIGINT FROM documents
+          UNION ALL
+          SELECT 75, quantile_disc(n_chars, 0.75)::BIGINT FROM documents)
+        ORDER BY q_pct
+    """
+
     sql["events_running_total"] = f"""
         WITH t AS (SELECT event_id, user_id, ts,
                      {_cents_sql('value')} AS value_cents

@@ -1479,3 +1479,49 @@ def doc_minhash_incremental(sf_dir: str) -> pd.DataFrame:
                                            threshold=0.9)
     out = kept.to_pandas()[["doc_id"]].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def event_user_skew_profile(sf_dir: str) -> pd.DataFrame:
+    """Key-skew diagnostics before choosing a partitioning key: the 5
+    hottest user_ids with their row counts and integer per-myriad share —
+    slim grouped-count combiner then a tiny top-k merge. The profile a
+    planner reads before deciding to salt a groupby."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("user_id", sort=False).size()
+                .reset_index(name="n"))
+
+    partial = ev.map_batches(local, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("user_id", sort=False)["n"].sum()
+                .reset_index())
+
+    counts = agg._bucketed_groups(partial, "user_id", combine, 32)
+    total = _read(sf_dir, "events", ["event_id"]).count()
+    top = agg.top_k(counts, "n", 5, tie_break=["user_id"])
+    top = top[["user_id", "n"]].astype(np.int64)
+    top["share_pmyriad"] = top["n"] * 10_000 // total
+    return top.sort_values(["n", "user_id"],
+                           ascending=[False, True]).reset_index(drop=True)
+
+
+def doc_length_partition_bounds(sf_dir: str) -> pd.DataFrame:
+    """Exact global quartile bounds of document length — the range-partition
+    planner input — via the distributed order-statistic selection with ONE
+    giant group on the bucketed plan (no global sort)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def g(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__g"] = np.int64(0)
+        return df
+
+    slim = docs.map_batches(g, batch_format="pandas")
+    rows = []
+    for q in (0.25, 0.5, 0.75):
+        cut = agg.grouped_quantile(slim, "__g", "n_chars", q,
+                                   mode="bucketed")
+        rows.append({"q_pct": int(q * 100), "bound": int(cut["value"].iloc[0])})
+    return pd.DataFrame(rows).astype({"q_pct": np.int64, "bound": np.int64})
