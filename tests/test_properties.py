@@ -74,3 +74,64 @@ def test_dedup_kernel_vs_naive(rows):
     canon = key.groupby(df.sha_pre).transform("min")
     exp = df.loc[key != canon, ["repo", "path", "commit"]]
     assert losers.reset_index(drop=True).equals(exp.reset_index(drop=True))
+
+
+# --- exact-similarity-join lemmas (pure, no Ray) ---------------------------
+
+sets_strategy = st.lists(
+    st.frozensets(st.integers(0, 60), min_size=1, max_size=30),
+    min_size=2, max_size=8)
+
+
+@settings(max_examples=120, deadline=None)
+@given(sets_strategy, st.floats(0.1, 0.95))
+def test_prefix_filter_completeness_any_order(set_list, thr):
+    """The lemma ngram_jaccard_pairs_ds rests on: under ANY fixed total
+    token order, two sets with J >= thr share a token inside both prefixes
+    of length n - ceil(thr*n) + 1."""
+    import math
+
+    # two orders: identity ("hash") and frequency (ties -> value, "df")
+    from collections import Counter
+    freq = Counter(t for s in set_list for t in s)
+    for keyfn in (lambda t: t, lambda t: (freq[t], t)):
+        prefixes = []
+        for s in set_list:
+            order = sorted(s, key=keyfn)
+            p = len(s) - math.ceil(thr * len(s) - 1e-9) + 1
+            prefixes.append(set(order[:p]))
+        for i in range(len(set_list)):
+            for j in range(i + 1, len(set_list)):
+                a, b = set_list[i], set_list[j]
+                jac = len(a & b) / len(a | b)
+                if jac >= thr:
+                    assert prefixes[i] & prefixes[j], (
+                        f"true pair missed by prefix filter: J={jac}")
+
+
+@settings(max_examples=120, deadline=None)
+@given(sets_strategy, st.floats(0.1, 0.95))
+def test_positional_bounds_never_undercount(set_list, thr):
+    """Both PPJoin bounds used in the pair reduce are true UPPER bounds on
+    the intersection, evaluated at the pair's first/last common prefix
+    token — so pruning on them can never drop a qualifying pair."""
+    import math
+
+    docs = [sorted(s) for s in set_list]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = docs[i], docs[j]
+            na, nb = len(a), len(b)
+            pa = na - math.ceil(thr * na - 1e-9) + 1
+            pb = nb - math.ceil(thr * nb - 1e-9) + 1
+            pos_a = {t: k for k, t in enumerate(a)}
+            pos_b = {t: k for k, t in enumerate(b)}
+            common_pref = [t for t in a[:pa] if t in set(b[:pb])]
+            if not common_pref:
+                continue
+            inter = len(set(a) & set(b))
+            i0, j0 = pos_a[common_pref[0]], pos_b[common_pref[0]]
+            i1, j1 = pos_a[common_pref[-1]], pos_b[common_pref[-1]]
+            c = len(common_pref)
+            assert 1 + min(na - i0 - 1, nb - j0 - 1) >= inter
+            assert c + min(na - i1 - 1, nb - j1 - 1) >= inter
