@@ -668,3 +668,18 @@ def test_minhash_incremental_committed_wins():
     assert sorted(kept.doc_id) == [2, 9]
     # committed side is never returned, only filtered against
     assert set(kept.columns) == {"doc_id", "text"}
+
+
+def test_minhash_incremental_marker_join_path_matches_broadcast(monkeypatch):
+    """Forcing the new-id set over the broadcast cap must route edge
+    classification through the slim marker hash joins and produce the
+    identical survivor set."""
+    docs = _docs_pdf().head(90)[["doc_id", "text"]]
+    new = ray.data.from_pandas(docs[docs.doc_id % 3 == 0].reset_index(drop=True))
+    old = ray.data.from_pandas(docs[docs.doc_id % 3 != 0].reset_index(drop=True))
+    a = dedup.minhash_dedup_incremental(new, old, "text", "doc_id",
+                                        threshold=0.9).to_pandas()
+    monkeypatch.setattr(dedup, "MAX_BROADCAST_IDS", 0)
+    b = dedup.minhash_dedup_incremental(new, old, "text", "doc_id",
+                                        threshold=0.9).to_pandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
