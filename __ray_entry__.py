@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_orders": q.unpivot_orders,
         "sessionize_events": q.sessionize_events,
         "tumbling_hour_counts": q.tumbling_hour_counts,
+        "events_hopping_counts": q.events_hopping_counts,
         "events_running_total": q.events_running_total,
         "user_event_sequence": q.user_event_sequence,
         "event_value_quantiles": q.event_value_quantiles,

@@ -719,6 +719,17 @@ def build() -> dict[str, str]:
         ORDER BY q_pct
     """
 
+    sql["events_hopping_counts"] = """
+        WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        w AS (SELECT event_type,
+                     ((us // 900000000) - j.j) * 900000000
+                         AS window_start_us
+              FROM e, (SELECT unnest(range(0, 4)) AS j) j)
+        SELECT event_type, window_start_us, count(*)::BIGINT AS n
+        FROM w GROUP BY event_type, window_start_us
+        ORDER BY event_type, window_start_us
+    """
+
     sql["events_running_total"] = f"""
         WITH t AS (SELECT event_id, user_id, ts,
                      {_cents_sql('value')} AS value_cents

@@ -1525,3 +1525,35 @@ def doc_length_partition_bounds(sf_dir: str) -> pd.DataFrame:
                                    mode="bucketed")
         rows.append({"q_pct": int(q * 100), "bound": int(cut["value"].iloc[0])})
     return pd.DataFrame(rows).astype({"q_pct": np.int64, "bound": np.int64})
+
+
+def events_hopping_counts(sf_dir: str) -> pd.DataFrame:
+    """HOPPING-window counts (1 h windows every 15 min — each event lands in
+    exactly 4 overlapping windows): vectorized window replication inside
+    map_batches, per-block combiner counts, slim grouped sum. Completes the
+    streaming-window family next to tumbling_hour_counts (non-overlapping)
+    and events_sliding_window (per-event RANGE)."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+    hop, win = 900_000_000, 3_600_000_000          # 15 min hop, 1 h window
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        k = us // hop
+        reps = win // hop
+        ws = (np.repeat(k, reps)
+              - np.tile(np.arange(reps, dtype=np.int64), len(df))) * hop
+        et = np.repeat(df["event_type"].to_numpy(), reps)
+        part = pd.DataFrame({"event_type": et, "window_start_us": ws})
+        return (part.groupby(["event_type", "window_start_us"], sort=False)
+                .size().reset_index(name="n"))
+
+    partial = ev.map_batches(local, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(["event_type", "window_start_us"], sort=False)
+                ["n"].sum().reset_index())
+
+    out = agg._bucketed_groups(partial, "event_type", combine, 16).to_pandas()
+    out = out.astype({"window_start_us": np.int64, "n": np.int64})
+    return out.sort_values(["event_type", "window_start_us"]
+                           ).reset_index(drop=True)
