@@ -1020,20 +1020,80 @@ def _jaccard_count_rows(texts_a, texts_b, shingle_k: int, max_chars: int):
     return isz, usz
 
 
+def _attach_by_bucket(pairs: "ray.data.Dataset", texts: "ray.data.Dataset",
+                      key_col: str, id_col: str, text_col: str,
+                      out_col: str, n_buckets: int = 64
+                      ) -> "ray.data.Dataset":
+    """Attach ``texts[text_col]`` onto ``pairs[key_col]`` via ONE
+    co-partitioned tagged-union shuffle: each bucket receives every pair row
+    once and every candidate text ONCE — where a hash join ships one text
+    copy PER PAIR ROW through the exchange (pairs/doc can be in the
+    hundreds on template corpora). Inner semantics: pair rows whose key has
+    no text row are dropped; a present-but-null text attaches as null."""
+    from .joins import _arrow_types
+
+    pair_cols = list(pairs.schema().names)
+    types = _arrow_types(pairs)
+    all_cols = pair_cols + [out_col, "__side"]
+
+    def _sentinel(c):
+        t = types.get(c)
+        if t is not None and (pa.types.is_integer(t)):
+            return np.int64(-1)
+        if t is not None and pa.types.is_floating(t):
+            return np.nan
+        return None
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[out_col] = None
+        df["__side"] = "P"
+        df["__bucket"] = bucket_of(df[key_col].astype(str), n_buckets)
+        return df[all_cols + ["__bucket"]]
+
+    def tag_texts(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({key_col: df[id_col].to_numpy(),
+                            out_col: df[text_col].to_numpy()})
+        # typed sentinels keep the union's block schemas convergent (the
+        # asof join's typed-null-padding rule); T rows never surface
+        for c in pair_cols:
+            if c != key_col:
+                out[c] = _sentinel(c)
+        out["__side"] = "T"
+        out["__bucket"] = bucket_of(out[key_col].astype(str), n_buckets)
+        return out[all_cols + ["__bucket"]]
+
+    tp = pairs.map_batches(tag_pairs, batch_format="pandas")
+    tt = texts.map_batches(tag_texts, batch_format="pandas")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[df["__side"] == "T"]
+        lookup = pd.Series(t[out_col].to_numpy(),
+                           index=t[key_col].to_numpy())
+        p = df[df["__side"] == "P"].copy()
+        p = p[p[key_col].isin(lookup.index)]
+        p[out_col] = p[key_col].map(lookup)
+        return p.drop(columns=["__side"])
+
+    return (tp.union(tt).groupby("__bucket").map_groups(
+        lambda d: fn(d.drop(columns=["__bucket"])), batch_format="pandas"))
+
+
 def verify_jaccard_counts_ds(pairs: "ray.data.Dataset", ds: "ray.data.Dataset",
                              text_col: str, id_col: str, shingle_k: int,
                              threshold: float,
                              max_chars: int = 5000) -> "ray.data.Dataset":
     """Distributed EXACT-Jaccard verification with integer evidence columns:
-    texts reach the verify stage through two slim hash joins, output is
-    (id_a, id_b, isz, usz, jaccard) for pairs at/above ``threshold``.
-    ``jaccard`` is the IEEE double division isz/usz — the identical operation
-    a SQL engine performs on the same integers, so results value-hash-match."""
+    texts reach the verify stage through two co-partitioned bucketed
+    attaches (`_attach_by_bucket` — one text copy per bucket, not per pair
+    row), output is (id_a, id_b, isz, usz, jaccard) for pairs at/above
+    ``threshold``. ``jaccard`` is the IEEE double division isz/usz — the
+    identical operation a SQL engine performs on the same integers, so
+    results value-hash-match."""
     texts = ds.select_columns([id_col, text_col])
-    ta = rename_cols(texts, {id_col: "__ia", text_col: "__text_a"})
-    tb = rename_cols(texts, {id_col: "__ib", text_col: "__text_b"})
-    j = hash_join(pairs, ta, "id_a", "__ia", how="inner")
-    j = hash_join(j, tb, "id_b", "__ib", how="inner")
+    j = _attach_by_bucket(pairs, texts, "id_a", id_col, text_col,
+                          "__text_a")
+    j = _attach_by_bucket(j, texts, "id_b", id_col, text_col, "__text_b")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         isz, usz = _jaccard_count_rows(df["__text_a"].tolist(),
