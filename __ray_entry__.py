@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_sequence": q.user_event_sequence,
         "event_value_quantiles": q.event_value_quantiles,
         "event_value_percent_rank": q.event_value_percent_rank,
+        "event_value_percent_rank_sharded": q.event_value_percent_rank_sharded,
         "event_user_skew_profile": q.event_user_skew_profile,
         "doc_length_partition_bounds": q.doc_length_partition_bounds,
         # time parsing / validation / per-row funnel

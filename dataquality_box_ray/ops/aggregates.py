@@ -905,22 +905,50 @@ def hash_split(ds: "ray.data.Dataset", id_col: str,
     return ds.map_batches(fn, batch_format="pandas")
 
 
+# per-group row cap for grouped_ordered_concat: the output string is O(group)
+# by definition (no shard plan can shrink it), so a group above this refuses
+# loudly instead of silently OOMing the bucket worker that has to build it
+MAX_CONCAT_GROUP_ROWS = 5_000_000
+
+
 def grouped_ordered_concat(ds: "ray.data.Dataset", group_col: str,
                            order_cols: list[str], val_col: str,
-                           sep: str = ",",
-                           n_buckets: int = 32) -> "ray.data.Dataset":
+                           sep: str = ",", n_buckets: int = 32,
+                           max_group_rows: int = MAX_CONCAT_GROUP_ROWS
+                           ) -> "ray.data.Dataset":
     """Per-group ORDERED value concatenation (SQL ``string_agg(... ORDER
     BY ...)``) + group size — the grouped-collect surface as a first-class
     op: one slim bucketed shuffle of (group, order, value), then a single
-    vectorized sort + join per bucket (no per-group Python). The
-    partitioning assumption is one GROUP fits a worker (the sequence string
-    itself is O(group)) — same contract as the as-of join buckets."""
+    vectorized sort + join per bucket (no per-group Python).
+
+    Null ``val_col`` rows are skipped — SQL ``string_agg`` semantics — and
+    ``n_items`` counts only the concatenated (non-null) values.
+
+    The partitioning assumption is one GROUP fits a worker: the sequence
+    string itself is O(group), which no shard plan can change, so a group
+    larger than ``max_group_rows`` REFUSES with ValueError (the honest
+    failure mode — the alternative is a silent worker OOM while building a
+    multi-GB string). Groups that large want a different representation
+    (e.g. `grouped_running_sum`-style sharded sequences), not one string."""
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.sort_values([group_col] + order_cols, kind="mergesort")
+        d = df[df[val_col].notna()]
+        d = d.sort_values([group_col] + order_cols, kind="mergesort")
+        sizes = d.groupby(group_col, sort=False)[val_col].size()
+        if len(sizes) and int(sizes.max()) > max_group_rows:
+            big = sizes.idxmax()
+            raise ValueError(
+                f"grouped_ordered_concat: group {big!r} has {sizes.max()} "
+                f"rows > max_group_rows={max_group_rows}; the concatenated "
+                "string is O(group) — refuse instead of OOMing the worker")
         g = d.groupby(group_col, sort=False)[val_col]
         out = g.agg(lambda s: sep.join(s.astype(str))).reset_index()
         out.columns = [group_col, "seq"]
         out["n_items"] = g.size().to_numpy()
+        # a group whose values are ALL null still exists in SQL's GROUP BY —
+        # emit it with a null seq and n_items=0 rather than dropping it
+        all_groups = df[[group_col]].drop_duplicates()
+        out = all_groups.merge(out, on=group_col, how="left")
+        out["n_items"] = out["n_items"].fillna(0).astype(np.int64)
         return out
 
     slim = ds.select_columns([group_col] + order_cols + [val_col])
@@ -929,12 +957,35 @@ def grouped_ordered_concat(ds: "ray.data.Dataset", group_col: str,
 
 def grouped_percent_rank(ds: "ray.data.Dataset", group_col: str,
                          val_col: str, out_col: str = "pct_rank",
+                         mode: str = "auto", n_shards: int = 64,
                          n_buckets: int = 32) -> "ray.data.Dataset":
     """Per-row percent_rank within its group — ``(min_rank - 1) / (n - 1)``
-    (0.0 for singleton groups), the SQL PERCENT_RANK contract. One bucketed
-    shuffle; ranks vectorized per bucket. Same one-group-per-worker
-    assumption as the other grouped window kernels."""
+    (0.0 for singleton groups), the SQL PERCENT_RANK contract. Values must be
+    non-null (ranks over nulls are engine-specific; drop them upstream).
+
+    Two physical plans — the same split as `grouped_running_sum`:
+
+    - ``bucketed`` — many worker-sized groups: one bucketed shuffle, ranks
+      vectorized per bucket (one group must fit a worker).
+    - ``sharded`` — FEW but GIANT groups (the `event_type`-style key, where a
+      handful of values split the whole table and one hash bucket would
+      receive essentially all of it): range-shard the VALUE domain on sampled
+      boundaries. Equal values always land in one shard (shard is a function
+      of the value), and every value in a lower shard is strictly smaller, so
+      global min-rank = (count of rows in the group's lower shards) +
+      within-(group, shard) min-rank. The per-(group, shard) counts are a
+      slim combiner pass; the exclusive prefix scan is O(groups × shards) on
+      the driver (refused above ``MAX_OFFSET_ROWS``); rows then take ONE
+      (group, shard) co-location shuffle — no group ever has to fit in one
+      worker and nothing is globally sorted.
+
+    ``auto`` runs the sharded machinery and falls back to the bucketed plan
+    over the same materialized rows when the combined (group, shard) count
+    exceeds ``MAX_OFFSET_ROWS`` (group cardinality that high means groups are
+    worker-sized); forced ``sharded`` refuses instead."""
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if "__shard" in df.columns:
+            df = df.drop(columns=["__shard"])
         g = df.groupby(group_col, sort=False)[val_col]
         r = g.rank(method="min").to_numpy()
         n = g.transform("size").to_numpy()
@@ -942,4 +993,82 @@ def grouped_percent_rank(ds: "ray.data.Dataset", group_col: str,
         out[out_col] = np.where(n > 1, (r - 1) / np.maximum(n - 1, 1), 0.0)
         return out
 
-    return _bucketed_groups(ds, group_col, per_bucket, n_buckets)
+    if mode == "bucketed":
+        return _bucketed_groups(ds, group_col, per_bucket, n_buckets)
+    if mode not in ("sharded", "auto"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    # ---- sharded plan (few giant groups) ----
+    # 1. value-domain boundaries from a per-block sample (placement affects
+    #    only balance: ranks are exact for ANY boundary set)
+    def sample_fn(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df[val_col].to_numpy())
+        idx = np.linspace(0, len(v) - 1, num=min(32, len(v))).astype(int)
+        return pd.DataFrame({"v": v[idx]}) if len(v) else pd.DataFrame({"v": []})
+
+    sampled = ds.select_columns([val_col]).map_batches(
+        sample_fn, batch_format="pandas").to_pandas()["v"].to_numpy()
+    cut = np.linspace(0, 1, num=n_shards + 1)[1:-1]
+    boundaries = np.unique(np.quantile(np.sort(sampled), cut)) \
+        if len(sampled) else np.array([])
+
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        # side='right': equal values share a shard, lower shards are strictly
+        # smaller — min-rank ties never span a shard boundary
+        df["__shard"] = np.searchsorted(boundaries, df[val_col].to_numpy(),
+                                        side="right").astype(np.int64)
+        return df
+
+    # materialized ONCE: the counting pass, the rank pass, and the auto-mode
+    # bucketed fallback all read these blocks instead of re-executing lineage
+    sharded = ds.map_batches(add_shard, batch_format="pandas").materialize()
+
+    # 2. slim per-(group, shard) counts → DISTRIBUTED bucketed combine → cap
+    #    check on the combined count BEFORE any driver collect
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([group_col, "__shard"], sort=False)
+                .size().reset_index(name="__c"))
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([group_col, "__shard"], sort=False)["__c"].sum()
+                .reset_index())
+
+    combined = _bucketed_groups(
+        sharded.map_batches(partial, batch_format="pandas"),
+        group_col, comb, n_buckets).materialize()
+    n_off = combined.count()
+    if n_off > MAX_OFFSET_ROWS:
+        if mode == "sharded":
+            raise ValueError(
+                f"sharded percent_rank: {n_off} (group, shard) count rows "
+                f"exceed MAX_OFFSET_ROWS={MAX_OFFSET_ROWS}; group cardinality "
+                "is too high for the sharded plan — use mode='bucketed'")
+        return _bucketed_groups(sharded, group_col, per_bucket, n_buckets)
+    offsets = (combined.to_pandas()
+               .sort_values([group_col, "__shard"], kind="mergesort"))
+    gb = offsets.groupby(group_col, sort=False)["__c"]
+    offsets["__off"] = gb.cumsum() - offsets["__c"]   # rows in lower shards
+    offsets["__n"] = gb.transform("sum")              # group total
+    offsets_ref = ray.put(offsets[[group_col, "__shard", "__off", "__n"]])
+
+    # 3. co-locate each (group, shard) slice; local min-rank + offset
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[group_col].astype(str) + "\x01" + df["__shard"].astype(str)
+        df = df.copy()
+        df["__bucket"] = bucket_of(key, n_buckets)
+        return df
+
+    def rank_slice(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(offsets_ref)                    # worker-local after 1st
+        df = df.drop(columns=["__bucket"])
+        local = df.groupby([group_col, "__shard"], sort=False)[val_col] \
+            .rank(method="min").to_numpy()
+        df = df.merge(off, on=[group_col, "__shard"], how="left")
+        r = local + df["__off"].to_numpy()            # global min-rank
+        n = df["__n"].to_numpy()
+        df[out_col] = np.where(n > 1, (r - 1) / np.maximum(n - 1, 1), 0.0)
+        return df.drop(columns=["__shard", "__off", "__n"])
+
+    return (sharded.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(rank_slice, batch_format="pandas"))

@@ -247,6 +247,7 @@ def build() -> dict[str, str]:
                     ELSE 0.0 END AS pct_rank
         FROM t ORDER BY event_id
     """
+    sql["event_value_percent_rank_sharded"] = sql["event_value_percent_rank"]
 
     # ---- aggregations / windows ------------------------------------------
     sql["window_customer_total"] = f"""

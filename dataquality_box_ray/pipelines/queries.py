@@ -1440,9 +1440,12 @@ def asof_click_next_purchase(sf_dir: str) -> pd.DataFrame:
     return res.sort_values("event_id").reset_index(drop=True)
 
 
-def event_value_percent_rank(sf_dir: str) -> pd.DataFrame:
+def event_value_percent_rank(sf_dir: str, mode: str = "auto") -> pd.DataFrame:
     """Per-row PERCENT_RANK of integer value cents within its event type —
-    min-rank ties, explicit (rank-1)/(n-1) formula on both engines."""
+    min-rank ties, explicit (rank-1)/(n-1) formula on both engines.
+    `event_type` has a handful of distinct values, so this is exactly the
+    few-giant-groups shape: auto picks the range-SHARDED rank plan (no
+    bucket ever receives the whole table)."""
     ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
 
     def cents(df: pd.DataFrame) -> pd.DataFrame:
@@ -1451,12 +1454,20 @@ def event_value_percent_rank(sf_dir: str) -> pd.DataFrame:
         return df.drop(columns=["value"])
 
     slim = ev.map_batches(cents, batch_format="pandas")
-    out = agg.grouped_percent_rank(slim, "event_type",
-                                   "value_cents").to_pandas()
+    out = agg.grouped_percent_rank(slim, "event_type", "value_cents",
+                                   mode=mode).to_pandas()
     out = out[["event_id", "event_type", "value_cents", "pct_rank"]].astype(
         {"event_id": np.int64, "value_cents": np.int64,
          "pct_rank": np.float64})
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def event_value_percent_rank_sharded(sf_dir: str) -> pd.DataFrame:
+    """FORCED-sharded battery entry for the giant-group percent_rank plan —
+    same result, same oracle SQL; refuses rather than falling back, so a
+    green hash here proves the distributed rank arithmetic, not the bucketed
+    fallback."""
+    return event_value_percent_rank(sf_dir, mode="sharded")
 
 
 def doc_minhash_incremental(sf_dir: str) -> pd.DataFrame:
@@ -1498,8 +1509,10 @@ def event_user_skew_profile(sf_dir: str) -> pd.DataFrame:
         return (df.groupby("user_id", sort=False)["n"].sum()
                 .reset_index())
 
-    counts = agg._bucketed_groups(partial, "user_id", combine, 32)
-    total = _read(sf_dir, "events", ["event_id"]).count()
+    # total rows = sum of the combined per-key counts — folded from the same
+    # materialized pass instead of a second full read of events
+    counts = agg._bucketed_groups(partial, "user_id", combine, 32).materialize()
+    total = int(counts.sum("n"))
     top = agg.top_k(counts, "n", 5, tie_break=["user_id"])
     top = top[["user_id", "n"]].astype(np.int64)
     top["share_pmyriad"] = top["n"] * 10_000 // total
@@ -1510,7 +1523,9 @@ def event_user_skew_profile(sf_dir: str) -> pd.DataFrame:
 def doc_length_partition_bounds(sf_dir: str) -> pd.DataFrame:
     """Exact global quartile bounds of document length — the range-partition
     planner input — via the distributed order-statistic selection with ONE
-    giant group on the bucketed plan (no global sort)."""
+    giant group on the SHARDED plan (range-sharded counting pass + targeted
+    rank pull; the whole table is never sorted and never lands in one
+    worker), all three quartiles resolved in a single pass."""
     docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
 
     def g(df: pd.DataFrame) -> pd.DataFrame:
@@ -1519,12 +1534,12 @@ def doc_length_partition_bounds(sf_dir: str) -> pd.DataFrame:
         return df
 
     slim = docs.map_batches(g, batch_format="pandas")
-    rows = []
-    for q in (0.25, 0.5, 0.75):
-        cut = agg.grouped_quantile(slim, "__g", "n_chars", q,
-                                   mode="bucketed")
-        rows.append({"q_pct": int(q * 100), "bound": int(cut["value"].iloc[0])})
-    return pd.DataFrame(rows).astype({"q_pct": np.int64, "bound": np.int64})
+    cuts = agg.grouped_quantile(slim, "__g", "n_chars", [0.25, 0.5, 0.75],
+                                mode="sharded")
+    out = pd.DataFrame({
+        "q_pct": (cuts["q"] * 100).round().astype(np.int64),
+        "bound": cuts["value"].astype(np.int64)})
+    return out.sort_values("q_pct").reset_index(drop=True)
 
 
 def events_hopping_counts(sf_dir: str) -> pd.DataFrame:

@@ -259,3 +259,90 @@ def test_kmv_distinct_estimate_quality_and_exact_small_groups():
     est = row.loc["big", "est_distinct"]
     assert abs(est - truth["big"]) / truth["big"] < 0.4
     assert row.loc["big", "k_kept"] == 64
+
+
+# ---------------------------------------------------------------------------
+# grouped_percent_rank: sharded plan vs pandas oracle, auto switch, refusal
+# ---------------------------------------------------------------------------
+
+def _pct_oracle(df):
+    g = df.groupby("g", sort=False)["v"]
+    r = g.rank(method="min").to_numpy()
+    n = g.transform("size").to_numpy()
+    out = df.copy()
+    out["pr"] = np.where(n > 1, (r - 1) / np.maximum(n - 1, 1), 0.0)
+    return out.sort_values("id").reset_index(drop=True)
+
+
+def _pct_run(df, mode, **kw):
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = agg.grouped_percent_rank(ds, "g", "v", out_col="pr",
+                                   mode=mode, **kw).to_pandas()
+    return out.sort_values("id").reset_index(drop=True)[list(df.columns) + ["pr"]]
+
+
+def test_percent_rank_sharded_matches_pandas_few_giant_groups():
+    # 3 groups x thousands of rows with heavy value ties — the shape where
+    # the bucketed plan concentrates the table in <=3 buckets
+    df = _frame(n=6000, groups=3, seed=11)
+    out = _pct_run(df, "sharded")
+    exp = _pct_oracle(df)
+    pd.testing.assert_frame_equal(out, exp[out.columns], check_dtype=False)
+
+
+def test_percent_rank_sharded_single_giant_group():
+    df = _frame(n=4000, groups=1, seed=3)
+    out = _pct_run(df, "sharded", n_shards=16)
+    exp = _pct_oracle(df)
+    pd.testing.assert_frame_equal(out, exp[out.columns], check_dtype=False)
+
+
+def test_percent_rank_modes_agree_and_auto_switches(monkeypatch):
+    df = _frame(n=3000, groups=500, seed=5)
+    exp = _pct_oracle(df)
+    for mode in ("bucketed", "sharded", "auto"):
+        out = _pct_run(df, mode)
+        pd.testing.assert_frame_equal(out, exp[out.columns],
+                                      check_dtype=False)
+    # force the auto fallback: with a tiny offset cap, 500 groups x shards
+    # exceeds it and auto must route to the bucketed plan (same answer),
+    # while forced sharded refuses
+    monkeypatch.setattr(agg, "MAX_OFFSET_ROWS", 100)
+    out = _pct_run(df, "auto")
+    pd.testing.assert_frame_equal(out, exp[out.columns], check_dtype=False)
+    import pytest
+    with pytest.raises(ValueError, match="MAX_OFFSET_ROWS"):
+        _pct_run(df, "sharded")
+
+
+# ---------------------------------------------------------------------------
+# grouped_ordered_concat: null skip + refusal cap
+# ---------------------------------------------------------------------------
+
+def test_ordered_concat_skips_nulls_like_string_agg():
+    df = pd.DataFrame({
+        "g": ["a", "a", "a", "b", "b", "c"],
+        "o": [1, 2, 3, 1, 2, 1],
+        "v": ["x", None, "y", None, None, "z"],
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = (agg.grouped_ordered_concat(ds, "g", ["o"], "v").to_pandas()
+           .sort_values("g").reset_index(drop=True))
+    assert out.loc[out.g == "a", "seq"].iloc[0] == "x,y"      # null skipped
+    assert out.loc[out.g == "a", "n_items"].iloc[0] == 2
+    # all-null group still exists (SQL GROUP BY row) with null seq, 0 items
+    brow = out[out.g == "b"]
+    assert len(brow) == 1 and brow["n_items"].iloc[0] == 0
+    assert pd.isna(brow["seq"].iloc[0])
+    assert out.loc[out.g == "c", "seq"].iloc[0] == "z"
+
+
+def test_ordered_concat_refuses_giant_group():
+    import pytest
+    df = pd.DataFrame({"g": ["hot"] * 50 + ["cold"],
+                       "o": list(range(50)) + [0],
+                       "v": [str(i) for i in range(51)]})
+    ds = ray.data.from_pandas(df)
+    with pytest.raises(Exception, match="max_group_rows"):
+        agg.grouped_ordered_concat(ds, "g", ["o"], "v",
+                                   max_group_rows=10).to_pandas()
