@@ -97,6 +97,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_components": q.doc_minhash_components,
         "doc_minhash_best_dedup": q.doc_minhash_best_dedup,
         "doc_minhash_incremental": q.doc_minhash_incremental,
+        "doc_minhash_incremental_persisted":
+            q.doc_minhash_incremental_persisted,
         "normalize_dirty_ids": q.normalize_dirty_ids,
         "doc_token_quantile_filter": q.doc_token_quantile_filter,
         "doc_pii_redact": q.doc_pii_redact,

@@ -204,61 +204,121 @@ def _split_for_compute(ds: "ray.data.Dataset",
     return ds
 
 
+def minhash_band_table_ds(ds: "ray.data.Dataset", text_col: str, id_col: str,
+                          num_perm: int = 64, bands: int = 16,
+                          shingle_k: int = 5,
+                          count_file: str | None = None) -> "ray.data.Dataset":
+    """The slim LSH band table ``(band, band_hash, id)`` — the PERSISTABLE
+    MinHash state: write it to Parquet on commit (`persist_band_table`) and
+    the next incremental batch reads it back instead of re-signaturing the
+    committed corpus (the reference's query-existing-keys-only sink dedup,
+    `plugins/services/reconciliation_runner.py:586-601`, lifted to LSH).
+
+    ``count_file`` is an observability seam: when set, every signature batch
+    appends its row count to that file (workers share the filesystem), so
+    tests can PROVE which rows were signatured — e.g. that a committed-bands
+    incremental run signatures only the new batch."""
+    holder: dict = {}
+
+    def sig_fn(df: pd.DataFrame) -> pd.DataFrame:
+        # task-pool form: the (cheap, deterministic) permutation params are
+        # built once per worker; an actor pool's spin-up isn't worth it here
+        if count_file is not None:
+            with open(count_file, "a") as f:
+                f.write(f"{len(df)}\n")
+        if "m" not in holder:
+            holder["m"] = MinHasher(text_col=text_col, id_col=id_col,
+                                    num_perm=num_perm, shingle_k=shingle_k,
+                                    bands=bands)
+        return holder["m"](df)
+
+    return _split_for_compute(ds).map_batches(sig_fn, batch_format="pandas")
+
+
+def persist_band_table(ds: "ray.data.Dataset", text_col: str, id_col: str,
+                       path: str, threshold: float | None = None,
+                       **kw) -> str:
+    """Compute and write the Parquet band table for a (newly committed)
+    corpus. MUST be called with the same ``threshold``/``num_perm``/
+    ``shingle_k`` the later incremental runs will use — banding params are
+    baked into the hashes (same contract as `lsh_bands_for` being shared
+    with the oracle)."""
+    if threshold is not None:
+        kw.setdefault("bands", lsh_bands_for(threshold,
+                                             kw.get("num_perm", 64)))
+    sig_kw = {k: kw[k] for k in ("num_perm", "bands", "shingle_k") if k in kw}
+    minhash_band_table_ds(ds, text_col, id_col, **sig_kw).write_parquet(path)
+    return path
+
+
+def _add_cand_bucket(bands_ds: "ray.data.Dataset",
+                     cand_buckets: int) -> "ray.data.Dataset":
+    """Partition key ``hash(band, band_hash) % cand_buckets`` — parallelism
+    scales with the cluster instead of capping at ``bands`` partitions; all
+    holders of one (band, band_hash) still meet in exactly one partition."""
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        bh = df["band_hash"].to_numpy(dtype=np.uint64)
+        bd = df["band"].to_numpy().astype(np.uint64)
+        pb = (bh * np.uint64(0x9E3779B97F4A7C15) + bd) % np.uint64(cand_buckets)
+        return df.assign(__pb=pb.astype(np.int64))
+
+    return bands_ds.map_batches(add_pb, batch_format="pandas")
+
+
+def _band_group_pairs(df: pd.DataFrame, max_bucket_ids: int,
+                      require_new: bool = False) -> pd.DataFrame:
+    """Candidate pairs within one candidate partition: triu pairs per
+    (band, band_hash) group. With ``require_new`` (incremental mode, rows
+    carry a ``__new`` flag), pairs between two COMMITTED ids are skipped —
+    they were already resolved when that corpus committed, and a boilerplate
+    band bucket full of committed docs would otherwise go quadratic on every
+    batch."""
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=df["id"].dtype),
+                          "id_b": pd.Series([], dtype=df["id"].dtype)})
+    dup = df[df.duplicated(["band", "band_hash"], keep=False)]
+    frames = []
+    for _, grp in dup.groupby(["band", "band_hash"], sort=False):
+        ids, idx = np.unique(grp["id"].to_numpy(), return_index=True)
+        if len(ids) > max_bucket_ids:
+            # degenerate hot bucket (boilerplate text): the pair product
+            # is quadratic — cap to the first ids; near-dups this common
+            # are still linked transitively through other bands/components
+            ids, idx = ids[:max_bucket_ids], idx[:max_bucket_ids]
+        if len(ids) < 2:
+            continue
+        ia, ib = np.triu_indices(len(ids), k=1)
+        if require_new:
+            new = grp["__new"].to_numpy()[idx]
+            keep = new[ia] | new[ib]
+            ia, ib = ia[keep], ib[keep]
+            if not len(ia):
+                continue
+        frames.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
+    return (pd.concat(frames, ignore_index=True) if frames else empty)
+
+
 def minhash_lsh_candidates_ds(ds: "ray.data.Dataset", text_col: str,
                               id_col: str, num_perm: int = 64,
                               bands: int = 16, shingle_k: int = 5,
                               max_bucket_ids: int = 2000,
                               n_buckets: int = 64,
                               cand_buckets: int = 256,
-                              distinct: bool = True) -> "ray.data.Dataset":
+                              distinct: bool = True,
+                              count_file: str | None = None
+                              ) -> "ray.data.Dataset":
     """Candidate near-dup pairs via MinHash+LSH, fully distributed:
     shingle→minhash→band→bucket groupby (the slim shuffle carries only
     (band, hash, id)), then a second slim shuffle on hash(id_a) that
     drop-duplicates pairs seen through several bands — a near-identical pair
     collides in ~all ``bands`` bands, and verifying it once instead of 16
-    times is cheaper than the extra slim shuffle.
-
-    The candidate stage partitions by ``hash(band, band_hash) % cand_buckets``
-    rather than by band alone, so its parallelism scales with the cluster
-    instead of capping at ``bands`` reduce partitions; all holders of one
-    (band, band_hash) still meet in exactly one partition."""
-    holder: dict = {}
-
-    def sig_fn(df: pd.DataFrame) -> pd.DataFrame:
-        # task-pool form: the (cheap, deterministic) permutation params are
-        # built once per worker; an actor pool's spin-up isn't worth it here
-        if "m" not in holder:
-            holder["m"] = MinHasher(text_col=text_col, id_col=id_col,
-                                    num_perm=num_perm, shingle_k=shingle_k,
-                                    bands=bands)
-        out = holder["m"](df)
-        bh = out["band_hash"].to_numpy(dtype=np.uint64)
-        bd = out["band"].to_numpy().astype(np.uint64)
-        pb = (bh * np.uint64(0x9E3779B97F4A7C15) + bd) % np.uint64(cand_buckets)
-        return out.assign(__pb=pb.astype(np.int64))
-
-    sig = _split_for_compute(ds).map_batches(sig_fn, batch_format="pandas")
-
-    def pairs_fn(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": pd.Series([], dtype=df["id"].dtype),
-                              "id_b": pd.Series([], dtype=df["id"].dtype)})
-        dup = df[df.duplicated(["band", "band_hash"], keep=False)]
-        frames = []
-        for _, grp in dup.groupby(["band", "band_hash"], sort=False):
-            ids = np.unique(grp["id"].to_numpy())
-            if len(ids) > max_bucket_ids:
-                # degenerate hot bucket (boilerplate text): the pair product
-                # is quadratic — cap to the first ids; near-dups this common
-                # are still linked transitively through other bands/components
-                ids = ids[:max_bucket_ids]
-            if len(ids) < 2:
-                continue
-            ia, ib = np.triu_indices(len(ids), k=1)
-            frames.append(pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]}))
-        return (pd.concat(frames, ignore_index=True) if frames else empty)
-
+    times is cheaper than the extra slim shuffle."""
+    sig = _add_cand_bucket(
+        minhash_band_table_ds(ds, text_col, id_col, num_perm=num_perm,
+                              bands=bands, shingle_k=shingle_k,
+                              count_file=count_file), cand_buckets)
     pairs = sig.groupby("__pb").map_groups(
-        lambda d: pairs_fn(d.drop(columns=["__pb"])), batch_format="pandas")
+        lambda d: _band_group_pairs(d.drop(columns=["__pb"]), max_bucket_ids),
+        batch_format="pandas")
     if not distinct:
         # caller dedups (e.g. driver drop_duplicates on a small pair set) —
         # skip the extra slim shuffle
@@ -516,6 +576,16 @@ def minhash_verified_edges_ds(ds: "ray.data.Dataset", text_col: str,
     # know which path runs — the driver path dedups in pandas for free
     pairs = minhash_lsh_candidates_ds(ds, text_col, id_col, distinct=False,
                                       **kw).materialize()
+    return _verify_pairs_auto(pairs, ds, text_col, id_col, threshold,
+                              shingle_k)
+
+
+def _verify_pairs_auto(pairs: "ray.data.Dataset", ds: "ray.data.Dataset",
+                       text_col: str, id_col: str, threshold: float,
+                       shingle_k: int) -> "ray.data.Dataset":
+    """Back half of `minhash_verified_edges_ds`: gate the (band-duplicated,
+    MATERIALIZED) candidate pairs through the driver fast path or the
+    distributed distinct+verify, returning materialized verified edges."""
     n_pairs = pairs.count()          # band-duplicated count (upper bound)
 
     def _edges_ds(pdf: pd.DataFrame) -> "ray.data.Dataset":
@@ -1348,6 +1418,8 @@ def ngram_jaccard_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
 def minhash_dedup_incremental(new_ds: "ray.data.Dataset",
                               old_ds: "ray.data.Dataset", text_col: str,
                               id_col: str, threshold: float = 0.9,
+                              committed_bands=None,
+                              count_file: str | None = None,
                               **kw) -> "ray.data.Dataset":
     """Near-dup dedup of an INCOMING batch against a COMMITTED corpus — the
     reference's insert-with-dedup-vs-sink semantics
@@ -1360,15 +1432,67 @@ def minhash_dedup_incremental(new_ds: "ray.data.Dataset",
     (b) it is not its component's min id among new↔new verified edges
     (the same keep-min rule as `minhash_dedup`). Returns surviving NEW rows.
 
-    Scale shape: one union signature pass (signatures of the committed side
-    can be amortized by persisting its band table), the shared
-    candidates→verify machinery, then edge classification via a broadcast
-    new-id set below MAX_BROADCAST_IDS and slim marker hash joins above it;
-    survivors via the broadcast-or-partitioned anti join."""
-    union = (new_ds.select_columns([id_col, text_col])
-             .union(old_ds.select_columns([id_col, text_col])))
-    edges = minhash_verified_edges_ds(union, text_col, id_col, threshold,
-                                      **kw)
+    ``committed_bands`` (a Dataset or a Parquet path written by
+    `persist_band_table`, SAME num_perm/bands/shingle_k) is the amortized
+    path: only the NEW batch is signatured — a run costs O(batch signatures
+    + matching band buckets), not O(corpus) — and committed↔committed pairs
+    are never generated (they were resolved at commit time). The committed
+    side's TEXTS are still read for exact-Jaccard verification, but only the
+    rows that land in a candidate pair ride the verify join (semi-joined
+    down first). Without it, both sides are signatured per run (the
+    correctness-equivalent cold-start path).
+
+    Scale shape: signature pass (new-only when bands are persisted), the
+    shared candidates→verify machinery, then edge classification via a
+    broadcast new-id set below MAX_BROADCAST_IDS and slim marker hash joins
+    above it; survivors via the broadcast-or-partitioned anti join."""
+    kw.setdefault("bands", lsh_bands_for(threshold, kw.get("num_perm", 64)))
+    shingle_k = kw.get("shingle_k", 5)
+    if committed_bands is None:
+        union = (new_ds.select_columns([id_col, text_col])
+                 .union(old_ds.select_columns([id_col, text_col])))
+        edges = minhash_verified_edges_ds(union, text_col, id_col, threshold,
+                                          count_file=count_file,
+                                          **kw).materialize()
+    else:
+        if isinstance(committed_bands, str):
+            committed_bands = ray.data.read_parquet(committed_bands)
+        sig_kw = {k: kw[k] for k in ("num_perm", "bands", "shingle_k")
+                  if k in kw}
+        new_bands = minhash_band_table_ds(
+            new_ds.select_columns([id_col, text_col]), text_col, id_col,
+            count_file=count_file, **sig_kw)
+
+        def tag(is_new: bool):
+            def fn(df: pd.DataFrame) -> pd.DataFrame:
+                return df.assign(__new=np.full(len(df), is_new))
+            return fn
+
+        bands_all = (new_bands.map_batches(tag(True), batch_format="pandas")
+                     .union(committed_bands.map_batches(
+                         tag(False), batch_format="pandas")))
+        max_bucket_ids = kw.get("max_bucket_ids", 2000)
+        sig = _add_cand_bucket(bands_all, kw.get("cand_buckets", 256))
+        pairs = sig.groupby("__pb").map_groups(
+            lambda d: _band_group_pairs(d.drop(columns=["__pb"]),
+                                        max_bucket_ids, require_new=True),
+            batch_format="pandas").materialize()
+        if pairs.count() == 0:
+            return new_ds
+        # verify needs texts for candidate ids only: semi-join the union
+        # text table down before the verify joins so the committed corpus
+        # text never rides the shuffle (ids from the slim pair table)
+        from .joins import semi_join_auto
+
+        texts = (new_ds.select_columns([id_col, text_col])
+                 .union(old_ds.select_columns([id_col, text_col])))
+        cand_ids = (pairs.select_columns(["id_a"])
+                    .union(rename_cols(pairs.select_columns(["id_b"]),
+                                       {"id_b": "id_a"})))
+        cand_texts = semi_join_auto(texts, cand_ids, id_col,
+                                    source_on="id_a").materialize()
+        edges = _verify_pairs_auto(pairs, cand_texts, text_col, id_col,
+                                   threshold, shingle_k).materialize()
     if edges.count() == 0:
         return new_ds
 

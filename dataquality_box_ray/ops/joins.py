@@ -511,31 +511,58 @@ def bloom_anti_join(ds: "ray.data.Dataset", keys_ds: "ray.data.Dataset",
     return definite_miss.union(survivors)
 
 
+def _sample_interval_cell_us(intervals: "ray.data.Dataset", start_col: str,
+                             end_col: str) -> int:
+    """Pick the banding grid size from an interval-SPAN sample: the median
+    span (p50 of a per-block spread sample) keeps replication ≈ 2 cells per
+    interval — O(1) regardless of the time axis extent. Exactness never
+    depends on the choice, only replication volume and cell skew do. Falls
+    back to 1 hour when the interval side is empty."""
+    def sample_fn(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[start_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        e = df[end_col].astype("datetime64[us]").astype(np.int64).to_numpy()
+        span = np.sort(np.maximum(e - s, 0))
+        idx = np.linspace(0, len(span) - 1,
+                          num=min(32, len(span))).astype(int)
+        return (pd.DataFrame({"s": span[idx]}) if len(span)
+                else pd.DataFrame({"s": []}))
+
+    sampled = intervals.select_columns([start_col, end_col]).map_batches(
+        sample_fn, batch_format="pandas").to_pandas()["s"].to_numpy()
+    if not len(sampled):
+        return 3_600_000_000
+    return max(int(np.quantile(sampled, 0.5)), 1)
+
+
 def interval_join(left: "ray.data.Dataset", intervals: "ray.data.Dataset",
                   ts_col: str, start_col: str, end_col: str,
-                  cell_us: int = 3_600_000_000,
+                  cell_us: int | None = None,
                   force_fallback: bool = False) -> "ray.data.Dataset":
     """Range/interval join — ``left.ts BETWEEN interval.start AND interval.end``
     with NO equality key (inclusive both ends). Ray Data has no primitive for
     this, so it is composed as a BANDED EQUALITY join:
 
       1. each interval replicates to every fixed grid cell it overlaps
-         (replication factor = span/cell_us + 1 — choose ``cell_us`` near the
-         median interval span so replication stays O(1));
+         (replication factor = span/cell_us + 1 — ``cell_us`` near the
+         median interval span keeps replication O(1));
       2. each left row hashes to its single cell;
       3. one partitioned equality join on the cell id;
       4. the exact containment filter runs INSIDE the join tasks, so the
          cell-cartesian intermediate never materializes globally.
 
-    A (row, interval) pair meets in exactly one cell (the row's), so output
+    ``cell_us=None`` (default) AUTO-picks the grid from an interval-span
+    sample — the p50 span — so callers never hand-tune it; pass an explicit
+    value to pin the plan (tests / reproducing a recorded run). A
+    (row, interval) pair meets in exactly one cell (the row's), so output
     pairs are emitted exactly once — no distinct pass needed. Skewed hot
-    cells degrade one join partition, not the whole shuffle; at 100 TB pick
-    ``cell_us`` from an interval-span sample. All time arithmetic is integer
-    microseconds (exact, engine-independent).
+    cells degrade one join partition, not the whole shuffle. All time
+    arithmetic is integer microseconds (exact, engine-independent).
 
     Reference analogue: the loose-window candidate match
     (`plugins/dq_lib/reconciliation.py:288`, 3 h tolerance) — this is the
     same predicate generalized to arbitrary per-row intervals."""
+    if cell_us is None:
+        cell_us = _sample_interval_cell_us(intervals, start_col, end_col)
     def ev_cell(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
         us = out[ts_col].astype("datetime64[us]").astype(np.int64)

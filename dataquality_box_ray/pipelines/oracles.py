@@ -1050,6 +1050,10 @@ def build() -> dict[str, str]:
     # the forced-many-buckets variant must reproduce the SAME sequential
     # result — bucket layout is an execution detail, not a semantic one
     sql["two_tier_events_bucketed"] = sql["two_tier_events"]
+    # the persisted-band-table incremental path must reproduce the SAME
+    # sequential result — amortizing the committed side's signatures is an
+    # execution detail, not a semantic one
+    sql["doc_minhash_incremental_persisted"] = sql["doc_minhash_incremental"]
 
     sql["embedding_topk"] = """
         SELECT a.vec_id AS query_id, b.vec_id,

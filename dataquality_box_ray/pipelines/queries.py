@@ -1259,9 +1259,10 @@ def events_in_promo_windows(sf_dir: str) -> pd.DataFrame:
                              "we": ts + pd.Timedelta(minutes=30)})
 
     windows = ev.map_batches(mk_windows, batch_format="pandas")
+    # cell_us omitted: auto-picked from the interval-span sample (p50 = the
+    # 1 h window span here), so the banding never needs hand-tuning
     joined = joins.interval_join(ev.select_columns(["event_id", "ts"]),
-                                 windows, "ts", "ws", "we",
-                                 cell_us=3_600_000_000)
+                                 windows, "ts", "ws", "we")
     out = joined.to_pandas()
     out["offset_us"] = out["__ts_us"] - out["__ws_us"]
     out = out[["event_id", "window_id", "offset_us"]].astype(np.int64)
@@ -1488,6 +1489,35 @@ def doc_minhash_incremental(sf_dir: str) -> pd.DataFrame:
     old_ds = docs.map_batches(side(False), batch_format="pandas")
     kept = dedup.minhash_dedup_incremental(new_ds, old_ds, "text", "doc_id",
                                            threshold=0.9)
+    out = kept.to_pandas()[["doc_id"]].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_minhash_incremental_persisted(sf_dir: str) -> pd.DataFrame:
+    """Same semantics and same dump oracle as `doc_minhash_incremental`, but
+    through the PERSISTED committed band table: the committed side is
+    signatured once at 'commit time' (`persist_band_table` → Parquet) and
+    the incremental run reads it back, signaturing ONLY the incoming batch —
+    O(batch + matching buckets) per run instead of O(corpus). A green hash
+    here proves the amortized path is bit-identical to the recompute path."""
+    import tempfile
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(mod_is):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            m = df["doc_id"] % 3 == 0
+            return df[m] if mod_is else df[~m]
+        return fn
+
+    new_ds = docs.map_batches(side(True), batch_format="pandas")
+    old_ds = docs.map_batches(side(False), batch_format="pandas")
+    band_path = tempfile.mkdtemp(prefix="dq_committed_bands_")
+    dedup.persist_band_table(old_ds, "text", "doc_id", band_path,
+                             threshold=0.9)
+    kept = dedup.minhash_dedup_incremental(new_ds, old_ds, "text", "doc_id",
+                                           threshold=0.9,
+                                           committed_bands=band_path)
     out = kept.to_pandas()[["doc_id"]].astype(np.int64)
     return out.sort_values("doc_id").reset_index(drop=True)
 

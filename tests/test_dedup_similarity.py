@@ -683,3 +683,82 @@ def test_minhash_incremental_marker_join_path_matches_broadcast(monkeypatch):
     b = dedup.minhash_dedup_incremental(new, old, "text", "doc_id",
                                         threshold=0.9).to_pandas()
     assert sorted(a.doc_id) == sorted(b.doc_id)
+
+
+def test_minhash_incremental_persisted_bands_match_and_skip_committed(tmp_path):
+    """The committed-bands path must (a) produce the identical survivor set
+    to the recompute path and (b) NEVER re-signature the committed corpus —
+    proven by the signature-pass row counter: with persisted bands, exactly
+    the new-side rows are signatured across the run."""
+    base = ("def load(path):\n    return [int(x) for x in open(path)]\n"
+            "def mean(xs):\n    return sum(xs) / max(len(xs), 1)\n" * 3)
+    other = "SELECT status, count(*) FROM runs GROUP BY status ORDER BY 2\n" * 6
+    old_pdf = pd.DataFrame({
+        "doc_id": [100, 101, 102],
+        "text": [base, "unrelated committed " * 30, other + "!!"]})
+    new_pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 9],
+        "text": [base + "#", other, other + "-",
+                 "fresh novel content " * 25]})
+    new = ray.data.from_pandas(new_pdf)
+    old = ray.data.from_pandas(old_pdf)
+
+    ref = dedup.minhash_dedup_incremental(new, old, "text", "doc_id",
+                                          threshold=0.9).to_pandas()
+
+    band_path = str(tmp_path / "bands")
+    dedup.persist_band_table(old, "text", "doc_id", band_path, threshold=0.9)
+    count_file = str(tmp_path / "sig_rows.txt")
+    out = dedup.minhash_dedup_incremental(
+        new, old, "text", "doc_id", threshold=0.9,
+        committed_bands=band_path, count_file=count_file).to_pandas()
+
+    assert sorted(out.doc_id) == sorted(ref.doc_id)
+    # the committed side (3 rows) was NOT re-signatured: the counter saw
+    # exactly the new batch's rows
+    signed = sum(int(x) for x in open(count_file).read().split())
+    assert signed == len(new_pdf)
+
+
+def test_minhash_incremental_persisted_two_batches(tmp_path):
+    """Two consecutive incoming batches against a growing committed corpus:
+    each run signatures only its own batch (counter resets per run), and the
+    second batch still drops near-dups of FIRST-batch survivors once their
+    bands are appended to the committed table."""
+    boiler = "import os, sys\nfor f in sys.argv[1:]:\n    print(os.stat(f))\n" * 4
+    committed = pd.DataFrame({"doc_id": [1000],
+                              "text": ["committed corpus seed " * 30]})
+    batch1 = pd.DataFrame({"doc_id": [1, 2],
+                           "text": [boiler, "novel one " * 40]})
+    batch2 = pd.DataFrame({"doc_id": [11, 12],
+                           "text": [boiler + "#",   # near-dup of batch-1 doc 1
+                                    "novel two " * 40]})
+    band_path = str(tmp_path / "bands")
+    dedup.persist_band_table(ray.data.from_pandas(committed), "text",
+                             "doc_id", band_path, threshold=0.9)
+
+    cf1 = str(tmp_path / "c1.txt")
+    kept1 = dedup.minhash_dedup_incremental(
+        ray.data.from_pandas(batch1), ray.data.from_pandas(committed),
+        "text", "doc_id", threshold=0.9, committed_bands=band_path,
+        count_file=cf1).to_pandas()
+    assert sorted(kept1.doc_id) == [1, 2]
+    # counter may be absent if no candidate pair forced a signature... it is
+    # always written by the signature pass itself
+    assert sum(int(x) for x in open(cf1).read().split()) == len(batch1)
+
+    # commit batch-1 survivors: append their bands to the committed table
+    surv1 = ray.data.from_pandas(kept1[["doc_id", "text"]])
+    dedup.persist_band_table(surv1, "text", "doc_id",
+                             str(tmp_path / "bands" / "b1"), threshold=0.9)
+    committed2 = pd.concat([committed, kept1[["doc_id", "text"]]],
+                           ignore_index=True)
+
+    cf2 = str(tmp_path / "c2.txt")
+    kept2 = dedup.minhash_dedup_incremental(
+        ray.data.from_pandas(batch2), ray.data.from_pandas(committed2),
+        "text", "doc_id", threshold=0.9, committed_bands=band_path,
+        count_file=cf2).to_pandas()
+    # doc 11 is a near-dup of committed (batch-1) doc 1 → dropped
+    assert sorted(kept2.doc_id) == [12]
+    assert sum(int(x) for x in open(cf2).read().split()) == len(batch2)

@@ -381,6 +381,35 @@ def test_interval_join_matches_pandas_bruteforce():
                 == sorted(map(tuple, exp[["event_id", "window_id"]].values)))
 
 
+def test_interval_join_auto_cell_long_and_mixed_spans():
+    """cell_us omitted: the span-sampled p50 grid must stay exact for a mix
+    of second-scale and multi-DAY intervals (the long interval replicates
+    across many sampled-size cells; exactness is grid-independent)."""
+    rng = np.random.default_rng(9)
+    t0 = pd.Timestamp("2024-06-01").value // 1000
+    ev = pd.DataFrame({
+        "event_id": np.arange(300),
+        "ts": pd.to_datetime(t0 + rng.integers(0, 10 * 86_400_000_000, 300),
+                             unit="us")})
+    ws = pd.to_datetime(t0 + rng.integers(0, 8 * 86_400_000_000, 20),
+                        unit="us")
+    spans = np.concatenate([rng.integers(60, 3600, 18),       # minutes-scale
+                            np.array([3 * 86_400, 6 * 86_400])])  # days-scale
+    iv = pd.DataFrame({"window_id": np.arange(20), "ws": ws,
+                       "we": ws + pd.to_timedelta(spans, unit="s")})
+    exp = ev.merge(iv, how="cross")
+    exp = exp[(exp.ts >= exp.ws) & (exp.ts <= exp.we)]
+    got = joins.interval_join(ray.data.from_pandas(ev),
+                              ray.data.from_pandas(iv),
+                              "ts", "ws", "we").to_pandas()   # auto cell_us
+    assert (sorted(map(tuple, got[["event_id", "window_id"]].values))
+            == sorted(map(tuple, exp[["event_id", "window_id"]].values)))
+    # sampled grid lands near the p50 span (minutes-scale), not the max
+    cell = joins._sample_interval_cell_us(ray.data.from_pandas(iv),
+                                          "ws", "we")
+    assert 60_000_000 <= cell <= 3_600_000_000
+
+
 def test_grouped_top_n_combiner_matches_pandas():
     orders = _pdf("orders")
     got = agg.grouped_top_n(
