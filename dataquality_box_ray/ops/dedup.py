@@ -1268,6 +1268,16 @@ def ngram_jaccard_pairs_ds(ds: "ray.data.Dataset", text_col: str, id_col: str,
     The ceil/size-filter arithmetic is nudged by 1e-9 toward permissiveness so
     float rounding can only ADD candidates, never drop a true pair.
 
+    Exactness caveat: "exact" means exact over the 64-bit shingle-HASH sets
+    (`_shingle_hashes`), not the shingle strings — two distinct k-grams that
+    collide in 64 bits would merge in both intersection and union counts.
+    Over full Unicode the coefficient space exceeds 2^64 so colliding pairs
+    exist in principle; for ASCII-ish corpora at k=5 the per-corpus collision
+    probability is birthday-bounded at ~n_distinct^2 / 2^65 (negligible below
+    ~10^8 distinct shingles per verify batch). Callers needing string-level
+    exactness should verify on the shingle strings themselves — the sketch
+    operators (minhash/simhash) carry the same hash-space contract.
+
     ``token_order``: prefix filtering is lossless under ANY consistent total
     order, so both modes return identical results. ``"df"`` (default — the
     Vernica et al., SIGMOD'10 MapReduce set-similarity join ordering) sorts

@@ -1,0 +1,89 @@
+"""Skew-aware planning helpers: key-count profiling and hot-key selection.
+
+The reference leaves partition-key choice to the operator author (bucket
+counts are YAML literals, e.g. `plugins/configs/adapters/cycle_adapter.yaml`);
+at 100-TB scale a single hot key — one mega-repo path, one viral user_id —
+concentrates a whole `groupby().map_groups` bucket onto one worker. These
+helpers close that loop: `key_count_profile` is the slim combiner pass the
+`event_user_skew_profile` battery query exposes as a diagnostic, and
+`auto_salt` turns the profile into the set of keys a shuffle should pull out
+of its bucketed groupby.
+
+"Salting" here is the combiner form: rather than splitting a hot group
+across salted buckets and re-merging (classic salt-and-recombine), callers
+whose per-group statistics are COMBINABLE (count=sum, extreme=min/max,
+conflict=min!=max) reduce hot keys with per-block partials and stamp rows
+via a broadcast of the tiny combined stats — the hot group never needs
+co-location at all. `stages/reconcile.py` uses exactly this for its
+(repo,path) reconciliation shuffle. Kernels that genuinely need whole
+groups (ordered concat, holistic quantiles) should instead refuse or route
+to a sharded plan (`ops/aggregates.grouped_percent_rank(mode="sharded")`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+SEP = "\x01"
+
+
+def _key_series(df: pd.DataFrame, key_cols: list[str]) -> pd.Series:
+    s = df[key_cols[0]].astype(str)
+    for c in key_cols[1:]:
+        s = s + SEP + df[c].astype(str)
+    return s
+
+
+def key_count_profile(ds: "ray.data.Dataset", key_cols: list[str],
+                      n_buckets: int = 32) -> "ray.data.Dataset":
+    """Per-key global row counts as a materialized slim Dataset
+    ``(__key, n)`` — per-block partial groupby-size, then one bucketed
+    combine over (key, partial-count) rows. Shuffle volume is O(distinct
+    keys per block), never O(rows)."""
+    from .aggregates import _bucketed_groups
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"__key": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        return (_key_series(df, key_cols).value_counts(sort=False)
+                .rename_axis("__key").reset_index(name="n"))
+
+    partial = ds.map_batches(local, batch_format="pandas")
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("__key", sort=False)["n"].sum().reset_index())
+
+    return _bucketed_groups(partial, "__key", combine, n_buckets).materialize()
+
+
+def auto_salt(ds: "ray.data.Dataset", key_cols: list[str],
+              hot_share: float = 0.05,
+              n_buckets: int = 32) -> frozenset:
+    """Read the key-count profile and return the HOT keys — those holding at
+    least ``hot_share`` of all rows — that a bucketed groupby over
+    ``key_cols`` should pull out into combiner partials. Empty frozenset
+    means the shuffle is safe as-is.
+
+    The result is provably small: at most ``1/hot_share`` keys can each hold
+    ``hot_share`` of the rows, so the driver pull and the downstream
+    ``ray.put`` broadcast are bounded regardless of data size. Keys are
+    returned as SEP-joined strings matching `_key_series`."""
+    if not (0.0 < hot_share <= 1.0):
+        raise ValueError(f"hot_share must be in (0, 1], got {hot_share}")
+    counts = key_count_profile(ds, key_cols, n_buckets)
+    total = int(counts.sum("n") or 0)
+    if total == 0:
+        return frozenset()
+    cut = max(1, int(np.ceil(hot_share * total)))
+
+    def pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.greater_equal(t["n"], pa.scalar(cut)))
+
+    hot = counts.map_batches(pick, batch_format="pyarrow").take_all()
+    return frozenset(r["__key"] for r in hot)

@@ -160,14 +160,33 @@ DRIVER_LABEL_MAX_ROWS = 300_000
 
 def compute_label_datasets(slim: "ray.data.Dataset",
                            n_buckets: int = config.RECONCILE_BUCKETS,
+                           hot_share: float | None = None,
+                           group_size_file: str | None = None,
                            ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     """DATASET-valued (exception labels, dedup loser keys) from the slim
     projection — the always-scales form: neither table ever lands on the
     driver, so callers can count them and choose broadcast vs partitioned
     join-back (`apply_labels_partitioned`) without OOM risk. Both returned
     datasets are materialized (they are slim; counting must not re-run the
-    two shuffles)."""
-    labels_ds, losers_ds = _label_datasets_lazy(slim, n_buckets)
+    two shuffles).
+
+    ``hot_share``: when set, an `ops.planner.auto_salt` profile pass runs
+    first and any (repo,path) key holding ≥ that share of rows is pulled OUT
+    of the bucketed groupby — its labels come from per-block combiner
+    partials (count/max-commit/sha-extremes are all combinable) merged on
+    the driver and stamped back row-locally, so the hot group never lands on
+    one worker. Identical output to the unsalted plan (see
+    tests/test_auto_salt.py).
+
+    ``group_size_file``: observability seam — every kernel invocation
+    appends its group (bucket) row count, letting tests PROVE the salted
+    plan's max bucket size excludes the hot key."""
+    hot: frozenset = frozenset()
+    if hot_share is not None:
+        from ..ops.planner import auto_salt
+        hot = auto_salt(slim, ["repo", "path"], hot_share=hot_share)
+    labels_ds, losers_ds = _label_datasets_lazy(
+        slim, n_buckets, hot_keys=hot, group_size_file=group_size_file)
     return labels_ds.materialize(), losers_ds.materialize()
 
 
@@ -201,17 +220,103 @@ def compute_label_tables(slim: "ray.data.Dataset",
     return labels_pdf, losers_pdf
 
 
-def _label_datasets_lazy(slim: "ray.data.Dataset", n_buckets: int
+def _counted_kernel(kernel, group_size_file: str | None):
+    if group_size_file is None:
+        return kernel
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        with open(group_size_file, "a") as f:
+            f.write(f"{len(df)}\n")
+        return kernel(df)
+
+    return fn
+
+
+def _hot_labeled_rows(hot_rows: "ray.data.Dataset", hot: frozenset,
+                      ) -> "ray.data.Dataset":
+    """Label a HOT key's rows without ever co-locating the group: the three
+    per-(repo,path) statistics the kernel derives — row count, max commit,
+    sha conflict — are all COMBINABLE (sum / max / min!=max), so per-block
+    partials + a driver merge over ≤ (hot keys × blocks) tiny rows + a
+    broadcast row-local stamp reproduce `reconcile_group_kernel` exactly.
+    This is the combiner form of salting the groupby key (ops/planner.py);
+    hot is bounded by 1/hot_share keys so the broadcast is O(1)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"__key": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype=np.int64),
+                                 "maxc": pd.Series([], dtype=object),
+                                 "mins": pd.Series([], dtype=object),
+                                 "maxs": pd.Series([], dtype=object)})
+        g = df.groupby(df["repo"] + SEP + df["path"], sort=False)
+        out = g.agg(cnt=("commit", "size"), maxc=("commit", "max"),
+                    mins=("sha_pre", "min"), maxs=("sha_pre", "max"))
+        return out.rename_axis("__key").reset_index()
+
+    parts = hot_rows.map_batches(partial, batch_format="pandas").to_pandas()
+    comb = parts.groupby("__key").agg(cnt=("cnt", "sum"), maxc=("maxc", "max"),
+                                      mins=("mins", "min"),
+                                      maxs=("maxs", "max"))
+    size_d = comb["cnt"].to_dict()
+    win_d = comb["maxc"].to_dict()
+    conf_d = (comb["mins"] != comb["maxs"]).to_dict()
+    stats_ref = ray.put((size_d, win_d, conf_d))
+    holder: dict = {}
+
+    def stamp(df: pd.DataFrame) -> pd.DataFrame:
+        if "s" not in holder:
+            holder["s"] = ray.get(stats_ref)
+        size_d, win_d, conf_d = holder["s"]
+        key = df["repo"] + SEP + df["path"]
+        size = key.map(size_d).to_numpy(dtype=np.int64)
+        winner = key.map(win_d).to_numpy(dtype=object)
+        is_winner = df["commit"].to_numpy(dtype=object) == winner
+        out = df.copy()
+        out["matched_status"] = np.where(
+            size == 1, config.STATUS_STRICT,
+            np.where(is_winner, config.STATUS_LOOSE,
+                     config.STATUS_SUPERSEDED)).astype(np.int32)
+        out["r_stale_commit"] = (size > 1) & ~is_winner
+        out["group_conflict"] = key.map(conf_d).to_numpy(dtype=bool)
+        return out
+
+    return hot_rows.map_batches(stamp, batch_format="pandas")
+
+
+def _label_datasets_lazy(slim: "ray.data.Dataset", n_buckets: int,
+                         hot_keys: frozenset = frozenset(),
+                         group_size_file: str | None = None,
                          ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
-    s1 = slim.map_batches(
+    kernel = _counted_kernel(reconcile_group_kernel, group_size_file)
+    cold = slim
+    hot_labeled = None
+    if hot_keys:
+        hot_ref = ray.put(hot_keys)
+        holder: dict = {}
+
+        def split(keep_hot: bool):
+            def fn(df: pd.DataFrame) -> pd.DataFrame:
+                if "h" not in holder:
+                    holder["h"] = ray.get(hot_ref)
+                m = (df["repo"] + SEP + df["path"]).isin(holder["h"])
+                return df[m] if keep_hot else df[~m]
+            return fn
+
+        cold = slim.map_batches(split(False), batch_format="pandas")
+        hot_rows = (slim.map_batches(split(True), batch_format="pandas")
+                    .materialize())
+        hot_labeled = _hot_labeled_rows(hot_rows, hot_keys)
+    s1 = cold.map_batches(
         _add_bucket(lambda t: pd.Series(t.column("repo").to_pandas()
                                         + SEP + t.column("path").to_pandas()),
                     n_buckets),
         batch_format="pyarrow")
-    labeled = (s1.groupby("bucket").map_groups(reconcile_group_kernel,
+    labeled = (s1.groupby("bucket").map_groups(kernel,
                                                batch_format="pandas")
-               .drop_columns(["bucket"])
-               .materialize())
+               .drop_columns(["bucket"]))
+    if hot_labeled is not None:
+        labeled = labeled.union(hot_labeled)
+    labeled = labeled.materialize()
 
     import pyarrow.compute as pc
 

@@ -1,0 +1,97 @@
+"""auto_salt: hot-key profiling + salted reconcile plan equality.
+
+The salted plan must (a) detect the forced hot key from the count profile,
+(b) produce bit-identical label/loser tables to the unsalted bucketed
+shuffle, and (c) provably keep the hot group out of any single kernel
+invocation (max group size seen by the kernel < hot-key row count)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from dataquality_box_ray.ops.planner import SEP, auto_salt, key_count_profile
+from dataquality_box_ray.stages.reconcile import compute_label_datasets
+
+
+def _slim_with_hot(n_hot=4000, n_cold_keys=150, seed=11):
+    rng = np.random.default_rng(seed)
+    # hot key: one (repo,path), 3 commits, 2 distinct shas -> conflict,
+    # multi-commit -> LOOSE winner + SUPERSEDED losers
+    hot = pd.DataFrame({
+        "repo": "bigrepo",
+        "path": "hot/path.py",
+        "commit": rng.choice(["c1", "c5", "c9"], n_hot),
+        "sha_pre": rng.choice(["sA", "sB"], n_hot),
+        "r_null_empty": False,
+    })
+    # cold keys: 1-3 rows each, some exact-dup shas across keys
+    reps = rng.integers(1, 4, n_cold_keys)
+    idx = np.repeat(np.arange(n_cold_keys), reps)
+    cold = pd.DataFrame({
+        "repo": [f"r{i % 7}" for i in idx],
+        "path": [f"p/{i}.py" for i in idx],
+        "commit": [f"c{j}" for j in rng.integers(0, 9, len(idx))],
+        "sha_pre": [f"s{j}" for j in rng.integers(0, 40, len(idx))],
+        "r_null_empty": rng.random(len(idx)) < 0.05,
+    })
+    cold = cold.drop_duplicates(["repo", "path", "commit"])
+    return pd.concat([hot, cold], ignore_index=True)
+
+
+def _norm(ds, cols):
+    df = ds.to_pandas()
+    if not len(df):
+        return pd.DataFrame(columns=cols)
+    return (df[cols].sort_values(cols).reset_index(drop=True)
+            .astype(str))
+
+
+def test_profile_and_auto_salt_pick_hot_key():
+    pdf = _slim_with_hot()
+    ds = ray.data.from_pandas(pdf).repartition(8)
+    prof = key_count_profile(ds, ["repo", "path"]).to_pandas()
+    assert int(prof["n"].sum()) == len(pdf)
+    hot_key = "bigrepo" + SEP + "hot/path.py"
+    assert int(prof.loc[prof["__key"] == hot_key, "n"].iloc[0]) == 4000
+    hot = auto_salt(ds, ["repo", "path"], hot_share=0.5)
+    assert hot == frozenset({hot_key})
+    # nothing crosses a 99% threshold
+    assert auto_salt(ds, ["repo", "path"], hot_share=0.99) == frozenset()
+
+
+def test_salted_reconcile_matches_unsalted_and_shrinks_buckets(tmp_path):
+    pdf = _slim_with_hot()
+    ds = ray.data.from_pandas(pdf).repartition(8)
+    f_plain = str(tmp_path / "plain_sizes.txt")
+    f_salt = str(tmp_path / "salted_sizes.txt")
+
+    lab0, los0 = compute_label_datasets(ds, n_buckets=16,
+                                        group_size_file=f_plain)
+    lab1, los1 = compute_label_datasets(ds, n_buckets=16, hot_share=0.5,
+                                        group_size_file=f_salt)
+
+    lab_cols = ["repo", "path", "commit", "matched_status",
+                "r_stale_commit", "group_conflict"]
+    pd.testing.assert_frame_equal(_norm(lab1, lab_cols), _norm(lab0, lab_cols))
+    los_cols = ["repo", "path", "commit"]
+    pd.testing.assert_frame_equal(_norm(los1, los_cols), _norm(los0, los_cols))
+
+    # semantic spot-checks on the hot key itself
+    lab = lab1.to_pandas()
+    hot_lab = lab[(lab["repo"] == "bigrepo") & (lab["path"] == "hot/path.py")]
+    assert hot_lab["group_conflict"].all()          # 2 shas -> conflict
+    winners = hot_lab.loc[~hot_lab["r_stale_commit"], "commit"].unique()
+    assert list(winners) == ["c9"]                  # max commit wins
+
+    plain_max = max(int(x) for x in open(f_plain).read().split())
+    salt_max = max(int(x) for x in open(f_salt).read().split())
+    assert plain_max >= 4000        # hot key concentrates one bucket
+    assert salt_max < 4000          # salted: hot rows never enter the kernel
+
+
+def test_auto_salt_validates_share():
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"repo": ["a"], "path": ["b"]}))
+    with pytest.raises(ValueError):
+        auto_salt(ds, ["repo", "path"], hot_share=0.0)

@@ -105,3 +105,79 @@ def test_synth_wav_roundtrip_and_shared_kernel():
                           direct)
     # distinct rows give distinct tones
     assert mm.synth_wav_payload(8, 123) != p1
+
+
+# --- opportunistic REAL-codec integration (verdict r4 item 8) ---------------
+# These prove the DecodeFeatures seam against actual codec libraries the day
+# the container gains them; today they skip cleanly (no pip installs allowed).
+
+import importlib.util
+
+pil_missing = importlib.util.find_spec("PIL") is None
+
+
+@pytest.mark.skipif(pil_missing, reason="PIL not installed in this container")
+def test_real_pil_decoder_end_to_end():
+    """PIL plugged into the injectable seam: PNG payloads decoded inside the
+    actor-pool stage, and PIL's read of our P6 PPM lane must agree with the
+    pure-python ppm_feature_decoder on the same bytes."""
+    import io
+
+    from PIL import Image
+
+    def pil_decoder(payload: bytes) -> np.ndarray:
+        img = np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"),
+                         dtype=np.float64)
+        h, w, _ = img.shape
+        return np.concatenate([[w, h], img.mean(axis=(0, 1))])
+
+    # PNG lane: encode with PIL, decode through the distributed stage
+    rgb = (250, 10, 120)
+    img = Image.new("RGB", (4, 3), rgb)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    png = buf.getvalue()
+    t = mm.synth_media_table(1)
+    import pyarrow as pa
+    t = t.set_column(t.column_names.index("payload"), "payload",
+                     pa.array([png], type=mm.MEDIA_SCHEMA
+                              .field("payload").type))
+    out = mm.decode_features(ray.data.from_arrow(t),
+                             decoder=pil_decoder).to_pandas()
+    assert np.allclose(out.features.iloc[0], [4.0, 3.0, *rgb])
+
+    # cross-validate the pure-python PPM lane against PIL on identical bytes
+    ppm = _ppm_bytes(4, 3, rgb)
+    ours = mm.ppm_feature_decoder()(ppm)
+    theirs = pil_decoder(ppm)
+    assert np.allclose(ours, theirs)
+
+
+librosa_missing = importlib.util.find_spec("librosa") is None
+
+
+@pytest.mark.skipif(librosa_missing,
+                    reason="librosa not installed in this container")
+def test_real_librosa_decoder_end_to_end():
+    """librosa plugged into the injectable seam: its RMS over a PCM16 WAV
+    must agree with wav_feature_decoder's stdlib decode of the same bytes."""
+    import io
+
+    import librosa
+
+    def librosa_decoder(payload: bytes) -> np.ndarray:
+        y, sr = librosa.load(io.BytesIO(payload), sr=None)
+        zc = float(np.mean(librosa.zero_crossings(y)))
+        return np.array([float(np.sqrt(np.mean(y ** 2))), zc, float(sr)])
+
+    wav = _wav_bytes(200.0)
+    out = mm.decode_features(
+        ray.data.from_arrow(mm.synth_media_table(1).set_column(
+            mm.synth_media_table(1).column_names.index("payload"), "payload",
+            __import__("pyarrow").array([wav], type=mm.MEDIA_SCHEMA
+                                        .field("payload").type))),
+        decoder=librosa_decoder).to_pandas()
+    rms_lib = out.features.iloc[0][0]
+    rms_ours = mm.wav_feature_decoder()(wav)[0]
+    assert abs(rms_lib - rms_ours) < 1e-3
+    assert out.features.iloc[0][2] == 8000.0
