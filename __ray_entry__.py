@@ -85,6 +85,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": q.doc_repetition_stats,
         "doc_lang_heuristic": q.doc_lang_heuristic,
         "doc_decontaminate": q.doc_decontaminate,
+        "doc_decontaminate_distributed": q.doc_decontaminate_distributed,
+        "doc_shared_ngrams": q.doc_shared_ngrams,
+        "events_csv_source": q.events_csv_source,
+        "orders_jsonl_source": q.orders_jsonl_source,
         "doc_top_terms": q.doc_top_terms,
         "doc_top_discriminative_term": q.doc_top_discriminative_term,
         "doc_token_budget_mix": q.doc_token_budget_mix,

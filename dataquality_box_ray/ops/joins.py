@@ -64,7 +64,14 @@ def _broadcast_filter(ds: "ray.data.Dataset", keys, on: str, keep: bool
             return ds.map_batches(lambda t: t.slice(0, 0),
                                   batch_format="pyarrow")
         return ds
-    ref = ray.put(pa.array(list(key_set)))
+    vals = list(key_set)
+    try:
+        arr = pa.array(vals)
+    except (OverflowError, pa.ArrowInvalid):
+        # Python ints above 2^63-1 (e.g. uint64 window hashes) overflow the
+        # int64 inference; they are non-negative by construction
+        arr = pa.array(np.asarray(vals, dtype=np.uint64))
+    ref = ray.put(arr)
     holder: dict = {}
 
     def fn(t: pa.Table) -> pa.Table:
@@ -90,6 +97,58 @@ def broadcast_anti_join(ds: "ray.data.Dataset", keys: pd.DataFrame | set,
                         on: str) -> "ray.data.Dataset":
     """Drop rows whose `on` value appears in the broadcast key set (J1 form)."""
     return _broadcast_filter(ds, keys, on, keep=False)
+
+
+def membership_flag_join(ds: "ray.data.Dataset", keys_ds: "ray.data.Dataset",
+                         on: str, flag_col: str, keys_on: str | None = None,
+                         max_broadcast: int = MAX_BROADCAST_KEYS
+                         ) -> "ray.data.Dataset":
+    """LEFT semi-membership as a BOOLEAN column: every ``ds`` row kept, with
+    ``flag_col = (row.on ∈ keys_ds.keys_on)`` — the J7 hit-marker shape with
+    the broadcast-refusal escape hatch. Below ``max_broadcast`` distinct keys
+    the set ships once via ray.put and membership is a row-local isin; above
+    it a slim int8 marker table rides a hash-partitioned LEFT join and no
+    O(keys) structure reaches the driver."""
+    import ray as _ray
+
+    keys_on = keys_on or on
+    kd = distinct_ds(keys_ds.select_columns([keys_on]), keys_on).materialize()
+    if kd.count() <= max_broadcast:
+        key_set = set(kd.to_pandas()[keys_on])
+        ref = _ray.put(key_set)
+        holder: dict = {}
+
+        def flag(df: pd.DataFrame) -> pd.DataFrame:
+            if "s" not in holder:
+                holder["s"] = _ray.get(ref)
+            df = df.copy()
+            df[flag_col] = df[on].isin(holder["s"])
+            return df
+
+        return ds.map_batches(flag, batch_format="pandas")
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"__mk": df[keys_on],
+                             "__mv": np.ones(len(df), dtype=np.int8)})
+
+    marker = kd.map_batches(mark, batch_format="pandas")
+    l_types = _arrow_types(ds)
+    j = hash_join(ds, marker, on, "__mk", how="left_outer")
+
+    def norm(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        flag = pc.is_valid(t["__mv"])
+        out = t.drop_columns([c for c in ("__mv", "__mk")
+                              if c in t.column_names])
+        out = out.append_column(flag_col, flag)
+        # the fallback join's union padding widens ints to float; restore
+        # the input schema (every left row survives a left join, so values
+        # are integral and the cast is exact)
+        return out.cast(pa.schema(
+            [(c, l_types.get(c, out.schema.field(c).type))
+             for c in out.column_names]))
+
+    return j.map_batches(norm, batch_format="pyarrow")
 
 
 def completeness_check(target: "ray.data.Dataset", source: "ray.data.Dataset",

@@ -311,6 +311,129 @@ def decontaminate(ds: "ray.data.Dataset", benchmark_hashes: np.ndarray,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _window_hash_rows(ds: "ray.data.Dataset", text_col: str, id_col: str,
+                      n: int) -> "ray.data.Dataset":
+    """Slim (``__wh`` uint64 window hash, id) rows — every DISTINCT token
+    n-gram of every document, one 16-byte row each. The token stream never
+    leaves its batch; only these rows ride downstream shuffles."""
+    def fn(t: pa.Table) -> pd.DataFrame:
+        col = (t[text_col].combine_chunks()
+               if isinstance(t[text_col], pa.ChunkedArray) else t[text_col])
+        ids = (t[id_col].combine_chunks()
+               if isinstance(t[id_col], pa.ChunkedArray)
+               else t[id_col]).to_numpy(zero_copy_only=False)
+        flat, doc_idx = _norm_tokens(col)
+        if not len(flat):
+            return pd.DataFrame({"__wh": pd.Series([], dtype=np.uint64),
+                                 id_col: pd.Series([], dtype=ids.dtype)})
+        th = _hash_tokens(flat)
+        wh, wd = _ngram_hashes(th, doc_idx, n)
+        return pd.DataFrame({"__wh": wh,
+                             id_col: ids[wd]}).drop_duplicates()
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def decontaminate_distributed(ds: "ray.data.Dataset",
+                              bench_ds: "ray.data.Dataset",
+                              text_col: str = "text",
+                              id_col: str = "doc_id",
+                              bench_text_col: str | None = None,
+                              n: int = _DECONTAM_N,
+                              flag_col: str = "contaminated",
+                              max_broadcast: int | None = None,
+                              ) -> "ray.data.Dataset":
+    """Decontamination when the benchmark set is TOO LARGE to broadcast —
+    the shuffle complement to `decontaminate` (which ships a sorted hash
+    array via ray.put). The benchmark stays a distributed slim table of
+    first-window hashes (same windows as `ngram_set_of`); corpus documents
+    explode to distinct (window-hash, id) 16-byte rows; a bucketed semi join
+    finds contaminated ids; the boolean flag attaches through
+    `membership_flag_join`'s broadcast-or-marker plan. Output is row-for-row
+    identical to the broadcast path — `doc_decontaminate_distributed` shares
+    `doc_decontaminate`'s SQL oracle to prove it.
+
+    Scale shape: no O(benchmark) structure ever reaches the driver; shuffle
+    volume is O(distinct corpus windows + benchmark phrases), never O(text
+    bytes)."""
+    bench_text_col = bench_text_col or text_col
+
+    def bench_fn(t: pa.Table) -> pd.DataFrame:
+        col = (t[bench_text_col].combine_chunks()
+               if isinstance(t[bench_text_col], pa.ChunkedArray)
+               else t[bench_text_col])
+        flat, doc_idx = _norm_tokens(col)
+        if not len(flat):
+            return pd.DataFrame({"__wh": pd.Series([], dtype=np.uint64)})
+        th = _hash_tokens(flat)
+        wh, wd = _ngram_hashes(th, doc_idx, n)
+        if not len(wh):
+            return pd.DataFrame({"__wh": pd.Series([], dtype=np.uint64)})
+        first = np.r_[True, wd[1:] != wd[:-1]]   # doc_idx is nondecreasing
+        return pd.DataFrame({"__wh": wh[first]})
+
+    from .joins import MAX_BROADCAST_KEYS, membership_flag_join, \
+        semi_join_auto
+
+    cap = MAX_BROADCAST_KEYS if max_broadcast is None else max_broadcast
+    bench_tbl = bench_ds.map_batches(bench_fn, batch_format="pyarrow")
+    win = _window_hash_rows(ds, text_col, id_col, n)
+    hits = semi_join_auto(win, bench_tbl, "__wh", max_broadcast=cap)
+    return membership_flag_join(ds, hits.select_columns([id_col]),
+                                id_col, flag_col, max_broadcast=cap)
+
+
+def shared_ngram_counts(ds: "ray.data.Dataset", text_col: str = "text",
+                        id_col: str = "doc_id", n: int = _DECONTAM_N,
+                        n_buckets: int = 64) -> "ray.data.Dataset":
+    """Cross-document repeated n-gram detection — the discovery half of
+    substring-level dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", ACL'22: duplicated spans across documents are
+    the highest-value dedup target). Per document, counts its distinct token
+    n-grams that also appear in AT LEAST ONE other document.
+
+    Shape: distinct (window-hash, id) slim rows; ONE bucketed shuffle on
+    hash(window) — a window's rows all land in one bucket, so the
+    distinct-doc count per window is exact in-bucket; windows with ≥2 docs
+    emit (id, 1) partials; a second slim grouped sum yields per-doc counts.
+    Documents with zero shared n-grams don't appear (join back with
+    `membership_flag_join` if a dense flag is needed). Exact modulo 2^64
+    rolling-hash collisions (see `ngram_jaccard_pairs_ds` for the bound)."""
+    from ..stages.reconcile import bucket_of
+    from .aggregates import _bucketed_groups
+
+    win = _window_hash_rows(ds, text_col, id_col, n)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (df["__wh"].to_numpy()
+                     % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def shared_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "n_shared": pd.Series([], dtype=np.int64)})
+        # rows are distinct (window, doc); windows seen in >= 2 rows are
+        # shared across >= 2 docs
+        codes, _ = pd.factorize(df["__wh"])
+        cnt = np.bincount(codes)[codes]
+        kept = df.loc[cnt >= 2]
+        return (kept.groupby(id_col, sort=False).size()
+                .reset_index(name="n_shared"))
+
+    partial = (win.map_batches(add_bucket, batch_format="pandas")
+               .groupby("__b").map_groups(
+                   lambda d: shared_in_bucket(d.drop(columns=["__b"])),
+                   batch_format="pandas"))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby(id_col, sort=False)["n_shared"].sum()
+                .reset_index())
+
+    return _bucketed_groups(partial, id_col, combine, 32)
+
+
 def top_discriminative_term(ds: "ray.data.Dataset", text_col: str = "text",
                             id_col: str = "doc_id", n_buckets: int = 64,
                             ) -> "ray.data.Dataset":

@@ -918,6 +918,49 @@ def build() -> dict[str, str]:
         FROM d ORDER BY d.doc_id
     """
 
+    # Source-format lanes: the Ray side reads a CSV/JSONL roundtrip of the
+    # table; the oracle aggregates the parquet view directly — equality
+    # proves reader value fidelity AND the aggregate.
+    sql["events_csv_source"] = """
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(user_id)::BIGINT AS sum_user,
+               max(event_id)::BIGINT AS max_event
+        FROM events GROUP BY event_type ORDER BY event_type
+    """
+    sql["orders_jsonl_source"] = """
+        SELECT o_orderpriority, count(*)::BIGINT AS n,
+               sum(o_custkey)::BIGINT AS sum_cust,
+               max(o_orderkey)::BIGINT AS max_order
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+    # The shuffle-path decontamination must be bit-identical to the
+    # broadcast path — same oracle.
+    sql["doc_decontaminate_distributed"] = sql["doc_decontaminate"]
+
+    # Cross-doc repeated 8-token n-grams (ops/text.shared_ngram_counts):
+    # string-window DISTINCT per doc, shared = appears in >= 2 docs.
+    sql["doc_shared_ngrams"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')),
+                                    '[a-z0-9]+') AS toks
+          FROM documents),
+        i AS (
+          SELECT doc_id, toks,
+                 unnest(generate_series(1, len(toks) - 7)) AS i
+          FROM d),
+        wd AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(toks, i, i + 7), ' ') AS gram
+          FROM i),
+        shared AS (
+          SELECT gram FROM wd GROUP BY gram HAVING count(*) >= 2)
+        SELECT wd.doc_id, count(*)::BIGINT AS n_shared
+        FROM wd JOIN shared USING (gram)
+        GROUP BY wd.doc_id ORDER BY wd.doc_id
+    """
+
     # Top-k terms per source (ops/text.top_terms); ties broken by term asc.
     sql["doc_top_terms"] = r"""
         WITH w AS (

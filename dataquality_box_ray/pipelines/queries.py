@@ -636,6 +636,118 @@ def doc_decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _export_side_file(sf_dir: str, table: str, cols: list[str],
+                      fmt: str) -> str:
+    """Deterministic test scaffolding for the CSV/JSONL source lanes: export
+    a column slice of a testdata parquet table once per (sf, table, fmt)
+    under /tmp (tmp-write + atomic rename). The LANE under test is the
+    distributed `sources.read(fmt, path)` that reads it back — this export
+    is driver-side by design (it manufactures the external file a user
+    would already have)."""
+    import os
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    tag = pathlib.Path(sf_dir).name
+    out = f"/tmp/dq_src_cache/{tag}/{table}.{fmt}"
+    if not os.path.exists(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=cols)
+        tmp = out + ".tmp"
+        if fmt == "csv":
+            import pyarrow.csv as pacsv
+            pacsv.write_csv(t, tmp)
+        else:                                    # jsonl
+            with open(tmp, "w") as f:
+                t.to_pandas().to_json(f, orient="records", lines=True)
+        os.replace(tmp, out)
+    return out
+
+
+def events_csv_source(sf_dir: str) -> pd.DataFrame:
+    """CSV source lane (S1 family): events roundtripped through a CSV file
+    and read back with the registry's distributed `read_csv`, then a
+    combiner-style grouped aggregate. The oracle aggregates the PARQUET view
+    — a green hash proves both the reader's value fidelity (integer/string
+    columns roundtrip exactly) and the aggregate."""
+    from .. import sources
+
+    path = _export_side_file(sf_dir, "events",
+                             ["event_id", "user_id", "event_type"], "csv")
+    ds = sources.read("csv", path)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False)
+        return g.agg(n=("event_id", "size"), sum_user=("user_id", "sum"),
+                     max_event=("event_id", "max")).reset_index()
+
+    parts = ds.map_batches(local, batch_format="pandas").to_pandas()
+    out = (parts.groupby("event_type")
+           .agg(n=("n", "sum"), sum_user=("sum_user", "sum"),
+                max_event=("max_event", "max")).reset_index())
+    out = out.astype({"n": np.int64, "sum_user": np.int64,
+                      "max_event": np.int64})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def orders_jsonl_source(sf_dir: str) -> pd.DataFrame:
+    """JSONL source lane: orders roundtripped through newline-delimited JSON
+    and read back with the registry's distributed `read_json`; same
+    parquet-view oracle discipline as the CSV lane."""
+    from .. import sources
+
+    path = _export_side_file(sf_dir, "orders",
+                             ["o_orderkey", "o_custkey", "o_orderpriority"],
+                             "jsonl")
+    ds = sources.read("json", path)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", sort=False)
+        return g.agg(n=("o_orderkey", "size"), sum_cust=("o_custkey", "sum"),
+                     max_order=("o_orderkey", "max")).reset_index()
+
+    parts = ds.map_batches(local, batch_format="pandas").to_pandas()
+    out = (parts.groupby("o_orderpriority")
+           .agg(n=("n", "sum"), sum_cust=("sum_cust", "sum"),
+                max_order=("max_order", "max")).reset_index())
+    out = out.astype({"n": np.int64, "sum_cust": np.int64,
+                      "max_order": np.int64})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def doc_decontaminate_distributed(sf_dir: str) -> pd.DataFrame:
+    """Same benchmark and same SQL oracle as `doc_decontaminate`, through the
+    SHUFFLE path for beyond-broadcast benchmark sets: benchmark first-window
+    hashes stay a distributed slim table, corpus docs explode to distinct
+    (window-hash, id) rows, a semi join finds contaminated ids, and the flag
+    attaches via the marker join. Both refusal caps are forced to 1 so the
+    hash-partitioned plans run even at this scale — a green hash proves the
+    no-driver-structure path bit-matches the broadcast one."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[df["doc_id"] % 50 == 0, ["text"]]
+
+    bench = docs.map_batches(bench_rows, batch_format="pandas")
+    out = (text.decontaminate_distributed(docs, bench, max_broadcast=1)
+           .select_columns(["doc_id", "contaminated"]).to_pandas())
+    out["contaminated"] = out.contaminated.astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def doc_shared_ngrams(sf_dir: str) -> pd.DataFrame:
+    """Cross-document repeated n-gram counts (the discovery half of
+    substring-level dedup, Lee et al. ACL'22): per doc, how many of its
+    distinct 8-token n-grams appear in at least one OTHER document. One
+    bucketed shuffle of 16-byte (window-hash, id) rows + a slim grouped
+    sum; the text never shuffles."""
+    out = text.shared_ngram_counts(
+        _read(sf_dir, "documents", ["doc_id", "text"])).to_pandas()
+    out = out.astype({"doc_id": np.int64, "n_shared": np.int64})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def doc_top_terms(sf_dir: str) -> pd.DataFrame:
     """Top-20 terms per source (combiner pattern: batch-local partial counts,
     bucketed combine, per-group top-k — the token stream never shuffles)."""

@@ -460,3 +460,62 @@ def test_hash_split_deterministic_proportions():
             == again.sort_values("doc_id")["split"].to_numpy()).all()
     with pytest.raises(ValueError):
         agg.hash_split(docs, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_membership_flag_join_both_paths():
+    from dataquality_box_ray.ops.joins import membership_flag_join
+    df = pd.DataFrame({"k": [1, 2, 3, 4, 5], "v": list("abcde")})
+    keys = pd.DataFrame({"k": [2, 4, 4, 9]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    kd = ray.data.from_pandas(keys)
+    exp = df.assign(flag=df.k.isin({2, 4})).sort_values("k")
+    for cap in (10, 1):          # broadcast path, then forced marker join
+        got = (membership_flag_join(ds, kd, "k", "flag", max_broadcast=cap)
+               .to_pandas().sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["k", "v", "flag"]], exp.reset_index(drop=True))
+
+
+def test_decontaminate_distributed_matches_broadcast():
+    from dataquality_box_ray.ops import text as t
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": [
+            "the quick brown fox jumps over the lazy dog today",   # bench
+            "THE QUICK brown fox! jumps over the lazy dog tomorrow",  # hit
+            "completely unrelated words in this one document here",
+            "short doc",                                            # <8 tokens
+            "the quick brown fox jumps over the lazy cat",          # hit
+            "another unrelated document with enough tokens to count",
+            "padding words fill this eighth doc with text ok",
+            "more filler so the corpus has variety in it now"]})
+    ds = ray.data.from_pandas(docs).repartition(3)
+    bench = ray.data.from_pandas(docs.loc[[0], ["text"]])
+    bcast = t.decontaminate(
+        ds, t.ngram_set_of([docs.text[0]], n=8), n=8).to_pandas()
+    for cap in (None, 1):
+        dist = t.decontaminate_distributed(ds, bench, n=8,
+                                           max_broadcast=cap).to_pandas()
+        a = bcast.sort_values("doc_id").reset_index(drop=True)
+        b = dist.sort_values("doc_id").reset_index(drop=True)
+        assert list(a.contaminated) == list(b.contaminated)
+    assert bool(a.contaminated[0]) and bool(a.contaminated[1]) \
+        and bool(a.contaminated[4])
+    assert not a.contaminated[2] and not a.contaminated[3]
+
+
+def test_shared_ngram_counts_semantics():
+    from dataquality_box_ray.ops import text as t
+    shared = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [shared + " one two three",
+                 "prefix words " + shared,
+                 "totally different text with eight tokens here now ok",
+                 "tiny"]})
+    ds = ray.data.from_pandas(docs).repartition(2)
+    out = (t.shared_ngram_counts(ds, n=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # only the one 8-gram window `shared` is common to docs 0 and 1
+    assert list(out.doc_id) == [0, 1]
+    assert list(out.n_shared) == [1, 1]
