@@ -170,12 +170,13 @@ def compute_label_datasets(slim: "ray.data.Dataset",
     datasets are materialized (they are slim; counting must not re-run the
     two shuffles).
 
-    ``hot_share``: when set, an `ops.planner.auto_salt` profile pass runs
-    first and any (repo,path) key holding ≥ that share of rows is pulled OUT
-    of the bucketed groupby — its labels come from per-block combiner
-    partials (count/max-commit/sha-extremes are all combinable) merged on
-    the driver and stamped back row-locally, so the hot group never lands on
-    one worker. Identical output to the unsalted plan (see
+    ``hot_share``: when set, `ops.planner.auto_salt` profile passes guard
+    BOTH shuffles — any (repo,path) key holding ≥ that share of rows is
+    pulled OUT of the reconcile groupby (labels from per-block combiner
+    partials: count/max-commit/sha-extremes are all combinable), and any
+    content sha holding ≥ that share of surviving rows is pulled out of the
+    dedup groupby (canonical key = combinable min). Neither hot group ever
+    lands on one worker. Identical output to the unsalted plan (see
     tests/test_auto_salt.py).
 
     ``group_size_file``: observability seam — every kernel invocation
@@ -186,7 +187,8 @@ def compute_label_datasets(slim: "ray.data.Dataset",
         from ..ops.planner import auto_salt
         hot = auto_salt(slim, ["repo", "path"], hot_share=hot_share)
     labels_ds, losers_ds = _label_datasets_lazy(
-        slim, n_buckets, hot_keys=hot, group_size_file=group_size_file)
+        slim, n_buckets, hot_keys=hot, group_size_file=group_size_file,
+        hot_share=hot_share)
     return labels_ds.materialize(), losers_ds.materialize()
 
 
@@ -283,9 +285,38 @@ def _hot_labeled_rows(hot_rows: "ray.data.Dataset", hot: frozenset,
     return hot_rows.map_batches(stamp, batch_format="pandas")
 
 
+def _hot_sha_losers(cand_hot: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Dedup losers of HOT content shas without co-locating the sha group:
+    the canonical (minimum) key per sha is combinable — per-block min
+    partials, a driver merge over ≤ (hot shas × blocks) rows, a broadcast
+    row-local stamp. Same combiner-salting shape as `_hot_labeled_rows`;
+    output matches `dedup_group_kernel` on the same rows."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"sha_pre": pd.Series([], dtype=object),
+                                 "mink": pd.Series([], dtype=object)})
+        return (_key_series(df).groupby(df["sha_pre"].to_numpy(), sort=False)
+                .min().rename("mink").rename_axis("sha_pre").reset_index())
+
+    parts = cand_hot.map_batches(partial, batch_format="pandas").to_pandas()
+    canon = parts.groupby("sha_pre")["mink"].min().to_dict()
+    ref = ray.put(canon)
+    holder: dict = {}
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        if "c" not in holder:
+            holder["c"] = ray.get(ref)
+        keep = _key_series(df).to_numpy(dtype=object) != \
+            df["sha_pre"].map(holder["c"]).to_numpy(dtype=object)
+        return df.loc[keep, ["repo", "path", "commit"]]
+
+    return cand_hot.map_batches(losers, batch_format="pandas")
+
+
 def _label_datasets_lazy(slim: "ray.data.Dataset", n_buckets: int,
                          hot_keys: frozenset = frozenset(),
                          group_size_file: str | None = None,
+                         hot_share: float | None = None,
                          ) -> tuple["ray.data.Dataset", "ray.data.Dataset"]:
     kernel = _counted_kernel(reconcile_group_kernel, group_size_file)
     cold = slim
@@ -334,11 +365,35 @@ def _label_datasets_lazy(slim: "ray.data.Dataset", n_buckets: int,
         lambda t: t.filter(pc.invert(pc.or_(t["r_stale_commit"],
                                             t["r_null_empty"]))),
         batch_format="pyarrow")
+    hot_losers = None
+    if hot_share is not None:
+        from ..ops.planner import auto_salt
+        hot_shas = auto_salt(cand, ["sha_pre"], hot_share=hot_share)
+        if hot_shas:
+            sref = ray.put(hot_shas)
+            sholder: dict = {}
+
+            def sha_split(keep_hot: bool):
+                def fn(df: pd.DataFrame) -> pd.DataFrame:
+                    if "h" not in sholder:
+                        sholder["h"] = ray.get(sref)
+                    m = df["sha_pre"].isin(sholder["h"])
+                    return df[m] if keep_hot else df[~m]
+                return fn
+
+            cand_hot = (cand.map_batches(sha_split(True),
+                                         batch_format="pandas")
+                        .materialize())
+            cand = cand.map_batches(sha_split(False), batch_format="pandas")
+            hot_losers = _hot_sha_losers(cand_hot)
     s2 = cand.map_batches(
         _add_bucket(lambda t: pd.Series(t.column("sha_pre").to_pandas()), n_buckets),
         batch_format="pyarrow")
-    losers_ds = s2.groupby("bucket").map_groups(dedup_group_kernel,
-                                                batch_format="pandas")
+    losers_ds = s2.groupby("bucket").map_groups(
+        _counted_kernel(dedup_group_kernel, group_size_file),
+        batch_format="pandas")
+    if hot_losers is not None:
+        losers_ds = losers_ds.union(hot_losers)
     return labels_ds, losers_ds
 
 

@@ -95,3 +95,45 @@ def test_auto_salt_validates_share():
         {"repo": ["a"], "path": ["b"]}))
     with pytest.raises(ValueError):
         auto_salt(ds, ["repo", "path"], hot_share=0.0)
+
+
+def test_salted_sha_dedup_matches_unsalted_and_shrinks_buckets(tmp_path):
+    """A viral content sha (one document duplicated across thousands of
+    distinct keys) concentrates the dedup shuffle's bucket; the salted plan
+    must emit identical losers while its dedup kernel never sees the hot
+    group."""
+    rng = np.random.default_rng(3)
+    n_hot = 5000
+    hot = pd.DataFrame({
+        "repo": [f"r{i % 11}" for i in range(n_hot)],
+        "path": [f"viral/{i}.py" for i in range(n_hot)],   # distinct keys
+        "commit": "c1",                                     # all STRICT
+        "sha_pre": "viral_sha",
+        "r_null_empty": False,
+    })
+    cold = pd.DataFrame({
+        "repo": [f"q{i % 5}" for i in range(300)],
+        "path": [f"c/{i}.py" for i in range(300)],
+        "commit": [f"c{j}" for j in rng.integers(0, 9, 300)],
+        "sha_pre": [f"s{j}" for j in rng.integers(0, 80, 300)],
+        "r_null_empty": False,
+    })
+    pdf = pd.concat([hot, cold], ignore_index=True)
+    ds = ray.data.from_pandas(pdf).repartition(8)
+    f_plain = str(tmp_path / "p.txt")
+    f_salt = str(tmp_path / "s.txt")
+
+    lab0, los0 = compute_label_datasets(ds, n_buckets=16,
+                                        group_size_file=f_plain)
+    lab1, los1 = compute_label_datasets(ds, n_buckets=16, hot_share=0.5,
+                                        group_size_file=f_salt)
+    cols = ["repo", "path", "commit"]
+    pd.testing.assert_frame_equal(_norm(los1, cols), _norm(los0, cols))
+    # the viral sha keeps exactly one canonical key
+    los = _norm(los1, cols)
+    assert (los.path.str.startswith("viral/")).sum() == n_hot - 1
+
+    plain_max = max(int(x) for x in open(f_plain).read().split())
+    salt_max = max(int(x) for x in open(f_salt).read().split())
+    assert plain_max >= n_hot
+    assert salt_max < n_hot
