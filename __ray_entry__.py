@@ -138,6 +138,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_ivf_topk": q.embedding_ivf_topk,
         "embedding_near_dup_pairs": q.embedding_near_dup_pairs,
         "embedding_dedup": q.embedding_dedup,
+        # clustering / semantic dedup (fixed-point distributed k-means)
+        "embedding_kmeans_profile": q.embedding_kmeans_profile,
+        "embedding_semantic_dedup": q.embedding_semantic_dedup,
+        # windowed / robust-stats additions
+        "events_user_rolling_sum": q.events_user_rolling_sum,
+        "event_value_mad_outliers": q.event_value_mad_outliers,
     }
 
 

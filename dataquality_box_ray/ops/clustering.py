@@ -1,0 +1,224 @@
+"""Distributed embedding clustering and semantic (cluster-local) dedup.
+
+- ``kmeans_fit``: full-data distributed spherical k-means (Lloyd's). Each
+  iteration is ONE streaming pass: every block emits a tiny (k x d)
+  FIXED-POINT partial (int64 sums + counts per centroid) and the driver
+  folds the partials. Integer accumulation is exactly associative, so the
+  fit is bit-reproducible under ANY block layout, task order, or cluster
+  size — the property both the sequential-oracle compare and a resumable
+  256-node run need (float partial sums would drift with reduction order).
+- ``kmeans_assign``: row-local assignment against broadcast centroids
+  (integer dot products, first-max tie-break — deterministic).
+- ``semantic_dedup``: SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+  k-means-partition the corpus, then inside each cluster drop members whose
+  integer-exact cosine to another member is >= eps, keeping each duplicate
+  component's min id. The quantizer bounds the pairwise work to
+  O(sum cluster_size^2) instead of O(n^2); at scale, k is chosen so n/k
+  rows fit a worker (see ``max_cluster_rows``).
+
+Reference family: embedding near-dup dedup (hyperplane LSH) in
+`ops/dedup.py` — this is the quantizer-partitioned variant whose bucket
+sizes are controlled by k rather than by the corpus's hash-bucket skew.
+Reference analogue for the dedup-vs-policy shape:
+`plugins/services/reconciliation_runner.py` keep-one semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray
+import ray.data
+
+from .similarity import _normalize, sample_embeddings
+
+# Fixed-point scales. Vectors are unit-normalized, so |component| <= 1:
+# _Q_VEC-scaled int dot of two d=64 vectors <= 64 * 2^40 < 2^47 (int64-safe);
+# _Q_SUM-scaled component sums over 2^30 rows stay < 2^54.
+_Q_VEC = 1 << 20          # quantized vector for integer dot products
+_Q_SUM = 1 << 24          # quantized vector for exact partial sums
+_Q_DOT = _Q_VEC * _Q_VEC  # scale of an integer dot product
+
+
+def quantize(m: np.ndarray, scale: int = _Q_VEC) -> np.ndarray:
+    """Deterministic int64 quantization of a (unit-norm) float matrix."""
+    return np.rint(np.asarray(m, dtype=np.float64) * scale).astype(np.int64)
+
+
+def assign_int(x_q: np.ndarray, cent_q: np.ndarray) -> np.ndarray:
+    """Nearest-centroid assignment on integer dot products. Exact int64
+    arithmetic + argmax first-max tie-break => the same answer on every
+    engine, block layout, and BLAS build."""
+    return (x_q @ cent_q.T).argmax(axis=1)
+
+
+def fold_partials(parts: pd.DataFrame, k: int, d: int,
+                  prev: np.ndarray) -> np.ndarray:
+    """Fold (cluster, n, s_0..s_{d-1}) int64 partials into new unit-norm
+    centroids; clusters with no members keep their previous centroid."""
+    g = parts.groupby("cluster", sort=True).sum()
+    cent = prev.copy()
+    for c, row in g.iterrows():
+        n = int(row["n"])
+        if n == 0:
+            continue
+        v = row.iloc[1:].to_numpy(dtype=np.float64) / (n * _Q_SUM)
+        nv = np.linalg.norm(v)
+        if nv:
+            cent[int(c)] = v / nv
+    return cent
+
+
+def _partial_cols(d: int) -> list[str]:
+    return ["cluster", "n"] + [f"s_{i}" for i in range(d)]
+
+
+def kmeans_fit(ds: "ray.data.Dataset", emb_col: str, k: int = 16,
+               iters: int = 8, sample_rows: int = 2048,
+               seed: int = 13) -> np.ndarray:
+    """Distributed spherical k-means over the FULL dataset.
+
+    Init: k rows drawn (seeded) from the hash-ranked representative sample
+    (`sample_embeddings` — uniform over the whole corpus, not a block
+    prefix). Each Lloyd iteration streams the dataset once; blocks emit
+    fixed-point (k x d) partials, the driver folds ~k*d ints per block —
+    the only driver-side state is the k x d centroid matrix itself.
+    Returns float64 unit-norm centroids, bit-identical for any block
+    layout."""
+    x = _normalize(sample_embeddings(ds, emb_col, sample_rows))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    k = len(cent)
+    d = cent.shape[1]
+    cols = _partial_cols(d)
+
+    for _ in range(iters):
+        cent_q_ref = ray.put(quantize(cent))
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            cq = ray.get(cent_q_ref)
+            m = _normalize(np.stack(df[emb_col].to_numpy())
+                           .astype(np.float64))
+            a = assign_int(quantize(m), cq)
+            sums = np.zeros((k, d), dtype=np.int64)
+            np.add.at(sums, a, quantize(m, _Q_SUM))
+            n = np.bincount(a, minlength=k).astype(np.int64)
+            out = np.column_stack(
+                [np.arange(k, dtype=np.int64), n, sums])
+            return pd.DataFrame(out, columns=cols)
+
+        parts = (ds.select_columns([emb_col])
+                 .map_batches(partial, batch_format="pandas").to_pandas())
+        cent = fold_partials(parts, k, d, cent)
+    return cent
+
+
+def kmeans_assign(ds: "ray.data.Dataset", emb_col: str,
+                  centroids: np.ndarray,
+                  out_col: str = "cluster_id") -> "ray.data.Dataset":
+    """Row-local cluster assignment against broadcast centroids."""
+    cent_q_ref = ray.put(quantize(centroids))
+
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        cq = ray.get(cent_q_ref)
+        m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+        df = df.copy()
+        df[out_col] = assign_int(quantize(m), cq)
+        return df
+
+    return ds.map_batches(add, batch_format="pandas")
+
+
+def kmeans_profile(ds: "ray.data.Dataset", emb_col: str, id_col: str,
+                   centroids: np.ndarray) -> pd.DataFrame:
+    """Per-cluster (cluster_id, n, min_id, mean_cos) — size, smallest member
+    id and mean cosine-to-own-centroid, the fit-quality scoreboard. One
+    streaming pass; per-block partials are k rows of ints (the cosine sum
+    rides as a _Q_DOT-scaled int64, so the fold stays exact)."""
+    cent_q_ref = ray.put(quantize(centroids))
+    k = len(centroids)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cq = ray.get(cent_q_ref)
+        m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+        xq = quantize(m)
+        dots = xq @ cq.T
+        a = dots.argmax(axis=1)
+        ids = df[id_col].to_numpy()
+        n = np.bincount(a, minlength=k).astype(np.int64)
+        simsum = np.zeros(k, dtype=np.int64)
+        np.add.at(simsum, a, dots[np.arange(len(a)), a])
+        min_id = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(min_id, a, ids)
+        return pd.DataFrame({"cluster_id": np.arange(k, dtype=np.int64),
+                             "n": n, "min_id": min_id, "simsum": simsum})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = parts.groupby("cluster_id", sort=True).agg(
+        n=("n", "sum"), min_id=("min_id", "min"), simsum=("simsum", "sum"))
+    g = g[g["n"] > 0].reset_index()
+    g["mean_cos"] = (g["simsum"] / (g["n"] * _Q_DOT)).round(6)
+    return g.drop(columns=["simsum"])
+
+
+def cluster_local_dedup_kernel(df: pd.DataFrame, emb_col: str, id_col: str,
+                               eps_q: int) -> pd.DataFrame:
+    """Keep-min-id dedup of ONE cluster's members: integer pairwise dots,
+    edges where dot >= eps_q, union-find components, min id survives.
+    Shared verbatim by the engine (per bucket) and the sequential oracle
+    (per cluster) — the orchestration differs, the kernel cannot."""
+    df = df.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+    m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+    q = quantize(m)
+    sims = q @ q.T
+    iu, ju = np.triu_indices(len(df), k=1)
+    hit = sims[iu, ju] >= eps_q
+    parent = np.arange(len(df))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i, j in zip(iu[hit], ju[hit]):
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[max(ri, rj)] = min(ri, rj)
+    roots = np.array([find(i) for i in range(len(df))])
+    return df.loc[np.unique(roots), [id_col]]
+
+
+def semantic_dedup(ds: "ray.data.Dataset", emb_col: str, id_col: str,
+                   centroids: np.ndarray, eps: float = 0.97,
+                   max_cluster_rows: int = 2_000_000) -> pd.DataFrame:
+    """SemDeDup: assign each row to its k-means cluster, then run the
+    keep-min-id near-identical dedup INSIDE each cluster (cosine >= eps,
+    integer-exact). Returns surviving ids as a small (id) frame.
+
+    Scale contract: pairwise work is bounded per cluster; pick k so that
+    n/k rows (x d floats) fit one worker — clusters above
+    ``max_cluster_rows`` raise with that advice rather than silently OOM
+    a worker. Cross-cluster near-dups are out of contract (SemDeDup's own
+    approximation: the quantizer IS the blocking function)."""
+    eps_q = int(round(eps * _Q_DOT))
+    assigned = kmeans_assign(ds.select_columns([id_col, emb_col]),
+                             emb_col, centroids)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, grp in df.groupby("cluster_id", sort=False):
+            if len(grp) > max_cluster_rows:
+                raise ValueError(
+                    f"semantic_dedup cluster of {len(grp)} rows exceeds "
+                    f"max_cluster_rows={max_cluster_rows}; raise k so "
+                    "clusters fit a worker (pairwise work is O(size^2))")
+            outs.append(cluster_local_dedup_kernel(
+                grp, emb_col, id_col, eps_q))
+        return (pd.concat(outs, ignore_index=True) if outs
+                else pd.DataFrame({id_col: pd.Series([], dtype=np.int64)}))
+
+    kept = (assigned.groupby("cluster_id")
+            .map_groups(per_bucket, batch_format="pandas").to_pandas())
+    return kept.sort_values(id_col).reset_index(drop=True)

@@ -753,6 +753,30 @@ def build() -> dict[str, str]:
         FROM t GROUP BY event_type ORDER BY event_type
     """
 
+    sql["events_user_rolling_sum"] = f"""
+        WITH t AS (SELECT event_id, user_id, ts,
+                     {_cents_sql('value')} AS c
+                   FROM events)
+        SELECT event_id,
+               (sum(c) OVER w)::BIGINT AS rsum_cents,
+               (count(c) OVER w)::BIGINT AS n_win
+        FROM t
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """
+
+    sql["event_value_mad_outliers"] = f"""
+        WITH t AS (SELECT event_id, {_cents_sql('value')} AS value_cents
+                   FROM events),
+        m AS (SELECT quantile_disc(value_cents, 0.5)::BIGINT AS med FROM t),
+        d AS (SELECT quantile_disc(abs(t.value_cents - m.med), 0.5)::BIGINT
+                  AS mad FROM t, m)
+        SELECT t.event_id, t.value_cents FROM t, m, d
+        WHERE abs(t.value_cents - m.med) * 10000 > 44478 * d.mad
+        ORDER BY t.event_id
+    """
+
     sql["doc_quality_scores"] = r"""
         WITH c AS (
           SELECT doc_id,
@@ -1086,6 +1110,7 @@ def build() -> dict[str, str]:
                  "doc_simhash_dedup", "doc_fingerprints",
                  "embedding_lsh_topk", "embedding_ivf_topk",
                  "embedding_near_dup_pairs", "embedding_dedup",
+                 "embedding_kmeans_profile", "embedding_semantic_dedup",
                  "two_tier_events", "multimodal_wav_features",
                  "multimodal_ppm_features"):
         path = sketch_oracles.dump(name, _CORRECTNESS_SF_DIR)

@@ -1714,3 +1714,102 @@ def events_hopping_counts(sf_dir: str) -> pd.DataFrame:
     out = out.astype({"window_start_us": np.int64, "n": np.int64})
     return out.sort_values(["event_type", "window_start_us"]
                            ).reset_index(drop=True)
+
+
+def embedding_kmeans_profile(sf_dir: str) -> pd.DataFrame:
+    """Distributed full-data spherical k-means (fixed-point Lloyd's — every
+    block emits exact int64 partials, so the fit is bit-identical for any
+    block layout) + the per-cluster scoreboard (size, min member id, mean
+    cosine to own centroid). Hash-compared against an independent sequential
+    single-pass implementation. The slim 2-col projection is materialized
+    once so the 8 Lloyd passes re-read object-store blocks, not Parquet; at
+    100 TB skip the materialize and let each pass re-scan the pruned
+    columns instead."""
+    from ..ops import clustering
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    cent = clustering.kmeans_fit(ds, "embedding", k=16, iters=8)
+    prof = clustering.kmeans_profile(ds, "embedding", "vec_id", cent)
+    prof = prof.astype({"cluster_id": np.int64, "n": np.int64,
+                        "min_id": np.int64})
+    return prof.sort_values("cluster_id").reset_index(drop=True)
+
+
+def embedding_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-partition the embedding space,
+    then keep-min-id dedup of integer-exact cosine>=0.97 components INSIDE
+    each cluster — the quantizer is the blocking function, bounding pairwise
+    work to O(sum cluster_size^2). Surviving vec_ids, hash-compared against
+    a sequential BFS reference."""
+    from ..ops import clustering
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    cent = clustering.kmeans_fit(ds, "embedding", k=8, iters=8)
+    kept = clustering.semantic_dedup(ds, "embedding", "vec_id", cent,
+                                     eps=0.97)
+    return kept.astype({"vec_id": np.int64})
+
+
+def events_user_rolling_sum(sf_dir: str) -> pd.DataFrame:
+    """Per-user rolling 3-row window (2 preceding + current, ordered by
+    ts then event_id): windowed sum of integer cents + window row count.
+    Bucketed per-user kernel (users are many and small); integer arithmetic
+    keeps the value-hash compare exact against the SQL window frame."""
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        c = pd.Series(_cents(df["value"].to_numpy()), index=df.index)
+        df = df.assign(__c=c)
+        g = df.groupby("user_id", sort=False)
+        p1, p2 = g["__c"].shift(1), g["__c"].shift(2)
+        rsum = (df["__c"].fillna(0) + p1.fillna(0) + p2.fillna(0))
+        nwin = (df["__c"].notna().astype(np.int64)
+                + p1.notna().astype(np.int64) + p2.notna().astype(np.int64))
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                             "rsum_cents": rsum.to_numpy().astype(np.int64),
+                             "n_win": nwin.to_numpy()})
+
+    out = agg._bucketed_groups(ev, "user_id", fn, 32).to_pandas()
+    out = out.astype({"event_id": np.int64, "rsum_cents": np.int64,
+                      "n_win": np.int64})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def event_value_mad_outliers(sf_dir: str) -> pd.DataFrame:
+    """Robust (median/MAD) outlier detection over event values — the
+    3σ-equivalent for heavy-tailed data: |v − median| > 4.4478·MAD (the
+    normal-consistency constant 1.4826 × 3). Both medians come from the
+    SHARDED exact order-statistic plan (one giant implicit group, no global
+    sort); the outlier test is all-integer (cents × 10⁴ vs 44478 × MAD), so
+    engine and SQL agree bit-for-bit."""
+    ev = _read(sf_dir, "events", ["event_id", "value"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"event_id": df["event_id"].to_numpy(),
+                            "value_cents": _cents(df["value"].to_numpy())})
+        out["__g"] = np.int64(0)
+        return out.loc[out["value_cents"].notna()]
+
+    slim = ev.map_batches(prep, batch_format="pandas").materialize()
+    med = int(agg.grouped_quantile(slim, "__g", "value_cents", 0.5,
+                                   mode="sharded")["value"].iloc[0])
+
+    def dev(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["dev"] = np.abs(df["value_cents"].to_numpy().astype(np.int64)
+                           - med)
+        return df
+
+    devd = slim.map_batches(dev, batch_format="pandas")
+    mad = int(agg.grouped_quantile(devd, "__g", "dev", 0.5,
+                                   mode="sharded")["value"].iloc[0])
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        d = np.abs(df["value_cents"].to_numpy().astype(np.int64) - med)
+        keep = d * 10_000 > 44_478 * mad
+        return df.loc[keep, ["event_id", "value_cents"]]
+
+    out = slim.map_batches(pick, batch_format="pandas").to_pandas()
+    out = out.astype({"event_id": np.int64, "value_cents": np.int64})
+    return out.sort_values("event_id").reset_index(drop=True)

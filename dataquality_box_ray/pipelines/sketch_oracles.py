@@ -36,13 +36,14 @@ def _code_tag() -> str:
     import sys
 
     from .. import oracle as _oracle
+    from ..ops import clustering as _clustering
     from ..ops import dedup as _dedup
     from ..ops import multimodal as _multimodal
     from ..ops import similarity as _similarity
 
     h = hashlib.sha256()
     for mod in (sys.modules[__name__], _dedup, _similarity, _oracle,
-                _multimodal):
+                _multimodal, _clustering):
         h.update(pathlib.Path(mod.__file__).read_bytes())
     return h.hexdigest()[:12]
 
@@ -619,13 +620,18 @@ def dump(name: str, sf_dir: str) -> str:
                                       "event_type"])
         res = two_tier_events_oracle(ev)
     elif name in ("embedding_lsh_topk", "embedding_ivf_topk",
-                  "embedding_near_dup_pairs", "embedding_dedup"):
+                  "embedding_near_dup_pairs", "embedding_dedup",
+                  "embedding_kmeans_profile", "embedding_semantic_dedup"):
         emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
                               columns=["vec_id", "embedding"])
         res = {"embedding_lsh_topk": lambda: lsh_topk(emb),
                "embedding_ivf_topk": lambda: ivf_topk(emb),
                "embedding_near_dup_pairs": lambda: near_dup_pairs(emb),
-               "embedding_dedup": lambda: embedding_dedup_kept(emb)}[name]()
+               "embedding_dedup": lambda: embedding_dedup_kept(emb),
+               "embedding_kmeans_profile":
+                   lambda: kmeans_profile_oracle(emb),
+               "embedding_semantic_dedup":
+                   lambda: semantic_dedup_kept(emb)}[name]()
     elif name in ("corpus_quality_filter", "corpus_scoreboard"):
         from ..corpus import corpus_path
 
@@ -694,3 +700,117 @@ def minhash_incremental_kept(docs: pd.DataFrame,
               if nn else set())
     kept = sorted(new_ids - drop - losers)
     return pd.DataFrame({"doc_id": pd.array(kept, dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means + SemDeDup: sequential single-process reference
+# ---------------------------------------------------------------------------
+
+_KM_QVEC = 1 << 20     # spec constants shared with ops/clustering.py:
+_KM_QSUM = 1 << 24     # quantization scales are part of the operator's
+_KM_QDOT = _KM_QVEC * _KM_QVEC   # definition, not an implementation detail
+
+
+def _seq_emb_hash(m: np.ndarray) -> np.ndarray:
+    """The corpus-content hash that defines the init sample (same formula as
+    the engine's `_emb_hash` — the sample membership IS the spec)."""
+    b = (np.ascontiguousarray(m.astype(np.float32)).view(np.uint32)
+         .astype(np.uint64).reshape(len(m), -1))
+    mul = np.uint64(0x9E3779B97F4A7C15)
+    pows = mul ** np.arange(1, b.shape[1] + 1, dtype=np.uint64)
+    return (b * pows).sum(axis=1, dtype=np.uint64) * mul
+
+
+def _seq_kmeans_centroids(m: np.ndarray, k: int = 16, iters: int = 8,
+                          sample_rows: int = 2048,
+                          seed: int = 13) -> np.ndarray:
+    """Sequential spherical k-means with the fixed-point accumulation rules:
+    one full pass per Lloyd iteration, int64 sums (exact => the distributed
+    fold must reproduce these bitwise)."""
+    mn = _normalize(m.astype(np.float64))
+    h = _seq_emb_hash(m)
+    order = np.argsort(h, kind="stable")[:sample_rows]
+    x = mn[order]
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    k = len(cent)
+    xq = np.rint(mn * _KM_QVEC).astype(np.int64)
+    xs = np.rint(mn * _KM_QSUM).astype(np.int64)
+    for _ in range(iters):
+        cq = np.rint(cent * _KM_QVEC).astype(np.int64)
+        a = (xq @ cq.T).argmax(axis=1)
+        for c in range(k):
+            sel = a == c
+            n = int(sel.sum())
+            if n == 0:
+                continue
+            v = xs[sel].sum(axis=0).astype(np.float64) / (n * _KM_QSUM)
+            nv = np.linalg.norm(v)
+            if nv:
+                cent[c] = v / nv
+    return cent
+
+
+def kmeans_profile_oracle(emb: pd.DataFrame, k: int = 16,
+                          iters: int = 8) -> pd.DataFrame:
+    """Per-cluster (cluster_id, n, min_id, mean_cos) scoreboard."""
+    m = np.stack(emb["embedding"].to_numpy())
+    ids = emb["vec_id"].to_numpy()
+    cent = _seq_kmeans_centroids(m, k=k, iters=iters)
+    mn = _normalize(m.astype(np.float64))
+    xq = np.rint(mn * _KM_QVEC).astype(np.int64)
+    cq = np.rint(cent * _KM_QVEC).astype(np.int64)
+    dots = xq @ cq.T
+    a = dots.argmax(axis=1)
+    rows = []
+    for c in range(len(cent)):
+        sel = a == c
+        if not sel.any():
+            continue
+        simsum = int(dots[sel, c].sum())
+        rows.append((c, int(sel.sum()), int(ids[sel].min()),
+                     round(simsum / (sel.sum() * _KM_QDOT), 6)))
+    return pd.DataFrame(rows, columns=["cluster_id", "n", "min_id",
+                                       "mean_cos"]).astype(
+        {"cluster_id": np.int64, "n": np.int64, "min_id": np.int64})
+
+
+def semantic_dedup_kept(emb: pd.DataFrame, k: int = 8, iters: int = 8,
+                        eps: float = 0.97) -> pd.DataFrame:
+    """Sequential SemDeDup: cluster, then inside each cluster BFS the
+    integer-exact cosine>=eps graph (independent of the engine's union-find
+    kernel) and keep each component's min id."""
+    m = np.stack(emb["embedding"].to_numpy())
+    ids = emb["vec_id"].to_numpy()
+    cent = _seq_kmeans_centroids(m, k=k, iters=iters)
+    mn = _normalize(m.astype(np.float64))
+    xq = np.rint(mn * _KM_QVEC).astype(np.int64)
+    cq = np.rint(cent * _KM_QVEC).astype(np.int64)
+    a = (xq @ cq.T).argmax(axis=1)
+    eps_q = int(round(eps * _KM_QDOT))
+    losers: set = set()
+    for c in np.unique(a):
+        sel = np.where(a == c)[0]
+        sims = xq[sel] @ xq[sel].T
+        ia, ib = np.triu_indices(len(sel), k=1)
+        hit = sims[ia, ib] >= eps_q
+        adj: dict = {}
+        for x, y in zip(sel[ia[hit]], sel[ib[hit]]):
+            adj.setdefault(ids[x], set()).add(ids[y])
+            adj.setdefault(ids[y], set()).add(ids[x])
+        seen: set = set()
+        for start in adj:
+            if start in seen:
+                continue
+            comp = [start]
+            seen.add(start)
+            i = 0
+            while i < len(comp):
+                for nb in adj[comp[i]]:
+                    if nb not in seen:
+                        seen.add(nb)
+                        comp.append(nb)
+                i += 1
+            losers |= set(comp) - {min(comp)}
+    kept = sorted(set(ids) - losers)
+    return pd.DataFrame({"vec_id": pd.Series(kept, dtype=np.int64)})

@@ -1,0 +1,71 @@
+"""Distributed k-means + SemDeDup: bit-reproducibility under block layout,
+refusal caps, and engine≡sequential-oracle equality."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from dataquality_box_ray.ops import clustering
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb_ds():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+
+
+def test_kmeans_bitwise_block_layout_invariance():
+    """The fixed-point partial fold must make the fit EXACTLY independent of
+    how rows are split into blocks — the property that lets a 256-node run
+    and a 1-node rerun agree, and the oracle compare exist at all."""
+    a = clustering.kmeans_fit(_emb_ds().repartition(1), "embedding",
+                              k=8, iters=4)
+    b = clustering.kmeans_fit(_emb_ds().repartition(7), "embedding",
+                              k=8, iters=4)
+    assert np.array_equal(a, b)          # bitwise, not allclose
+
+
+def test_kmeans_matches_sequential_oracle():
+    from dataquality_box_ray.pipelines import sketch_oracles as so
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    cent = clustering.kmeans_fit(_emb_ds(), "embedding", k=16, iters=8)
+    seq = so._seq_kmeans_centroids(
+        np.stack(emb["embedding"].to_numpy()), k=16, iters=8)
+    assert np.array_equal(cent, seq)
+
+    prof = clustering.kmeans_profile(_emb_ds(), "embedding", "vec_id", cent)
+    oracle = so.kmeans_profile_oracle(emb)
+    pd.testing.assert_frame_equal(
+        prof.reset_index(drop=True).astype({"cluster_id": np.int64}),
+        oracle.reset_index(drop=True), check_dtype=False)
+
+
+def test_semantic_dedup_matches_sequential_and_covers_components():
+    from dataquality_box_ray.pipelines import sketch_oracles as so
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    cent = clustering.kmeans_fit(_emb_ds(), "embedding", k=8, iters=8)
+    kept = clustering.semantic_dedup(_emb_ds(), "embedding", "vec_id",
+                                     cent, eps=0.97)
+    oracle = so.semantic_dedup_kept(emb, k=8, iters=8, eps=0.97)
+    assert kept["vec_id"].tolist() == oracle["vec_id"].tolist()
+    assert set(kept["vec_id"]) <= set(emb["vec_id"])
+
+
+def test_semantic_dedup_cluster_size_refusal():
+    cent = clustering.kmeans_fit(_emb_ds(), "embedding", k=2, iters=2)
+    with pytest.raises(ValueError, match="max_cluster_rows"):
+        clustering.semantic_dedup(_emb_ds(), "embedding", "vec_id", cent,
+                                  eps=0.97, max_cluster_rows=10)
+
+
+def test_assign_int_first_max_tie_break():
+    x = np.array([[1, 0]], dtype=np.int64)
+    cents = np.array([[1, 0], [1, 0], [0, 1]], dtype=np.int64)
+    assert clustering.assign_int(x, cents)[0] == 0
