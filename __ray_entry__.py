@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # clustering / semantic dedup (fixed-point distributed k-means)
         "embedding_kmeans_profile": q.embedding_kmeans_profile,
         "embedding_semantic_dedup": q.embedding_semantic_dedup,
+        "embedding_semantic_dedup_probe2":
+            q.embedding_semantic_dedup_probe2,
         # windowed / robust-stats additions
         "events_user_rolling_sum": q.events_user_rolling_sum,
         "event_value_mad_outliers": q.event_value_mad_outliers,

@@ -190,35 +190,128 @@ def cluster_local_dedup_kernel(df: pd.DataFrame, emb_col: str, id_col: str,
     return df.loc[np.unique(roots), [id_col]]
 
 
-def semantic_dedup(ds: "ray.data.Dataset", emb_col: str, id_col: str,
-                   centroids: np.ndarray, eps: float = 0.97,
-                   max_cluster_rows: int = 2_000_000) -> pd.DataFrame:
-    """SemDeDup: assign each row to its k-means cluster, then run the
-    keep-min-id near-identical dedup INSIDE each cluster (cosine >= eps,
-    integer-exact). Returns surviving ids as a small (id) frame.
+def topn_assign_int(x_q: np.ndarray, cent_q: np.ndarray,
+                    n_probe: int) -> list[np.ndarray]:
+    """Top-``n_probe`` nearest centroids per row (distinct, first-max
+    tie-break): repeated exact-integer argmax with the chosen column masked
+    out — deterministic where argsort on tied dots would not be."""
+    dots = x_q @ cent_q.T
+    picks = []
+    for _ in range(min(n_probe, dots.shape[1])):
+        a = dots.argmax(axis=1)
+        picks.append(a)
+        dots[np.arange(len(a)), a] = np.iinfo(np.int64).min
+    return picks
 
-    Scale contract: pairwise work is bounded per cluster; pick k so that
-    n/k rows (x d floats) fit one worker — clusters above
-    ``max_cluster_rows`` raise with that advice rather than silently OOM
-    a worker. Cross-cluster near-dups are out of contract (SemDeDup's own
-    approximation: the quantizer IS the blocking function)."""
+
+def _check_cluster_size(n: int, max_cluster_rows: int) -> None:
+    if n > max_cluster_rows:
+        raise ValueError(
+            f"semantic_dedup cluster of {n} rows exceeds "
+            f"max_cluster_rows={max_cluster_rows}; raise k so "
+            "clusters fit a worker (pairwise work is O(size^2))")
+
+
+def semantic_dedup_edges(ds: "ray.data.Dataset", emb_col: str, id_col: str,
+                         centroids: np.ndarray, eps: float = 0.97,
+                         n_probe: int = 2,
+                         max_cluster_rows: int = 2_000_000,
+                         ) -> "ray.data.Dataset":
+    """Verified near-dup EDGES (id_a < id_b) under multi-probe blocking:
+    every row enters its ``n_probe`` nearest clusters, edges are generated
+    per cluster. A pair straddling a Voronoi boundary is caught whenever the
+    two rows share ANY probed cluster — the standard recall repair for
+    quantizer-blocked dedup. Emitted edges may repeat (a pair co-probing two
+    shared clusters); downstream union-find/min-label is idempotent, so
+    duplicates cost bytes, not correctness."""
     eps_q = int(round(eps * _Q_DOT))
-    assigned = kmeans_assign(ds.select_columns([id_col, emb_col]),
-                             emb_col, centroids)
+    cent_q_ref = ray.put(quantize(centroids))
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        cq = ray.get(cent_q_ref)
+        m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
+        picks = topn_assign_int(quantize(m), cq, n_probe)
+        reps = [pd.DataFrame({id_col: df[id_col].to_numpy(),
+                              emb_col: df[emb_col].to_numpy(),
+                              "cluster_id": a}) for a in picks]
+        return pd.concat(reps, ignore_index=True)
+
+    expanded = (ds.select_columns([id_col, emb_col])
+                .map_batches(expand, batch_format="pandas"))
+
+    def per_cluster_edges(df: pd.DataFrame) -> pd.DataFrame:
         outs = []
         for _, grp in df.groupby("cluster_id", sort=False):
-            if len(grp) > max_cluster_rows:
-                raise ValueError(
-                    f"semantic_dedup cluster of {len(grp)} rows exceeds "
-                    f"max_cluster_rows={max_cluster_rows}; raise k so "
-                    "clusters fit a worker (pairwise work is O(size^2))")
-            outs.append(cluster_local_dedup_kernel(
-                grp, emb_col, id_col, eps_q))
+            _check_cluster_size(len(grp), max_cluster_rows)
+            grp = grp.sort_values(id_col, kind="mergesort")
+            m = _normalize(np.stack(grp[emb_col].to_numpy())
+                           .astype(np.float64))
+            q = quantize(m)
+            sims = q @ q.T
+            iu, ju = np.triu_indices(len(grp), k=1)
+            hit = sims[iu, ju] >= eps_q
+            ids = grp[id_col].to_numpy()
+            outs.append(pd.DataFrame({"id_a": ids[iu[hit]],
+                                      "id_b": ids[ju[hit]]}))
         return (pd.concat(outs, ignore_index=True) if outs
-                else pd.DataFrame({id_col: pd.Series([], dtype=np.int64)}))
+                else pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                   "id_b": pd.Series([], dtype=np.int64)}))
 
-    kept = (assigned.groupby("cluster_id")
-            .map_groups(per_bucket, batch_format="pandas").to_pandas())
+    return (expanded.groupby("cluster_id")
+            .map_groups(per_cluster_edges, batch_format="pandas"))
+
+
+def semantic_dedup(ds: "ray.data.Dataset", emb_col: str, id_col: str,
+                   centroids: np.ndarray, eps: float = 0.97,
+                   n_probe: int = 1,
+                   max_cluster_rows: int = 2_000_000) -> pd.DataFrame:
+    """SemDeDup: assign each row to its k-means cluster(s), then keep-min-id
+    dedup of the integer-exact cosine>=eps components. Returns surviving ids
+    as an (id) frame — compose with an anti join to recover full rows.
+
+    ``n_probe=1`` is classic SemDeDup (the quantizer IS the blocking
+    function; cross-cluster near-dups are its documented approximation) and
+    resolves components cluster-locally — no edge shuffle at all.
+    ``n_probe>=2`` repairs Voronoi-boundary recall: rows probe their
+    n nearest clusters, edges become GLOBAL (a shared probe can bridge two
+    clusters), so components resolve via driver union-find below
+    MAX_DRIVER_PAIRS edges and distributed min-label propagation above.
+
+    Scale contract: pairwise work is bounded per cluster; pick k so that
+    n_probe * n/k rows (x d floats) fit one worker — clusters above
+    ``max_cluster_rows`` raise with that advice rather than silently OOM
+    a worker."""
+    eps_q = int(round(eps * _Q_DOT))
+
+    if n_probe <= 1:
+        assigned = kmeans_assign(ds.select_columns([id_col, emb_col]),
+                                 emb_col, centroids)
+
+        def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for _, grp in df.groupby("cluster_id", sort=False):
+                _check_cluster_size(len(grp), max_cluster_rows)
+                outs.append(cluster_local_dedup_kernel(
+                    grp, emb_col, id_col, eps_q))
+            return (pd.concat(outs, ignore_index=True) if outs
+                    else pd.DataFrame({id_col: pd.Series([],
+                                                         dtype=np.int64)}))
+
+        kept = (assigned.groupby("cluster_id")
+                .map_groups(per_bucket, batch_format="pandas").to_pandas())
+        return kept.sort_values(id_col).reset_index(drop=True)
+
+    from .dedup import min_label_components_ds
+
+    edges = semantic_dedup_edges(ds, emb_col, id_col, centroids, eps,
+                                 n_probe, max_cluster_rows)
+    # auto-paths: driver union-find below MAX_DRIVER_PAIRS edges, else
+    # distributed min-label propagation
+    labels = min_label_components_ds(edges)
+    lost = labels.map_batches(
+        lambda df: df.loc[df["node"] != df["label"], ["node"]],
+        batch_format="pandas").to_pandas()
+    losers = set(lost["node"]) if "node" in lost.columns else set()
+    kept = ds.select_columns([id_col]).to_pandas()
+    kept = kept[~kept[id_col].isin(losers)]
     return kept.sort_values(id_col).reset_index(drop=True)

@@ -1111,6 +1111,7 @@ def build() -> dict[str, str]:
                  "embedding_lsh_topk", "embedding_ivf_topk",
                  "embedding_near_dup_pairs", "embedding_dedup",
                  "embedding_kmeans_profile", "embedding_semantic_dedup",
+                 "embedding_semantic_dedup_probe2",
                  "two_tier_events", "multimodal_wav_features",
                  "multimodal_ppm_features"):
         path = sketch_oracles.dump(name, _CORRECTNESS_SF_DIR)

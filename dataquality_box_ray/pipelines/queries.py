@@ -1813,3 +1813,19 @@ def event_value_mad_outliers(sf_dir: str) -> pd.DataFrame:
     out = slim.map_batches(pick, batch_format="pandas").to_pandas()
     out = out.astype({"event_id": np.int64, "value_cents": np.int64})
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def embedding_semantic_dedup_probe2(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup with multi-probe boundary repair (n_probe=2): every vector
+    enters its TWO nearest clusters, so a near-dup pair split by a Voronoi
+    boundary is still caught whenever the pair shares either probed cluster.
+    Edges become global (a shared probe can bridge clusters), resolved by
+    the auto-pathed union-find/min-label machinery. Strictly more edges than
+    classic SemDeDup => kept set is a subset of the n_probe=1 result."""
+    from ..ops import clustering
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+    cent = clustering.kmeans_fit(ds, "embedding", k=8, iters=8)
+    kept = clustering.semantic_dedup(ds, "embedding", "vec_id", cent,
+                                     eps=0.97, n_probe=2)
+    return kept.astype({"vec_id": np.int64})

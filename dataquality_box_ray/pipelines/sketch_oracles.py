@@ -621,7 +621,8 @@ def dump(name: str, sf_dir: str) -> str:
         res = two_tier_events_oracle(ev)
     elif name in ("embedding_lsh_topk", "embedding_ivf_topk",
                   "embedding_near_dup_pairs", "embedding_dedup",
-                  "embedding_kmeans_profile", "embedding_semantic_dedup"):
+                  "embedding_kmeans_profile", "embedding_semantic_dedup",
+                  "embedding_semantic_dedup_probe2"):
         emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
                               columns=["vec_id", "embedding"])
         res = {"embedding_lsh_topk": lambda: lsh_topk(emb),
@@ -631,7 +632,9 @@ def dump(name: str, sf_dir: str) -> str:
                "embedding_kmeans_profile":
                    lambda: kmeans_profile_oracle(emb),
                "embedding_semantic_dedup":
-                   lambda: semantic_dedup_kept(emb)}[name]()
+                   lambda: semantic_dedup_kept(emb),
+               "embedding_semantic_dedup_probe2":
+                   lambda: semantic_dedup_kept(emb, n_probe=2)}[name]()
     elif name in ("corpus_quality_filter", "corpus_scoreboard"):
         from ..corpus import corpus_path
 
@@ -776,41 +779,49 @@ def kmeans_profile_oracle(emb: pd.DataFrame, k: int = 16,
 
 
 def semantic_dedup_kept(emb: pd.DataFrame, k: int = 8, iters: int = 8,
-                        eps: float = 0.97) -> pd.DataFrame:
-    """Sequential SemDeDup: cluster, then inside each cluster BFS the
-    integer-exact cosine>=eps graph (independent of the engine's union-find
-    kernel) and keep each component's min id."""
+                        eps: float = 0.97,
+                        n_probe: int = 1) -> pd.DataFrame:
+    """Sequential SemDeDup: cluster (each row probes its ``n_probe`` nearest
+    centroids), collect integer-exact cosine>=eps edges inside every probed
+    cluster, BFS the GLOBAL edge graph (independent of the engine's
+    union-find / min-label code) and keep each component's min id."""
     m = np.stack(emb["embedding"].to_numpy())
     ids = emb["vec_id"].to_numpy()
     cent = _seq_kmeans_centroids(m, k=k, iters=iters)
     mn = _normalize(m.astype(np.float64))
     xq = np.rint(mn * _KM_QVEC).astype(np.int64)
     cq = np.rint(cent * _KM_QVEC).astype(np.int64)
-    a = (xq @ cq.T).argmax(axis=1)
+    dots = xq @ cq.T
+    members: dict = {}
+    for _ in range(min(n_probe, dots.shape[1])):
+        a = dots.argmax(axis=1)
+        for i, c in enumerate(a):
+            members.setdefault(int(c), []).append(i)
+        dots[np.arange(len(a)), a] = np.iinfo(np.int64).min
     eps_q = int(round(eps * _KM_QDOT))
-    losers: set = set()
-    for c in np.unique(a):
-        sel = np.where(a == c)[0]
+    adj: dict = {}
+    for sel in members.values():
+        sel = np.asarray(sel)
         sims = xq[sel] @ xq[sel].T
         ia, ib = np.triu_indices(len(sel), k=1)
         hit = sims[ia, ib] >= eps_q
-        adj: dict = {}
         for x, y in zip(sel[ia[hit]], sel[ib[hit]]):
             adj.setdefault(ids[x], set()).add(ids[y])
             adj.setdefault(ids[y], set()).add(ids[x])
-        seen: set = set()
-        for start in adj:
-            if start in seen:
-                continue
-            comp = [start]
-            seen.add(start)
-            i = 0
-            while i < len(comp):
-                for nb in adj[comp[i]]:
-                    if nb not in seen:
-                        seen.add(nb)
-                        comp.append(nb)
-                i += 1
-            losers |= set(comp) - {min(comp)}
+    losers: set = set()
+    seen: set = set()
+    for start in adj:
+        if start in seen:
+            continue
+        comp = [start]
+        seen.add(start)
+        i = 0
+        while i < len(comp):
+            for nb in adj[comp[i]]:
+                if nb not in seen:
+                    seen.add(nb)
+                    comp.append(nb)
+            i += 1
+        losers |= set(comp) - {min(comp)}
     kept = sorted(set(ids) - losers)
     return pd.DataFrame({"vec_id": pd.Series(kept, dtype=np.int64)})

@@ -69,3 +69,33 @@ def test_assign_int_first_max_tie_break():
     x = np.array([[1, 0]], dtype=np.int64)
     cents = np.array([[1, 0], [1, 0], [0, 1]], dtype=np.int64)
     assert clustering.assign_int(x, cents)[0] == 0
+
+
+def test_multi_probe_catches_voronoi_boundary_pair():
+    """A near-dup pair that k-means splits across two clusters is missed by
+    classic SemDeDup (n_probe=1) and caught by multi-probe blocking."""
+    d = 0.01
+    rows = pd.DataFrame({
+        "vec_id": [1, 2, 3, 4],
+        "embedding": [np.array([1.0, d]), np.array([d, 1.0]),   # far apart
+                      np.array([1.0, 1.0 + d]),                 # the pair,
+                      np.array([1.0 + d, 1.0])]})               # boundary-split
+    ds = ray.data.from_pandas(rows)
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    kept1 = clustering.semantic_dedup(ds, "embedding", "vec_id", cents,
+                                      eps=0.97, n_probe=1)
+    kept2 = clustering.semantic_dedup(ds, "embedding", "vec_id", cents,
+                                      eps=0.97, n_probe=2)
+    assert kept1["vec_id"].tolist() == [1, 2, 3, 4]   # pair missed
+    assert kept2["vec_id"].tolist() == [1, 2, 3]      # pair caught, min kept
+    assert set(kept2["vec_id"]) <= set(kept1["vec_id"])
+
+
+def test_probe2_subset_of_probe1_on_real_embeddings():
+    from dataquality_box_ray.pipelines import sketch_oracles as so
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    k1 = so.semantic_dedup_kept(emb, n_probe=1)
+    k2 = so.semantic_dedup_kept(emb, n_probe=2)
+    assert set(k2["vec_id"]) <= set(k1["vec_id"])
