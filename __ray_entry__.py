@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_decontaminate": q.doc_decontaminate,
         "doc_decontaminate_distributed": q.doc_decontaminate_distributed,
         "doc_shared_ngrams": q.doc_shared_ngrams,
+        "doc_substring_dedup": q.doc_substring_dedup,
         "events_csv_source": q.events_csv_source,
         "orders_jsonl_source": q.orders_jsonl_source,
         "doc_top_terms": q.doc_top_terms,

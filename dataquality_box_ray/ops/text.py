@@ -704,3 +704,175 @@ def clean_text(ds: "ray.data.Dataset", text_col: str = "text",
                  .append_column("n_chars_clean",
                                 pc.cast(pc.utf8_length(txt), pa.int64())))
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style repeated-window removal (Lee et al., ACL'22)
+# ---------------------------------------------------------------------------
+
+def _ws_tokens_with_pos(text: pa.Array) -> tuple[list, np.ndarray,
+                                                 np.ndarray]:
+    """CASE-PRESERVING whitespace tokens (the rebuildable tokenization:
+    ``" ".join(tokens)`` round-trips modulo whitespace runs) with per-doc
+    index and within-doc position. Vectorized: one Arrow split, numpy
+    offset arithmetic."""
+    parts = pc.utf8_split_whitespace(pc.fill_null(text, ""))
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    counts = np.diff(parts.offsets.to_numpy(zero_copy_only=False))
+    flat = parts.flatten()
+    doc_idx = np.repeat(np.arange(len(text)), counts)
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    pos = np.arange(len(flat), dtype=np.int64) - starts
+    ne = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    # splitting leading/trailing whitespace yields empty tokens; dropping
+    # them must not leave position gaps, so re-rank within doc
+    flat, doc_idx = flat.filter(pa.array(ne)), doc_idx[ne]
+    keep_counts = np.bincount(doc_idx, minlength=len(text)).astype(np.int64)
+    starts2 = np.repeat(np.cumsum(keep_counts) - keep_counts, keep_counts)
+    pos = np.arange(len(doc_idx), dtype=np.int64) - starts2
+    return flat, doc_idx, pos
+
+
+def _window_occurrence_rows(ds: "ray.data.Dataset", text_col: str,
+                            id_col: str, n: int) -> "ray.data.Dataset":
+    """ALL (window-hash, id, pos) occurrences of every n-token window —
+    unlike `_window_hash_rows`, positions are kept and duplicates are the
+    point. ~24-byte rows; the token stream never leaves its batch."""
+    def fn(t: pa.Table) -> pd.DataFrame:
+        col = (t[text_col].combine_chunks()
+               if isinstance(t[text_col], pa.ChunkedArray) else t[text_col])
+        ids = (t[id_col].combine_chunks()
+               if isinstance(t[id_col], pa.ChunkedArray)
+               else t[id_col]).to_numpy(zero_copy_only=False)
+        flat, doc_idx, pos = _ws_tokens_with_pos(col)
+        L = len(doc_idx)
+        if L < n:
+            return pd.DataFrame({"__wh": pd.Series([], dtype=np.uint64),
+                                 id_col: pd.Series([], dtype=np.int64),
+                                 "pos": pd.Series([], dtype=np.int64)})
+        th = _hash_tokens(flat)
+        m = L - n + 1
+        acc = np.zeros(m, dtype=np.uint64)
+        mul = np.uint64(1)
+        with np.errstate(over="ignore"):
+            for j in range(n):
+                acc += th[j:j + m] * mul
+                mul = mul * _NGRAM_MUL
+        ok = doc_idx[:m] == doc_idx[n - 1:]
+        return pd.DataFrame({"__wh": acc[ok],
+                             id_col: ids[doc_idx[:m][ok]],
+                             "pos": pos[:m][ok]})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def remove_repeated_windows(ds: "ray.data.Dataset", text_col: str = "text",
+                            id_col: str = "doc_id", n: int = _DECONTAM_N,
+                            n_buckets: int = 64) -> "ray.data.Dataset":
+    """ExactSubstr-style substring-level dedup (Lee et al., ACL'22 §4.1,
+    token-granular): every occurrence of an n-token window that also occurs
+    at a lexicographically smaller (doc, position) — in ANOTHER document or
+    earlier in the SAME one — is removed; the canonical (minimum) occurrence
+    survives. Removed windows' token spans are unioned per document and the
+    document is rebuilt from the surviving tokens (single-space joined, the
+    line-dedup rebuild convention); documents with nothing to remove pass
+    through VERBATIM. Returns (id, text, n_removed_tokens).
+
+    Scale shape: three slim shuffles, none carrying text —
+    1. ~24-byte (window-hash, id, pos) occurrence rows, bucketed by
+       hash(window): a window's occurrences co-locate, the in-bucket
+       vectorized sort keeps each group's minimum and emits the rest as
+       removal marks;
+    2. marks hash-bucketed by id together with the docs table (tagged
+       union — ONE copy of each text, no per-mark text join);
+    3. per-bucket rebuild: tokenize once per doc, boolean span coverage,
+       join survivors.
+    Exact modulo 2^64 rolling-hash window collisions (same bound and caveat
+    as `ngram_jaccard_pairs_ds`); the sequential oracle verifies on token
+    TUPLES, so a collision would surface as a battery mismatch rather than
+    pass silently. Reference family: whole-doc content-sha dedup
+    (`plugins/services/reconciliation_runner.py` keep-one), lifted to
+    sub-document spans."""
+    from ..stages.reconcile import bucket_of
+    from .aggregates import _bucketed_groups
+
+    occ = _window_occurrence_rows(ds, text_col, id_col, n)
+
+    def add_wh_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = (df["__wh"].to_numpy()
+                     % np.uint64(n_buckets)).astype(np.int64)
+        return df
+
+    def marks_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["__b"])
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "pos": pd.Series([], dtype=np.int64)})
+        order = np.lexsort((df["pos"].to_numpy(), df[id_col].to_numpy(),
+                            df["__wh"].to_numpy()))
+        wh = df["__wh"].to_numpy()[order]
+        first = np.ones(len(df), dtype=bool)
+        first[1:] = wh[1:] != wh[:-1]
+        keep = order[~first]            # every non-canonical occurrence
+        return pd.DataFrame({id_col: df[id_col].to_numpy()[keep],
+                             "pos": df["pos"].to_numpy()[keep]})
+
+    marks = (occ.map_batches(add_wh_bucket, batch_format="pandas")
+             .groupby("__b").map_groups(marks_in_bucket,
+                                        batch_format="pandas"))
+
+    docs_t = ds.select_columns([id_col, text_col]).map_batches(
+        lambda df: df.assign(pos=np.int64(-1)), batch_format="pandas")
+    marks_t = marks.map_batches(
+        lambda df: df.assign(**{text_col: pd.Series([None] * len(df),
+                                                    dtype=object)})
+        [[id_col, text_col, "pos"]], batch_format="pandas")
+
+    def add_id_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__ib"] = bucket_of(df[id_col].astype(str), n_buckets)
+        return df
+
+    unioned = (docs_t.union(marks_t)
+               .map_batches(add_id_bucket, batch_format="pandas"))
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["__ib"])
+        texts = df.loc[df["pos"] == -1]
+        mk = df.loc[df["pos"] >= 0]
+        by_id: dict = {i: g["pos"].to_numpy()
+                       for i, g in mk.groupby(id_col, sort=False)}
+        # tokenize the whole bucket once with the SAME splitter that
+        # produced the mark positions (Python str.split differs from the
+        # Arrow splitter on exotic whitespace — a position skew would cut
+        # the wrong tokens)
+        col = pa.array(texts[text_col].to_numpy(), type=pa.string())
+        flat, doc_idx, _ = _ws_tokens_with_pos(col)
+        toks_all = np.asarray(flat.to_pandas(), dtype=object)
+        counts = np.bincount(doc_idx, minlength=len(texts)).astype(np.int64)
+        offs = np.cumsum(counts) - counts
+        out_ids, out_texts, out_removed = [], [], []
+        for row_i, (i, t) in enumerate(zip(texts[id_col].to_numpy(),
+                                           texts[text_col].to_numpy())):
+            ps = by_id.get(i)
+            if ps is None:
+                out_ids.append(i)
+                out_texts.append(t)
+                out_removed.append(0)
+                continue
+            toks = toks_all[offs[row_i]:offs[row_i] + counts[row_i]]
+            cover = np.zeros(len(toks), dtype=bool)
+            for p in ps:
+                cover[p:p + n] = True
+            out_ids.append(i)
+            out_texts.append(" ".join(toks[~cover]))
+            out_removed.append(int(cover.sum()))
+        return pd.DataFrame({id_col: np.asarray(out_ids, dtype=np.int64),
+                             text_col: out_texts,
+                             "n_removed_tokens": np.asarray(out_removed,
+                                                            dtype=np.int64)})
+
+    return unioned.groupby("__ib").map_groups(rebuild,
+                                              batch_format="pandas")

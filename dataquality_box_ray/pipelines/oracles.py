@@ -1108,6 +1108,7 @@ def build() -> dict[str, str]:
                  "doc_minhash_best_dedup", "doc_minhash_incremental",
                  "doc_simhash_pairs",
                  "doc_simhash_dedup", "doc_fingerprints",
+                 "doc_substring_dedup",
                  "embedding_lsh_topk", "embedding_ivf_topk",
                  "embedding_near_dup_pairs", "embedding_dedup",
                  "embedding_kmeans_profile", "embedding_semantic_dedup",

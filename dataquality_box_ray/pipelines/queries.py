@@ -1829,3 +1829,18 @@ def embedding_semantic_dedup_probe2(sf_dir: str) -> pd.DataFrame:
     kept = clustering.semantic_dedup(ds, "embedding", "vec_id", cent,
                                      eps=0.97, n_probe=2)
     return kept.astype({"vec_id": np.int64})
+
+
+def doc_substring_dedup(sf_dir: str) -> pd.DataFrame:
+    """ExactSubstr-style substring-level dedup (Lee et al. ACL'22): every
+    repeated 8-token window keeps only its lexicographically-first (doc,
+    position) occurrence; other occurrences' spans are cut and the document
+    rebuilt from surviving tokens. Three slim shuffles, text crosses the
+    wire once; hash-compared against a sequential token-tuple reference
+    (which would also expose any rolling-hash collision)."""
+    from ..ops import text as txt
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = txt.remove_repeated_windows(docs, "text", "doc_id", n=8).to_pandas()
+    return (out.astype({"doc_id": np.int64, "n_removed_tokens": np.int64})
+            .sort_values("doc_id").reset_index(drop=True))

@@ -597,7 +597,7 @@ def dump(name: str, sf_dir: str) -> str:
     if name in ("doc_minhash_dedup", "doc_minhash_components",
                 "doc_minhash_best_dedup", "doc_minhash_incremental",
                 "doc_simhash_pairs", "doc_simhash_dedup",
-                "doc_fingerprints"):
+                "doc_fingerprints", "doc_substring_dedup"):
         docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
         res = {"doc_minhash_dedup": lambda: minhash_dedup_kept(docs),
@@ -607,7 +607,9 @@ def dump(name: str, sf_dir: str) -> str:
                "doc_minhash_best_dedup": lambda: minhash_best_kept(docs),
                "doc_simhash_pairs": lambda: simhash_pairs(docs),
                "doc_simhash_dedup": lambda: simhash_dedup_kept(docs),
-               "doc_fingerprints": lambda: fingerprints(docs)}[name]()
+               "doc_fingerprints": lambda: fingerprints(docs),
+               "doc_substring_dedup":
+                   lambda: substring_dedup_oracle(docs)}[name]()
     elif name in ("multimodal_wav_features", "multimodal_ppm_features"):
         docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "n_chars"])
@@ -825,3 +827,42 @@ def semantic_dedup_kept(emb: pd.DataFrame, k: int = 8, iters: int = 8,
         losers |= set(comp) - {min(comp)}
     kept = sorted(set(ids) - losers)
     return pd.DataFrame({"vec_id": pd.Series(kept, dtype=np.int64)})
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style repeated-window removal: sequential reference
+# ---------------------------------------------------------------------------
+
+def substring_dedup_oracle(docs: pd.DataFrame, n: int = 8) -> pd.DataFrame:
+    """Sequential repeated-window removal on token TUPLES (no hashing — a
+    rolling-hash collision in the engine would therefore FAIL the compare
+    instead of passing silently). Canonical occurrence of each n-token
+    window = lexicographic min (doc_id, pos); every other occurrence's span
+    is removed; docs with nothing removed pass through verbatim."""
+    toks = {int(i): t.split() for i, t in
+            zip(docs["doc_id"], docs["text"])}
+    best: dict = {}
+    for i in sorted(toks):
+        tt = toks[i]
+        for p in range(len(tt) - n + 1):
+            w = tuple(tt[p:p + n])
+            if w not in best:
+                best[w] = (i, p)
+    rows = []
+    for i in sorted(toks):
+        tt = toks[i]
+        cover = np.zeros(len(tt), dtype=bool)
+        hit = False
+        for p in range(len(tt) - n + 1):
+            if best[tuple(tt[p:p + n])] != (i, p):
+                cover[p:p + n] = True
+                hit = True
+        if not hit:
+            text = docs.loc[docs["doc_id"] == i, "text"].iloc[0]
+            rows.append((i, text, 0))
+        else:
+            kept = [t for t, c in zip(tt, cover) if not c]
+            rows.append((i, " ".join(kept), int(cover.sum())))
+    return pd.DataFrame(rows, columns=["doc_id", "text",
+                                       "n_removed_tokens"]).astype(
+        {"doc_id": np.int64, "n_removed_tokens": np.int64})

@@ -762,3 +762,49 @@ def test_minhash_incremental_persisted_two_batches(tmp_path):
     # doc 11 is a near-dup of committed (batch-1) doc 1 → dropped
     assert sorted(kept2.doc_id) == [12]
     assert sum(int(x) for x in open(cf2).read().split()) == len(batch2)
+
+
+def test_remove_repeated_windows_semantics():
+    """ExactSubstr removal: cross-doc repeat keeps the first (doc,pos)
+    occurrence, within-doc repeat keeps the earlier copy, untouched docs
+    pass through VERBATIM (original whitespace preserved)."""
+    import ray.data
+    from dataquality_box_ray.ops import text as txt
+
+    boiler = "a b c d"                       # 4-token window, n=4
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [f"{boiler} unique one",     # canonical (doc 1, pos 0)
+                 f"prefix {boiler} tail",    # later doc -> span removed
+                 f"x y {boiler} z {boiler}", # within-doc second copy removed
+                 "plain  doc   no repeats"], # verbatim, double spaces kept
+    })
+    out = (txt.remove_repeated_windows(ray.data.from_pandas(docs),
+                                       "text", "doc_id", n=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "text"] == f"{boiler} unique one"
+    assert out.loc[0, "n_removed_tokens"] == 0
+    assert out.loc[1, "text"] == "prefix tail"
+    assert out.loc[1, "n_removed_tokens"] == 4
+    # doc 3: first in-doc copy at pos 2 is ALSO non-canonical (doc 1 wins),
+    # so both copies go
+    assert out.loc[2, "text"] == "x y z"
+    assert out.loc[2, "n_removed_tokens"] == 8
+    assert out.loc[3, "text"] == "plain  doc   no repeats"
+    assert out.loc[3, "n_removed_tokens"] == 0
+
+
+def test_remove_repeated_windows_matches_oracle_small():
+    import ray.data
+    from dataquality_box_ray.ops import text as txt
+    from dataquality_box_ray.pipelines import sketch_oracles as so
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"]).head(200)
+    eng = (txt.remove_repeated_windows(ray.data.from_pandas(docs),
+                                       "text", "doc_id", n=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    ora = (so.substring_dedup_oracle(docs, n=8)
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(eng[["doc_id", "text",
+                                       "n_removed_tokens"]], ora)
