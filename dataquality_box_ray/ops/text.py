@@ -722,15 +722,13 @@ def _ws_tokens_with_pos(text: pa.Array) -> tuple[list, np.ndarray,
     counts = np.diff(parts.offsets.to_numpy(zero_copy_only=False))
     flat = parts.flatten()
     doc_idx = np.repeat(np.arange(len(text)), counts)
-    starts = np.repeat(np.cumsum(counts) - counts, counts)
-    pos = np.arange(len(flat), dtype=np.int64) - starts
     ne = pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
-    # splitting leading/trailing whitespace yields empty tokens; dropping
-    # them must not leave position gaps, so re-rank within doc
+    # splitting leading/trailing whitespace yields empty tokens; drop them
+    # FIRST, then rank within doc so positions are gap-free
     flat, doc_idx = flat.filter(pa.array(ne)), doc_idx[ne]
     keep_counts = np.bincount(doc_idx, minlength=len(text)).astype(np.int64)
-    starts2 = np.repeat(np.cumsum(keep_counts) - keep_counts, keep_counts)
-    pos = np.arange(len(doc_idx), dtype=np.int64) - starts2
+    starts = np.repeat(np.cumsum(keep_counts) - keep_counts, keep_counts)
+    pos = np.arange(len(doc_idx), dtype=np.int64) - starts
     return flat, doc_idx, pos
 
 
