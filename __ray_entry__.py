@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_percent_rank": q.event_value_percent_rank,
         "event_value_percent_rank_sharded": q.event_value_percent_rank_sharded,
         "event_user_skew_profile": q.event_user_skew_profile,
+        "user_conversion_funnel": q.user_conversion_funnel,
         "doc_length_partition_bounds": q.doc_length_partition_bounds,
         # time parsing / validation / per-row funnel
         "parse_dirty_timestamps": q.parse_dirty_timestamps,

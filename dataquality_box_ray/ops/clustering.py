@@ -315,3 +315,30 @@ def semantic_dedup(ds: "ray.data.Dataset", emb_col: str, id_col: str,
     kept = ds.select_columns([id_col]).to_pandas()
     kept = kept[~kept[id_col].isin(losers)]
     return kept.sort_values(id_col).reset_index(drop=True)
+
+
+def persist_centroids(centroids: np.ndarray, path: str) -> str:
+    """Write a fitted quantizer to Parquet (atomic tmp→rename, the manifest
+    convention) so later batches assign/dedup against the SAME partition of
+    the space without refitting — the clustering analogue of the persisted
+    LSH band table (`ops/dedup.persist_band_table`). Float64 components are
+    stored exactly; a reloaded quantizer reproduces assignments bitwise."""
+    import pathlib
+
+    df = pd.DataFrame({"cluster_id": np.arange(len(centroids),
+                                               dtype=np.int64)})
+    for j in range(centroids.shape[1]):
+        df[f"c_{j}"] = centroids[:, j]
+    p = pathlib.Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_suffix(".tmp")
+    df.to_parquet(tmp, index=False)
+    tmp.rename(p)
+    return str(p)
+
+
+def load_centroids(path: str) -> np.ndarray:
+    df = pd.read_parquet(path).sort_values("cluster_id")
+    cols = [c for c in df.columns if c.startswith("c_")]
+    cols.sort(key=lambda c: int(c[2:]))
+    return df[cols].to_numpy(dtype=np.float64)

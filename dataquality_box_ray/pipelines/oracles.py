@@ -777,6 +777,27 @@ def build() -> dict[str, str]:
         ORDER BY t.event_id
     """
 
+    sql["user_conversion_funnel"] = """
+        WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+              JOIN v ON e.user_id = v.user_id
+              WHERE e.event_type = 'click' AND e.ts > v.t1
+              GROUP BY e.user_id),
+        p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+              JOIN c ON e.user_id = c.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > c.t2
+              GROUP BY e.user_id)
+        SELECT u.user_id,
+               ((v.user_id IS NOT NULL)::INT + (c.user_id IS NOT NULL)::INT
+                + (p.user_id IS NOT NULL)::INT)::BIGINT AS funnel_stage
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN v ON u.user_id = v.user_id
+        LEFT JOIN c ON u.user_id = c.user_id
+        LEFT JOIN p ON u.user_id = p.user_id
+        ORDER BY u.user_id
+    """
+
     sql["doc_quality_scores"] = r"""
         WITH c AS (
           SELECT doc_id,

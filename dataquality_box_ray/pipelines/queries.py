@@ -1844,3 +1844,39 @@ def doc_substring_dedup(sf_dir: str) -> pd.DataFrame:
     out = txt.remove_repeated_windows(docs, "text", "doc_id", n=8).to_pandas()
     return (out.astype({"doc_id": np.int64, "n_removed_tokens": np.int64})
             .sort_values("doc_id").reset_index(drop=True))
+
+
+def user_conversion_funnel(sf_dir: str) -> pd.DataFrame:
+    """ORDERED conversion funnel (view → click → purchase): per user, the
+    deepest stage reached where each step's first occurrence is STRICTLY
+    after the previous step's — the sequential-pattern analytics shape that
+    plain joins can't express. One bucketed per-user pass; each stage is a
+    vectorized filter + grouped min + merge inside the bucket (users are
+    many and small — the same contract as sessionize)."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        users = pd.DataFrame({"user_id": df["user_id"].unique()})
+        t1 = (df.loc[df["event_type"] == "view"]
+              .groupby("user_id", sort=False)["ts"].min().rename("t1"))
+        c = df.loc[df["event_type"] == "click"].merge(
+            t1, left_on="user_id", right_index=True)
+        t2 = (c.loc[c["ts"] > c["t1"]]
+              .groupby("user_id", sort=False)["ts"].min().rename("t2"))
+        p = df.loc[df["event_type"] == "purchase"].merge(
+            t2, left_on="user_id", right_index=True)
+        t3 = (p.loc[p["ts"] > p["t2"]]
+              .groupby("user_id", sort=False)["ts"].min().rename("t3"))
+        out = (users.merge(t1, left_on="user_id", right_index=True,
+                           how="left")
+               .merge(t2, left_on="user_id", right_index=True, how="left")
+               .merge(t3, left_on="user_id", right_index=True, how="left"))
+        stage = (out["t1"].notna().astype(np.int64)
+                 + out["t2"].notna().astype(np.int64)
+                 + out["t3"].notna().astype(np.int64))
+        return pd.DataFrame({"user_id": out["user_id"].to_numpy(),
+                             "funnel_stage": stage.to_numpy()})
+
+    out = agg._bucketed_groups(ev, "user_id", fn, 32).to_pandas()
+    out = out.astype({"user_id": np.int64, "funnel_stage": np.int64})
+    return out.sort_values("user_id").reset_index(drop=True)

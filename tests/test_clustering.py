@@ -99,3 +99,15 @@ def test_probe2_subset_of_probe1_on_real_embeddings():
     k1 = so.semantic_dedup_kept(emb, n_probe=1)
     k2 = so.semantic_dedup_kept(emb, n_probe=2)
     assert set(k2["vec_id"]) <= set(k1["vec_id"])
+
+
+def test_persisted_centroids_reproduce_assignments_bitwise(tmp_path):
+    cent = clustering.kmeans_fit(_emb_ds(), "embedding", k=8, iters=4)
+    path = clustering.persist_centroids(cent, str(tmp_path / "q.parquet"))
+    reloaded = clustering.load_centroids(path)
+    assert np.array_equal(cent, reloaded)
+    a = clustering.kmeans_assign(_emb_ds(), "embedding", cent).to_pandas()
+    b = clustering.kmeans_assign(_emb_ds(), "embedding",
+                                 reloaded).to_pandas()
+    pd.testing.assert_frame_equal(a.sort_values("vec_id").reset_index(drop=True),
+                                  b.sort_values("vec_id").reset_index(drop=True))
