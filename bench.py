@@ -82,7 +82,8 @@ def run_bench() -> dict:
         for name in ("aggregate_rule_having", "cross_check_totalprice",
                      "asof_click_view", "window_customer_total",
                      "doc_exact_dedup", "doc_minhash_dedup", "embedding_topk",
-                     "embedding_semantic_dedup", "sessionize_events"):
+                     "embedding_semantic_dedup", "doc_substring_dedup",
+                     "sessionize_events"):
             best = None
             for _ in range(2):      # min-of-2: walls swing with ambient noise
                 t0 = time.time()
