@@ -1,0 +1,10 @@
+import subprocess, sys, time
+SPIN = "import time;t0=time.time()\nx=0\nfor i in range(30_000_000): x+=i\nprint(time.time()-t0)"
+def one():
+    t0=time.time(); subprocess.run([sys.executable,"-c",SPIN],capture_output=True); return time.time()-t0
+solo = min(one(), one())
+t0=time.time()
+ps=[subprocess.Popen([sys.executable,"-c",SPIN],stdout=subprocess.DEVNULL) for _ in range(16)]
+for p in ps: p.wait()
+par=(time.time()-t0)
+print(f"solo={solo:.2f}s par16={par:.2f}s ratio={par/solo:.2f} ({'HEALTHY' if par/solo<1.35 else 'DEGRADED'})")

@@ -1,0 +1,14 @@
+import subprocess, sys, time
+SPIN = "x=0\nfor i in range(60_000_000): x+=i"
+def level(n, reps=2):
+    best = 1e9
+    for _ in range(reps):
+        t0=time.time()
+        ps=[subprocess.Popen([sys.executable,"-c",SPIN],stdout=subprocess.DEVNULL) for _ in range(n)]
+        for p in ps: p.wait()
+        best=min(best, time.time()-t0)
+    return best
+t4, t16 = level(4), level(16)
+# same total work per process; perfect scaling => equal walls. efficiency = t4*? 
+# throughput: n processes / wall. eff(4->16) = (thr16/thr4)/4 = (16/t16)/(4/t4)/4 = t4/t16
+print(f"t4={t4:.2f}s t16={t16:.2f}s machine 4->16 spin efficiency={t4/t16:.3f}")
