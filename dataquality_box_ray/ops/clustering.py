@@ -264,7 +264,8 @@ def semantic_dedup_edges(ds: "ray.data.Dataset", emb_col: str, id_col: str,
 def semantic_dedup(ds: "ray.data.Dataset", emb_col: str, id_col: str,
                    centroids: np.ndarray, eps: float = 0.97,
                    n_probe: int = 1,
-                   max_cluster_rows: int = 2_000_000) -> pd.DataFrame:
+                   max_cluster_rows: int = 2_000_000,
+                   driver_cap: int | None = None) -> pd.DataFrame:
     """SemDeDup: assign each row to its k-means cluster(s), then keep-min-id
     dedup of the integer-exact cosine>=eps components. Returns surviving ids
     as an (id) frame — compose with an anti join to recover full rows.
@@ -306,8 +307,9 @@ def semantic_dedup(ds: "ray.data.Dataset", emb_col: str, id_col: str,
     edges = semantic_dedup_edges(ds, emb_col, id_col, centroids, eps,
                                  n_probe, max_cluster_rows)
     # auto-paths: driver union-find below MAX_DRIVER_PAIRS edges, else
-    # distributed min-label propagation
-    labels = min_label_components_ds(edges)
+    # distributed min-label propagation (driver_cap=0 forces the
+    # distributed path; tests do)
+    labels = min_label_components_ds(edges, driver_cap=driver_cap)
     lost = labels.map_batches(
         lambda df: df.loc[df["node"] != df["label"], ["node"]],
         batch_format="pandas").to_pandas()

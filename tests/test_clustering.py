@@ -111,3 +111,15 @@ def test_persisted_centroids_reproduce_assignments_bitwise(tmp_path):
                                  reloaded).to_pandas()
     pd.testing.assert_frame_equal(a.sort_values("vec_id").reset_index(drop=True),
                                   b.sort_values("vec_id").reset_index(drop=True))
+
+
+def test_probe2_distributed_component_path_matches_driver_path():
+    """Force the min-label-propagation component resolution (driver_cap=0)
+    and pin equality with the driver union-find result — the 100-TB path
+    produces the same survivors as the convenience path."""
+    cent = clustering.kmeans_fit(_emb_ds(), "embedding", k=8, iters=8)
+    a = clustering.semantic_dedup(_emb_ds(), "embedding", "vec_id", cent,
+                                  eps=0.97, n_probe=2)
+    b = clustering.semantic_dedup(_emb_ds(), "embedding", "vec_id", cent,
+                                  eps=0.97, n_probe=2, driver_cap=0)
+    assert a["vec_id"].tolist() == b["vec_id"].tolist()
