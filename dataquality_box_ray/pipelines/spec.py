@@ -41,11 +41,14 @@ import ray.data
 
 _PKG_ROOT = pathlib.Path(__file__).parent.parent
 
-_TOP_KEYS = {"name", "sources", "entity", "rules", "aggregator"}
+_TOP_KEYS = {"name", "sources", "entity", "dedup", "rules", "aggregator"}
 _SOURCE_KEYS = {"format", "path", "columns", "depends_on"}
 _DEP_KEYS = {"source", "key", "upstream_key"}
 _ENTITY_KEYS = {"name", "base", "joins", "fields"}
 _JOIN_KEYS = {"right", "left_on", "right_on", "kind", "how", "columns"}
+_DEDUP_KEYS = {"dataset", "method", "text_col", "id_col", "threshold",
+               "semantic_k", "eps", "n_probe"}
+_DEDUP_METHODS = ("exact", "minhash", "semantic")
 
 
 def _check_keys(obj: dict, allowed: set, required: set, where: str) -> None:
@@ -86,6 +89,17 @@ def load_pipeline_spec(path: str) -> dict[str, Any]:
                         f"{path}: entity join")
             if j.get("kind", "broadcast") not in ("broadcast", "hash"):
                 raise ValueError(f"entity join: unknown kind {j['kind']!r}")
+    if "dedup" in spec:
+        dd = spec["dedup"]
+        _check_keys(dd, _DEDUP_KEYS,
+                    {"dataset", "method", "text_col", "id_col"},
+                    f"{path}: dedup")
+        if dd["method"] not in _DEDUP_METHODS:
+            raise ValueError(f"dedup: unknown method {dd['method']!r} "
+                             f"(one of {_DEDUP_METHODS})")
+        if dd["dataset"] not in spec["sources"] \
+                and dd["dataset"] != spec.get("entity", {}).get("name"):
+            raise ValueError(f"dedup: unknown dataset {dd['dataset']!r}")
     return spec
 
 
@@ -172,10 +186,47 @@ def build_entity_from_spec(spec_entity: dict[str, Any],
     return ds
 
 
+def apply_dedup_from_spec(spec_dedup: dict[str, Any],
+                          datasets: dict[str, "ray.data.Dataset"]) -> None:
+    """Dedup stage from the spec: replaces the named dataset with its
+    surviving rows. ``exact`` = sha keep-min-id; ``minhash`` = the full
+    LSH → verify → components pipeline at ``threshold``; ``semantic`` =
+    fixed-point k-means (``semantic_k`` clusters) + SemDeDup at ``eps``
+    with ``n_probe`` blocking — all the same operators the code-driven
+    paths use, selected by config (the reference picks behaviors from
+    Pydantic source configs the same way)."""
+    from ..ops import clustering, dedup
+
+    ds = datasets[spec_dedup["dataset"]]
+    method = spec_dedup["method"]
+    tcol, icol = spec_dedup["text_col"], spec_dedup["id_col"]
+    if method == "exact":
+        out = dedup.exact_dedup(ds, tcol, icol)
+    elif method == "minhash":
+        out = dedup.minhash_dedup(ds, tcol, icol,
+                                  threshold=spec_dedup.get("threshold", 0.8))
+    else:
+        cent = clustering.kmeans_fit(ds, tcol,
+                                     k=spec_dedup.get("semantic_k", 8))
+        kept = clustering.semantic_dedup(
+            ds, tcol, icol, cent, eps=spec_dedup.get("eps", 0.97),
+            n_probe=spec_dedup.get("n_probe", 1))
+        import ray as _ray
+
+        kept_ids = set(kept[icol])
+        ids_ref = _ray.put(kept_ids)
+
+        def keep(df):
+            return df[df[icol].isin(_ray.get(ids_ref))]
+
+        out = ds.map_batches(keep, batch_format="pandas")
+    datasets[spec_dedup["dataset"]] = out
+
+
 def run_pipeline_spec(spec_path: str, params: dict[str, str],
                       out_dir: str | None = None) -> dict[str, Any]:
-    """Execute a pipeline spec end to end: sources → (entity) → rule pack →
-    aggregator → report. Returns the same context dict as
+    """Execute a pipeline spec end to end: sources → (entity) → (dedup) →
+    rule pack → aggregator → report. Returns the same context dict as
     `governance.run_governance` when a rule pack is configured, else
     ``{"datasets": ..., "entity": ...}``."""
     from ..rules import engine
@@ -186,6 +237,8 @@ def run_pipeline_spec(spec_path: str, params: dict[str, str],
     if "entity" in spec:
         datasets[spec["entity"]["name"]] = build_entity_from_spec(
             spec["entity"], datasets)
+    if "dedup" in spec:
+        apply_dedup_from_spec(spec["dedup"], datasets)
     if "rules" not in spec:
         return {"datasets": datasets,
                 "entity": datasets.get(spec.get("entity", {}).get("name"))}

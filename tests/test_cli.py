@@ -48,3 +48,53 @@ def test_cli_validate(tmp_path):
     bad = pd.read_parquet(out)
     assert len(bad) == summary["failed"]
     assert set(bad.columns) == {"event_id", "event_type", "failure_type"}
+
+
+def test_spec_dedup_stage_equals_code_driven():
+    """A spec with a `dedup` block reproduces the code-driven minhash dedup
+    row-for-row (config selects the operator; it must not change it)."""
+    import numpy as np
+
+    from dataquality_box_ray.ops import dedup
+    from dataquality_box_ray.pipelines import spec as spec_mod
+    from dataquality_box_ray.sources import read_parquet
+
+    sf = "/root/testdata/sf0.001"
+    ctx = spec_mod.run_pipeline_spec(
+        "dataquality_box_ray/pipelines/specs/corpus_dedup.yaml",
+        {"sf_dir": sf})
+    got = (ctx["datasets"]["documents"].to_pandas()[["doc_id"]]
+           .astype(np.int64).sort_values("doc_id").reset_index(drop=True))
+    want = (dedup.minhash_dedup(
+        read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
+        "text", "doc_id", threshold=0.9).to_pandas()[["doc_id"]]
+        .astype(np.int64).sort_values("doc_id").reset_index(drop=True))
+    assert got.equals(want)
+
+
+def test_spec_dedup_validation():
+    import pathlib
+    import tempfile
+
+    import pytest
+
+    from dataquality_box_ray.pipelines import spec as spec_mod
+
+    bad = """
+name: x
+sources:
+  documents: {format: parquet, path: "{sf_dir}/documents.parquet"}
+dedup: {dataset: documents, method: sorcery, text_col: text, id_col: doc_id}
+"""
+    with tempfile.TemporaryDirectory() as d:
+        p = pathlib.Path(d) / "bad.yaml"
+        p.write_text(bad)
+        with pytest.raises(ValueError, match="unknown method"):
+            spec_mod.load_pipeline_spec(str(p))
+    bad2 = bad.replace("method: sorcery", "method: exact").replace(
+        "dataset: documents", "dataset: nonexistent")
+    with tempfile.TemporaryDirectory() as d:
+        p = pathlib.Path(d) / "bad2.yaml"
+        p.write_text(bad2)
+        with pytest.raises(ValueError, match="unknown dataset"):
+            spec_mod.load_pipeline_spec(str(p))
