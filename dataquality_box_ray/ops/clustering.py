@@ -135,7 +135,9 @@ def kmeans_profile(ds: "ray.data.Dataset", emb_col: str, id_col: str,
     """Per-cluster (cluster_id, n, min_id, mean_cos) — size, smallest member
     id and mean cosine-to-own-centroid, the fit-quality scoreboard. One
     streaming pass; per-block partials are k rows of ints (the cosine sum
-    rides as a _Q_DOT-scaled int64, so the fold stays exact)."""
+    rides as a _Q_VEC-scaled int64 — dots are arithmetic-shifted down 20
+    bits before summing, so the exact fold holds to 2^43 rows per cluster
+    instead of overflowing at ~2^23)."""
     cent_q_ref = ray.put(quantize(centroids))
     k = len(centroids)
 
@@ -148,7 +150,11 @@ def kmeans_profile(ds: "ray.data.Dataset", emb_col: str, id_col: str,
         ids = df[id_col].to_numpy()
         n = np.bincount(a, minlength=k).astype(np.int64)
         simsum = np.zeros(k, dtype=np.int64)
-        np.add.at(simsum, a, dots[np.arange(len(a)), a])
+        # accumulate at _Q_VEC scale (arithmetic >> 20 of the _Q_DOT dot,
+        # identical truncation in the sequential oracle): a full-_Q_DOT sum
+        # would overflow int64 past ~2^23 rows per cluster; at 2^20 scale
+        # the exact fold holds to 2^43 rows
+        np.add.at(simsum, a, dots[np.arange(len(a)), a] >> 20)
         min_id = np.full(k, np.iinfo(np.int64).max, dtype=np.int64)
         np.minimum.at(min_id, a, ids)
         return pd.DataFrame({"cluster_id": np.arange(k, dtype=np.int64),
@@ -158,22 +164,31 @@ def kmeans_profile(ds: "ray.data.Dataset", emb_col: str, id_col: str,
     g = parts.groupby("cluster_id", sort=True).agg(
         n=("n", "sum"), min_id=("min_id", "min"), simsum=("simsum", "sum"))
     g = g[g["n"] > 0].reset_index()
-    g["mean_cos"] = (g["simsum"] / (g["n"] * _Q_DOT)).round(6)
+    g["mean_cos"] = (g["simsum"] / (g["n"] * _Q_VEC)).round(6)
     return g.drop(columns=["simsum"])
 
 
-def cluster_local_dedup_kernel(df: pd.DataFrame, emb_col: str, id_col: str,
-                               eps_q: int) -> pd.DataFrame:
-    """Keep-min-id dedup of ONE cluster's members: integer pairwise dots,
-    edges where dot >= eps_q, union-find components, min id survives.
-    Shared verbatim by the engine (per bucket) and the sequential oracle
-    (per cluster) — the orchestration differs, the kernel cannot."""
+def _pair_hits(df: pd.DataFrame, emb_col: str, id_col: str, eps_q: int
+               ) -> tuple[pd.DataFrame, np.ndarray, np.ndarray]:
+    """ONE cluster's near-dup pair positions: sort by id, integer pairwise
+    dots, triu positions where dot >= eps_q. The single definition both the
+    local keep-min kernel and the multi-probe edge emitter call — the
+    quantization/threshold step must not be able to diverge between the
+    n_probe=1 and n_probe>=2 paths."""
     df = df.sort_values(id_col, kind="mergesort").reset_index(drop=True)
     m = _normalize(np.stack(df[emb_col].to_numpy()).astype(np.float64))
     q = quantize(m)
     sims = q @ q.T
     iu, ju = np.triu_indices(len(df), k=1)
     hit = sims[iu, ju] >= eps_q
+    return df, iu[hit], ju[hit]
+
+
+def cluster_local_dedup_kernel(df: pd.DataFrame, emb_col: str, id_col: str,
+                               eps_q: int) -> pd.DataFrame:
+    """Keep-min-id dedup of ONE cluster's members: `_pair_hits` edges,
+    union-find components, min id survives."""
+    df, ihit, jhit = _pair_hits(df, emb_col, id_col, eps_q)
     parent = np.arange(len(df))
 
     def find(i: int) -> int:
@@ -182,7 +197,7 @@ def cluster_local_dedup_kernel(df: pd.DataFrame, emb_col: str, id_col: str,
             i = parent[i]
         return i
 
-    for i, j in zip(iu[hit], ju[hit]):
+    for i, j in zip(ihit, jhit):
         ri, rj = find(i), find(j)
         if ri != rj:
             parent[max(ri, rj)] = min(ri, rj)
@@ -215,7 +230,7 @@ def _check_cluster_size(n: int, max_cluster_rows: int) -> None:
 def semantic_dedup_edges(ds: "ray.data.Dataset", emb_col: str, id_col: str,
                          centroids: np.ndarray, eps: float = 0.97,
                          n_probe: int = 2,
-                         max_cluster_rows: int = 2_000_000,
+                         max_cluster_rows: int = 10_000,
                          ) -> "ray.data.Dataset":
     """Verified near-dup EDGES (id_a < id_b) under multi-probe blocking:
     every row enters its ``n_probe`` nearest clusters, edges are generated
@@ -243,16 +258,10 @@ def semantic_dedup_edges(ds: "ray.data.Dataset", emb_col: str, id_col: str,
         outs = []
         for _, grp in df.groupby("cluster_id", sort=False):
             _check_cluster_size(len(grp), max_cluster_rows)
-            grp = grp.sort_values(id_col, kind="mergesort")
-            m = _normalize(np.stack(grp[emb_col].to_numpy())
-                           .astype(np.float64))
-            q = quantize(m)
-            sims = q @ q.T
-            iu, ju = np.triu_indices(len(grp), k=1)
-            hit = sims[iu, ju] >= eps_q
+            grp, ihit, jhit = _pair_hits(grp, emb_col, id_col, eps_q)
             ids = grp[id_col].to_numpy()
-            outs.append(pd.DataFrame({"id_a": ids[iu[hit]],
-                                      "id_b": ids[ju[hit]]}))
+            outs.append(pd.DataFrame({"id_a": ids[ihit],
+                                      "id_b": ids[jhit]}))
         return (pd.concat(outs, ignore_index=True) if outs
                 else pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
                                    "id_b": pd.Series([], dtype=np.int64)}))
@@ -264,7 +273,7 @@ def semantic_dedup_edges(ds: "ray.data.Dataset", emb_col: str, id_col: str,
 def semantic_dedup(ds: "ray.data.Dataset", emb_col: str, id_col: str,
                    centroids: np.ndarray, eps: float = 0.97,
                    n_probe: int = 1,
-                   max_cluster_rows: int = 2_000_000,
+                   max_cluster_rows: int = 10_000,
                    driver_cap: int | None = None) -> pd.DataFrame:
     """SemDeDup: assign each row to its k-means cluster(s), then keep-min-id
     dedup of the integer-exact cosine>=eps components. Returns surviving ids
@@ -278,10 +287,11 @@ def semantic_dedup(ds: "ray.data.Dataset", emb_col: str, id_col: str,
     clusters), so components resolve via driver union-find below
     MAX_DRIVER_PAIRS edges and distributed min-label propagation above.
 
-    Scale contract: pairwise work is bounded per cluster; pick k so that
-    n_probe * n/k rows (x d floats) fit one worker — clusters above
-    ``max_cluster_rows`` raise with that advice rather than silently OOM
-    a worker."""
+    Scale contract: pairwise work AND MEMORY are quadratic per cluster —
+    the in-bucket sims matrix plus pair indices cost ~24 bytes x rows^2
+    (10k rows ≈ 1.7 GB peak, the default cap; 100k would be 170 GB).
+    Pick k so n_probe * n/k stays under ``max_cluster_rows``; oversized
+    clusters raise with that advice rather than silently OOM a worker."""
     eps_q = int(round(eps * _Q_DOT))
 
     if n_probe <= 1:

@@ -281,9 +281,19 @@ def _band_group_pairs(df: pd.DataFrame, max_bucket_ids: int,
         ids, idx = np.unique(grp["id"].to_numpy(), return_index=True)
         if len(ids) > max_bucket_ids:
             # degenerate hot bucket (boilerplate text): the pair product
-            # is quadratic — cap to the first ids; near-dups this common
-            # are still linked transitively through other bands/components
-            ids, idx = ids[:max_bucket_ids], idx[:max_bucket_ids]
+            # is quadratic — cap the ids; near-dups this common are still
+            # linked transitively through other bands/components
+            if require_new:
+                # incremental mode: committed ids (often numerically
+                # smaller) must NOT evict the batch's NEW ids — new↔old
+                # edges are the drop policy's only signal, so keep new ids
+                # first, then the smallest committed ids
+                new_all = grp["__new"].to_numpy()[idx]
+                order = np.lexsort((ids, ~new_all))
+                pick = np.sort(order[:max_bucket_ids])
+                ids, idx = ids[pick], idx[pick]
+            else:
+                ids, idx = ids[:max_bucket_ids], idx[:max_bucket_ids]
         if len(ids) < 2:
             continue
         ia, ib = np.triu_indices(len(ids), k=1)

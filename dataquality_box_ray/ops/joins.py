@@ -570,13 +570,21 @@ def bloom_anti_join(ds: "ray.data.Dataset", keys_ds: "ray.data.Dataset",
     return definite_miss.union(survivors)
 
 
+_MAX_INTERVAL_REPL = 4096   # cap on grid cells per interval in auto mode
+
+
 def _sample_interval_cell_us(intervals: "ray.data.Dataset", start_col: str,
                              end_col: str) -> int:
     """Pick the banding grid size from an interval-SPAN sample: the median
     span (p50 of a per-block spread sample) keeps replication ≈ 2 cells per
-    interval — O(1) regardless of the time axis extent. Exactness never
-    depends on the choice, only replication volume and cell skew do. Falls
-    back to 1 hour when the interval side is empty."""
+    interval — O(1) regardless of the time axis extent. Heavy-tailed span
+    mixes (many 1-minute windows + one month-long window) would make the
+    p50 grid replicate the long tail thousands of times, so the cell is
+    floored at sampled-max-span / ``_MAX_INTERVAL_REPL`` — the longest
+    interval replicates a bounded number of times and the short ones fall
+    back to ≈ 1 cell each. Exactness never depends on the choice, only
+    replication volume and cell skew do. Falls back to 1 hour when the
+    interval side is empty."""
     def sample_fn(df: pd.DataFrame) -> pd.DataFrame:
         s = df[start_col].astype("datetime64[us]").astype(np.int64).to_numpy()
         e = df[end_col].astype("datetime64[us]").astype(np.int64).to_numpy()
@@ -590,7 +598,9 @@ def _sample_interval_cell_us(intervals: "ray.data.Dataset", start_col: str,
         sample_fn, batch_format="pandas").to_pandas()["s"].to_numpy()
     if not len(sampled):
         return 3_600_000_000
-    return max(int(np.quantile(sampled, 0.5)), 1)
+    p50 = int(np.quantile(sampled, 0.5))
+    repl_floor = int(sampled.max()) // _MAX_INTERVAL_REPL
+    return max(p50, repl_floor, 1)
 
 
 def interval_join(left: "ray.data.Dataset", intervals: "ray.data.Dataset",

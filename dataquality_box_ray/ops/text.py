@@ -237,13 +237,17 @@ def _norm_tokens(text: pa.Array) -> tuple[pa.Array, np.ndarray]:
     return flat.filter(pa.array(ne)), doc_idx[ne]
 
 
-def _ngram_hashes(tok_hash: np.ndarray, doc_idx: np.ndarray, n: int
-                  ) -> tuple[np.ndarray, np.ndarray]:
+def _ngram_hashes(tok_hash: np.ndarray, doc_idx: np.ndarray, n: int,
+                  with_starts: bool = False):
     """Rolling hash of every within-document token n-gram (vectorized).
-    Returns (window_hash, window_doc_idx)."""
+    Returns (window_hash, window_doc_idx), plus the windows' flat start
+    indices when ``with_starts`` — the ONE definition of the window hash
+    (decontamination, shared-ngram counts, and substring dedup must all
+    band identically)."""
     L = len(tok_hash)
     if L < n:
-        return np.empty(0, np.uint64), np.empty(0, np.int64)
+        empty = (np.empty(0, np.uint64), np.empty(0, np.int64))
+        return empty + (np.empty(0, np.int64),) if with_starts else empty
     m = L - n + 1
     acc = np.zeros(m, dtype=np.uint64)
     mul = np.uint64(1)
@@ -252,6 +256,8 @@ def _ngram_hashes(tok_hash: np.ndarray, doc_idx: np.ndarray, n: int
             acc += tok_hash[j:j + m] * mul
             mul = mul * _NGRAM_MUL
     ok = doc_idx[:m] == doc_idx[n - 1:]
+    if with_starts:
+        return acc[ok], doc_idx[:m][ok], np.arange(m, dtype=np.int64)[ok]
     return acc[ok], doc_idx[:m][ok]
 
 
@@ -750,17 +756,10 @@ def _window_occurrence_rows(ds: "ray.data.Dataset", text_col: str,
                                  id_col: pd.Series([], dtype=np.int64),
                                  "pos": pd.Series([], dtype=np.int64)})
         th = _hash_tokens(flat)
-        m = L - n + 1
-        acc = np.zeros(m, dtype=np.uint64)
-        mul = np.uint64(1)
-        with np.errstate(over="ignore"):
-            for j in range(n):
-                acc += th[j:j + m] * mul
-                mul = mul * _NGRAM_MUL
-        ok = doc_idx[:m] == doc_idx[n - 1:]
-        return pd.DataFrame({"__wh": acc[ok],
-                             id_col: ids[doc_idx[:m][ok]],
-                             "pos": pos[:m][ok]})
+        wh, wd, starts = _ngram_hashes(th, doc_idx, n, with_starts=True)
+        return pd.DataFrame({"__wh": wh,
+                             id_col: ids[wd],
+                             "pos": pos[starts]})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

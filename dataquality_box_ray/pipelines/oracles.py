@@ -686,7 +686,7 @@ def build() -> dict[str, str]:
     sql["user_event_sequence"] = """
         SELECT user_id,
                string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
-               count(*)::BIGINT AS n_items
+               count(event_type)::BIGINT AS n_items
         FROM events GROUP BY user_id ORDER BY user_id
     """
 

@@ -649,7 +649,11 @@ def _export_side_file(sf_dir: str, table: str, cols: list[str],
 
     import pyarrow.parquet as pq
 
-    tag = pathlib.Path(sf_dir).name
+    src = f"{sf_dir}/{table}.parquet"
+    st = os.stat(src)
+    # cache key includes source mtime+size: regenerated testdata must never
+    # serve a stale export to the lane under test
+    tag = f"{pathlib.Path(sf_dir).name}-{int(st.st_mtime)}-{st.st_size}"
     out = f"/tmp/dq_src_cache/{tag}/{table}.{fmt}"
     if not os.path.exists(out):
         os.makedirs(os.path.dirname(out), exist_ok=True)
@@ -1753,14 +1757,23 @@ def embedding_semantic_dedup(sf_dir: str) -> pd.DataFrame:
 def events_user_rolling_sum(sf_dir: str) -> pd.DataFrame:
     """Per-user rolling 3-row window (2 preceding + current, ordered by
     ts then event_id): windowed sum of integer cents + window row count.
-    Bucketed per-user kernel (users are many and small); integer arithmetic
-    keeps the value-hash compare exact against the SQL window frame."""
+    Bucketed per-user kernel (users are many and small); integer-valued
+    arithmetic keeps the value-hash compare exact against the SQL window
+    frame. Null values are skipped from both sum and count (SQL
+    semantics); the one divergence is an ALL-null window, where SQL's sum
+    is NULL and this emits 0 with n_win=0 — consumers disambiguate via
+    n_win."""
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        c = pd.Series(_cents(df["value"].to_numpy()), index=df.index)
-        df = df.assign(__c=c)
+        v = df["value"].to_numpy()
+        # cents as FLOAT with NaN where value is null — _cents' int64 cast
+        # would turn NaN into INT64_MIN and the notna()/fillna() frame
+        # logic below (SQL sum/count skip NULLs) would silently count it
+        c = np.where(np.isnan(v), np.nan, np.floor(np.abs(v) * 100 + 0.5)
+                     * np.sign(v))
+        df = df.assign(__c=pd.Series(c, index=df.index))
         g = df.groupby("user_id", sort=False)
         p1, p2 = g["__c"].shift(1), g["__c"].shift(2)
         rsum = (df["__c"].fillna(0) + p1.fillna(0) + p2.fillna(0))
@@ -1786,10 +1799,13 @@ def event_value_mad_outliers(sf_dir: str) -> pd.DataFrame:
     ev = _read(sf_dir, "events", ["event_id", "value"])
 
     def prep(df: pd.DataFrame) -> pd.DataFrame:
+        # nulls must go BEFORE _cents — its int64 cast would turn NaN into
+        # INT64_MIN and poison the medians (SQL quantile_disc skips NULLs)
+        df = df.loc[df["value"].notna()]
         out = pd.DataFrame({"event_id": df["event_id"].to_numpy(),
                             "value_cents": _cents(df["value"].to_numpy())})
         out["__g"] = np.int64(0)
-        return out.loc[out["value_cents"].notna()]
+        return out
 
     slim = ev.map_batches(prep, batch_format="pandas").materialize()
     med = int(agg.grouped_quantile(slim, "__g", "value_cents", 0.5,

@@ -772,9 +772,11 @@ def kmeans_profile_oracle(emb: pd.DataFrame, k: int = 16,
         sel = a == c
         if not sel.any():
             continue
-        simsum = int(dots[sel, c].sum())
+        # same _Q_VEC-scale truncation (>> 20) as the engine's
+        # overflow-safe fold
+        simsum = int((dots[sel, c] >> 20).sum())
         rows.append((c, int(sel.sum()), int(ids[sel].min()),
-                     round(simsum / (sel.sum() * _KM_QDOT), 6)))
+                     round(simsum / (sel.sum() * _KM_QVEC), 6)))
     return pd.DataFrame(rows, columns=["cluster_id", "n", "min_id",
                                        "mean_cos"]).astype(
         {"cluster_id": np.int64, "n": np.int64, "min_id": np.int64})

@@ -206,20 +206,17 @@ def apply_dedup_from_spec(spec_dedup: dict[str, Any],
         out = dedup.minhash_dedup(ds, tcol, icol,
                                   threshold=spec_dedup.get("threshold", 0.8))
     else:
+        from ..ops.joins import semi_join_auto
+
         cent = clustering.kmeans_fit(ds, tcol,
                                      k=spec_dedup.get("semantic_k", 8))
         kept = clustering.semantic_dedup(
             ds, tcol, icol, cent, eps=spec_dedup.get("eps", 0.97),
             n_probe=spec_dedup.get("n_probe", 1))
-        import ray as _ray
-
-        kept_ids = set(kept[icol])
-        ids_ref = _ray.put(kept_ids)
-
-        def keep(df):
-            return df[df[icol].isin(_ray.get(ids_ref))]
-
-        out = ds.map_batches(keep, batch_format="pandas")
+        # survivors attach through the gated semi join (broadcast below
+        # MAX_BROADCAST_KEYS, hash-partitioned above) — no uncapped driver
+        # set ships to workers
+        out = semi_join_auto(ds, ray.data.from_pandas(kept), icol)
     datasets[spec_dedup["dataset"]] = out
 
 

@@ -808,3 +808,28 @@ def test_remove_repeated_windows_matches_oracle_small():
            .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(eng[["doc_id", "text",
                                        "n_removed_tokens"]], ora)
+
+
+def test_hot_bucket_cap_keeps_new_ids_in_incremental_mode():
+    """A hot band bucket overflowing max_bucket_ids must not evict the
+    batch's NEW ids (committed ids are often numerically smaller): new↔old
+    edges are the incremental drop policy's only signal."""
+    from dataquality_box_ray.ops.dedup import _band_group_pairs
+
+    n_committed = 50
+    df = pd.DataFrame({
+        "band": 0,
+        "band_hash": np.uint64(7),
+        "id": np.arange(n_committed + 2, dtype=np.int64),
+        # ids 0..49 committed, 50 and 51 are the new batch
+        "__new": [False] * n_committed + [True, True],
+    })
+    pairs = _band_group_pairs(df, max_bucket_ids=10, require_new=True)
+    # every pair involves a new id, and the new ids are present despite the
+    # cap keeping only 10 of 52 ids
+    ids_in_pairs = set(pairs["id_a"]) | set(pairs["id_b"])
+    assert {50, 51} <= ids_in_pairs
+    assert len(pairs)            # new-old edges survived the cap
+    # non-incremental path unchanged: smallest ids kept
+    p2 = _band_group_pairs(df.drop(columns="__new"), max_bucket_ids=10)
+    assert (set(p2["id_a"]) | set(p2["id_b"])) <= set(range(10))
