@@ -1,0 +1,25 @@
+"""4-vs-16-process MEMORY-BANDWIDTH scaling probe: each process streams a
+256 MB array (far beyond LLC) repeatedly. On a box whose bandwidth is shared,
+16 streams saturate and per-process throughput collapses — the ceiling a
+single-VM '4 vs 16 CPU' job comparison inherits but a real 4-node vs
+16-node cluster does not (each node brings its own memory controllers)."""
+import subprocess, sys, time
+
+WORK = ("import numpy as np,time\n"
+        "a=np.ones(32_000_000)\n"          # 256 MB of float64
+        "t0=time.time()\n"
+        "for _ in range(12): s=a.sum()\n"
+        "print(time.time()-t0)")
+
+def level(n):
+    t0 = time.time()
+    ps = [subprocess.Popen([sys.executable, "-c", WORK],
+                           stdout=subprocess.DEVNULL) for _ in range(n)]
+    for p in ps:
+        p.wait()
+    return time.time() - t0
+
+t4 = min(level(4), level(4))
+t16 = min(level(16), level(16))
+print(f"t4={t4:.2f}s t16={t16:.2f}s  mem-stream 4->16 scaling "
+      f"efficiency={t4/t16:.3f}")
