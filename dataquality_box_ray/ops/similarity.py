@@ -113,12 +113,20 @@ def build_ivf_centroids(ds: "ray.data.Dataset", emb_col: str,
 
 def ivf_topk(ds: "ray.data.Dataset", emb_col: str, id_col: str,
              queries: np.ndarray, k: int = 10, n_clusters: int = 16,
-             n_probe: int = 4, seed: int = 13) -> pd.DataFrame:
+             n_probe: int = 4, seed: int = 13,
+             centroids: np.ndarray | None = None) -> pd.DataFrame:
     """IVF approximate top-k: vectors are assigned to their nearest centroid
     (row-local, centroids broadcast); each query probes only its `n_probe`
     nearest lists. Touched fraction ≈ n_probe/n_clusters; exact within the
-    probed lists. Same output shape as brute_force_topk."""
-    cent = build_ivf_centroids(ds, emb_col, n_clusters, seed=seed)
+    probed lists. Same output shape as brute_force_topk.
+
+    Pass ``centroids`` (e.g. from `ops.clustering.load_centroids`) to reuse
+    a persisted quantizer across batches — a continuously-ingesting corpus
+    trains once at commit time and every later search skips the fit, the
+    same amortization as the persisted LSH band table."""
+    cent = (np.asarray(centroids, dtype=np.float64)
+            if centroids is not None
+            else build_ivf_centroids(ds, emb_col, n_clusters, seed=seed))
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     q_lists = np.argsort(-(qn @ cent.T), axis=1)[:, :n_probe]   # (nq, n_probe)
     probed: dict[int, list[int]] = {}

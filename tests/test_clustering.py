@@ -123,3 +123,22 @@ def test_probe2_distributed_component_path_matches_driver_path():
     b = clustering.semantic_dedup(_emb_ds(), "embedding", "vec_id", cent,
                                   eps=0.97, n_probe=2, driver_cap=0)
     assert a["vec_id"].tolist() == b["vec_id"].tolist()
+
+
+def test_ivf_topk_accepts_persisted_quantizer(tmp_path):
+    """ivf_topk with a persisted-then-reloaded quantizer reproduces the
+    fit-inline result exactly (search-time reuse of commit-time training)."""
+    import pandas as pd
+
+    from dataquality_box_ray.ops import similarity
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    q = np.stack(emb["embedding"].head(3).to_numpy()).astype(np.float64)
+    cent = similarity.build_ivf_centroids(_emb_ds(), "embedding", 8)
+    path = clustering.persist_centroids(cent, str(tmp_path / "ivf.parquet"))
+    a = similarity.ivf_topk(_emb_ds(), "embedding", "vec_id", q, k=5,
+                            n_clusters=8)
+    b = similarity.ivf_topk(_emb_ds(), "embedding", "vec_id", q, k=5,
+                            centroids=clustering.load_centroids(path))
+    pd.testing.assert_frame_equal(a, b)
